@@ -1,0 +1,750 @@
+"""Relational operator surface (SURVEY.md §2 ops 4-18 lifted onto the
+driver's star schema) — scans, filters, semi/anti joins, broadcast
+dictionary lookups, conditional scalar transforms, pivots, distinct-set
+aggregations, windows, sorts/limits, set ops, JSON extraction, event-time
+windowing.
+
+Numeric-comparison policy: money-like aggregates are computed in exact
+DECIMAL(18,2) arithmetic (order-independent, so the same value falls out
+of any shuffle/AQE plan and of the DuckDB oracle), then cast to DOUBLE for
+a stable output representation.
+
+Scale notes are attached per query; the common ones:
+- region/nation/part/supplier are broadcast (`F.broadcast`) — no shuffle
+  for dimension lookups at any fact-table size.
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  handles skew and post-shuffle coalescing.
+- aggregations are hash-aggs with map-side partials — Catalyst default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.functions.scalar import boolean_encode
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.sources.tables import load_table
+
+
+def _dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference pipeline's shape phrased relationally — broadcast
+# dictionary joins (ops 6/10) + filter + multi-way join + grouped agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region: region⋈nation⋈customer⋈orders⋈lineitem.
+
+    Scale: region(5)/nation(25) broadcast; customer broadcast below the
+    10MB default at small SF, sort-merge above it (Catalyst decides);
+    orders⋈lineitem is the one real shuffle, on l_orderkey. The count
+    distinct is a partial-final agg over the already-shuffled key.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: grouped multi-agg with pushed filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape). The shipdate predicate and the
+    6-column projection both push into the parquet scan (check
+    `.explain`: PushedFilters + ReadSchema). One shuffle on the 2-col
+    grouping key; partial aggregation map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins — the reference's dictionary-gated keep/drop filters
+# (ops 4-5): rows kept iff the key exists (or not) in another relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = the reference's 'keep only records whose tag is in
+    the dictionary' (op 4). Semi joins shuffle only the key column of the
+    probe side — cheaper than inner join + distinct.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = the reference's dropped-unknown-tags audit stream
+    (op 5 keeps the complement for reporting)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dictionary decode with default (ops 10-11): the temple-code
+# lookup pattern — join a small dim, coalesce miss to passthrough.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dict_decode_supplier_nation",
+    oracle="""
+    SELECT s.s_suppkey,
+           COALESCE(n.n_name, 'UNKNOWN') AS nation_name,
+           r.r_name AS region_name
+    FROM supplier s
+    LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+    LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def dict_decode_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary decode with passthrough default (reference op 10, the
+    TEMP temple-code lookup lib/csv_writer.js:57-65): LEFT JOIN against a
+    broadcast dim + COALESCE. Zero shuffle — both dims broadcast.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        supplier.join(nation, nation.n_nationkey == supplier.s_nationkey, "left")
+        .join(region, region.r_regionkey == nation.n_regionkey, "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@register(
+    "conditional_decode_concat",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN r.r_name IS NOT NULL THEN n.n_name || ' (' || r.r_name || ' Region)'
+                ELSE n.n_name END AS display_name
+    FROM nation n
+    LEFT JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name <> 'AFRICA'
+    """,
+)
+def conditional_decode_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional decode + concat (reference op 11, the PLAC rewrite
+    lib/csv_writer.js:48-56): when the lookup hits, rewrite the value to
+    a decorated form; else pass through.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") != "AFRICA")
+    )
+    return nation.join(
+        region, region.r_regionkey == nation.n_regionkey, "left"
+    ).select(
+        "n_nationkey",
+        F.when(
+            F.col("r_name").isNotNull(),
+            F.concat(F.col("n_name"), F.lit(" ("), F.col("r_name"), F.lit(" Region)")),
+        )
+        .otherwise(F.col("n_name"))
+        .alias("display_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar transforms (ops 9, 12).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boolean_encode_flags",
+    oracle="""
+    SELECT CASE WHEN props IS NOT NULL AND length(props) > 0
+                THEN 'True' ELSE 'False' END AS has_props,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def boolean_encode_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-truthiness boolean re-encode (reference op 9,
+    lib/csv_writer.js:31-33): non-empty string -> 'True' else 'False'.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        boolean_encode(F.col("props")).alias("has_props"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "name_split_parts",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           CASE WHEN regexp_extract(p_name, '^[a-z]+ (.*)$', 1) <> ''
+                THEN regexp_extract(p_name, '^[a-z]+ (.*)$', 1) END AS rest,
+           p_name AS full_name
+    FROM part
+    """,
+)
+def name_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name splitting (reference op 12, the GEDCOM 'Given /Surname/'
+    split at lib/csv_writer.js:66-82): first piece vs remainder, raw
+    value preserved, blank pieces -> NULL. Pure regexp — codegen'd.
+    """
+    part = load_table(spark, sf_dir, "part")
+    first = F.regexp_extract("p_name", r"^([a-z]+)", 1)
+    rest = F.regexp_extract("p_name", r"^[a-z]+ (.*)$", 1)
+    return part.select(
+        "p_partkey",
+        first.alias("first_word"),
+        F.when(rest != "", rest).alias("rest"),
+        F.col("p_name").alias("full_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / flatten (op 13's wide-table form) and partitioned fan-out (op 18).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with a pinned value list (reference op 13: the
+    recursive flatten produces a wide row per record; op 18 partitions
+    by the same key). Pinning pivot values avoids the extra distinct-
+    values job — mandatory at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_custkey",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-set aggregations (op 17) and set ops (§2.1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_set_unknown_event_types",
+    oracle="""
+    SELECT DISTINCT event_type FROM events
+    EXCEPT
+    SELECT * FROM (VALUES ('signup'), ('purchase')) t(event_type)
+    """,
+)
+def distinct_set_unknown_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's unused-tags accumulator (op 17 + op 5,
+    lib/csv_writer.js:12,134): values seen in the stream minus the known
+    dictionary = EXCEPT against a broadcast value list.
+    """
+    events = load_table(spark, sf_dir, "events")
+    known = spark.createDataFrame([("signup",), ("purchase",)], "event_type string")
+    return events.select("event_type").distinct().exceptAll(known)
+
+
+@register(
+    "collect_set_event_types_per_user",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def collect_set_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distinct-set aggregation (op 17) — collect_set with a
+    deterministic (sorted, joined) output representation."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "set_ops_customer_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — §2.1 set-ops commitment."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return high.intersect(done)
+
+
+@register(
+    "union_entity_counts",
+    oracle="""
+    SELECT kind, COUNT(*) AS n, CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def union_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across entity families — the reference's two output
+    families (nodes/relationships) unified for counting."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        customer.unionAll(supplier)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (§2.1): top-k per group, running totals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. row_number + filter; at scale the rank
+    filter is pushed into the window via Spark's WindowGroupLimit
+    (top-k pushdown), so no group materializes more than 3 rows.
+    Deterministic tiebreak on o_orderkey.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_customer_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer in order-date order (exact decimal
+    accumulation -> order-independent result)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "global_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit. Spark plans this as TakeOrderedAndProject —
+    per-partition top-10 then a driver merge; never a full global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup, CASE bucketing, date parts, string functions,
+# exact distinct counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (§2.1 aggregations commitment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "case_bucket_order_value",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_bucket_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-expression bucketing (the reference's predicate routing, op 7,
+    generalized to n-way)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "orders_by_year_month",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + agg (§2.1 string/date/math functions; the
+    reference defers date typing — README.md:55 — the engine provides it).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "string_funcs_part_brands",
+    oracle="""
+    SELECT upper(p_brand) AS brand_uc,
+           substring(p_type, 1, 5) AS type_prefix,
+           COUNT(*) AS n,
+           MIN(length(p_name)) AS min_name_len,
+           MAX(length(p_name)) AS max_name_len
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def string_funcs_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (§2.1): upper/substring/length + agg."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.length("p_name")).alias("min_name_len"),
+        F.max(F.length("p_name")).alias("max_name_len"),
+    )
+
+
+@register(
+    "exact_distinct_counts",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_discount > 0.02
+    """,
+)
+def exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct counts with a pushed filter. (The
+    approx variant — approx_count_distinct — is benchmarked in bench.py
+    but can't be oracle-hash-checked, by construction.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.02)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "avg_balance_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS avg_bal,
+           COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def avg_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast snowflake join + average (computed as exact-decimal sum
+    over count so the value is plan-independent)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        supplier.join(nation, nation.n_nationkey == supplier.s_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            (F.sum(_dec("s_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction and event-time windowing over the events stream table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (§2.1 array/map/JSON: the events.props
+    column) — get_json_object stays JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "event_time_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_time_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (epoch-aligned hourly buckets). Same
+    `F.window` expression works under readStream + withWatermark — see
+    streaming/pipeline.py for the streaming variant."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionize_user_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via session_window (gap = 30 min). Works identically
+    in batch (here) and under Structured Streaming with a watermark.
+    Session end = last event + gap (Spark session_window semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,71 @@
+"""SparkSession factory with engine defaults.
+
+Defaults are chosen for correctness-vs-DuckDB comparison (UTC session
+timezone, NTZ parquet inference) and for scale (AQE on, skew-join
+handling, Arrow transfers for the pandas-UDF slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that must be set for the engine's semantics to hold. Keys are
+# plain Spark confs; all public.
+ENGINE_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics; DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # The events table carries TIMESTAMP(NANOS) which vanilla Spark
+    # refuses to read; read as raw nanos and convert (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas-UDF / toPandas transfers.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "node-gedcom-graph-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the same entry points serve tests, bench, and a real
+    cluster (where ``master`` is supplied by spark-submit and this arg is
+    left None with an existing session).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set the engine's dynamic confs on an externally-created session.
+
+    The driver harness hands us its own SparkSession; every conf in
+    ENGINE_CONFS is dynamic (SQL-layer), so applying them here is enough
+    for correct reads of the test tables.
+    """
+    for k, v in ENGINE_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
