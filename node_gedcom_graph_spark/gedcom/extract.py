@@ -1,0 +1,335 @@
+"""GEDCOM record-tree -> property-graph extraction, as a declarative plan.
+
+Re-expresses the reference's recursive per-record interpreter
+(/root/reference/lib/csv_writer.js:123-186) as window functions + one
+join over the flat lines IR. Semantics reproduced exactly (pinned by
+golden tests in tests/test_gedcom.py):
+
+- dictionary gate: unknown child tag -> whole subtree dropped AND tag
+  accumulated in the unused-tags set (csv_writer.js:132-135); unknown
+  top-level tag -> whole record skipped, NOT accumulated (:176-180).
+- property emission guard: a child contributes a property iff its value
+  is non-empty OR it has no children (:137).
+- pointer routing: value starting with '@' is an edge, never a property
+  (:138); edges anchor at the level-0 record id however deeply nested
+  the pointer sits ("hoist to root", :158,181), and are emitted only if
+  that record has an id (:139).
+- flatten with space-joined composite keys (:164-167); on key collision
+  the LAST assignment in document order wins (JS object write order).
+- EVEN promotion (:159-163): a generic-event subtree's key prefix is the
+  value of its (last) direct TYPE child; that scalar 'Type' property is
+  deleted. DIVERGENCE: when an EVEN subtree has no TYPE child the
+  reference emits the JS artifact key prefix 'undefined'; this engine
+  keeps 'Event' instead (documented + tested).
+- per-tag scalar transforms (:31-83): 8 vendor boolean flags -> 'True'/
+  'False' (JS truthiness = non-empty), TEMP temple decode with
+  miss-tracking, PLAC conditional '<name> Temple' rewrite, NAME split
+  into untrimmed Given Name / Surname pieces plus the raw Name.
+- node emitted iff it has >=1 property; ':LABEL' = friendly top tag
+  (:182-185); records with an xref always carry a 'Gedcom Id:ID'
+  property (:125-127).
+
+Scale: everything is per-record windows (parallel across records after a
+shuffle on record_seq) plus one equi-join for EVEN promotion (its build
+side — TYPE-children-of-EVEN — is tiny in real data; AQE broadcasts it).
+No Python UDFs anywhere; the whole plan is codegen'd.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.functions.dictionaries import (
+    BOOLEAN_TAGS,
+    GEDCOM_TAGS,
+    TEMPLE_CODES,
+)
+
+
+@dataclass
+class GedcomGraph:
+    """Extraction output: the property graph + the two audit sets."""
+
+    nodes_long: DataFrame  # record_seq, record_id, label, root_tag, flat_key, value
+    edges: DataFrame  # src, dst, rel_type, edge_tag
+    unused_tags: DataFrame  # tag
+    missing_temple_codes: DataFrame  # code
+
+    def nodes_wide(self, root_tag: str) -> DataFrame:
+        """Per-label wide table (the reference's nodes-<TAG>.csv shape):
+        one row per record, one column per flat key."""
+        sub = self.nodes_long.filter(F.col("root_tag") == root_tag)
+        keys = [r[0] for r in sub.select("flat_key").distinct().collect()]
+        return (
+            sub.groupBy("record_seq", "record_id", "label")
+            .pivot("flat_key", sorted(keys))
+            .agg(F.first("value"))
+        )
+
+
+def _lookup_map(d: dict[str, str]) -> Column:
+    items: list[Column] = []
+    for k, v in d.items():
+        items.extend((F.lit(k), F.lit(v)))
+    return F.create_map(*items)
+
+
+def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph:
+    """Run the full extraction over a lines IR that already carries
+    ``record_seq`` (see parser.assign_records).
+
+    ``max_depth``: deepest level present; discovered with a cheap scalar
+    aggregate when not supplied (GEDCOM nesting is shallow — spec max 99,
+    practice <10 — so the per-level window columns stay small).
+    """
+    if max_depth is None:
+        max_depth = lines.agg(F.max("level")).collect()[0][0] or 0
+    max_depth = max(int(max_depth), 1)
+
+    tags_map = _lookup_map(GEDCOM_TAGS)
+    temples_map = _lookup_map(TEMPLE_CODES)
+
+    w_rec = W.partitionBy("record_seq").orderBy("line_no")
+    w_cur = w_rec.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy("record_seq").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+
+    df = lines.withColumn("friendly", F.element_at(tags_map, F.col("tag")))
+    df = (
+        df.withColumn("root_tag", F.max(F.when(F.col("level") == 0, F.col("tag"))).over(w_all))
+        .withColumn("root_id", F.max(F.when(F.col("level") == 0, F.col("xref"))).over(w_all))
+        .withColumn("label", F.element_at(tags_map, F.col("root_tag")))
+    )
+    # Skip whole records with unknown top-level tags (csv_writer.js:176-180).
+    df = df.filter(F.col("label").isNotNull())
+
+    next_level = F.lead("level").over(w_rec)
+    df = df.withColumn(
+        "has_children", next_level.isNotNull() & (next_level > F.col("level"))
+    )
+
+    # Last-seen line/tag/friendly at each level (ancestor chain).
+    for lvl in range(0, max_depth + 1):
+        at = F.when(F.col("level") == lvl, F.col("line_no"))
+        df = df.withColumn(f"_ln{lvl}", F.last(at, ignorenulls=True).over(w_cur))
+        df = df.withColumn(
+            f"_tg{lvl}",
+            F.last(F.when(F.col("level") == lvl, F.col("tag")), ignorenulls=True).over(w_cur),
+        )
+        df = df.withColumn(
+            f"_fr{lvl}",
+            F.last(
+                F.when(F.col("level") == lvl, F.col("friendly")), ignorenulls=True
+            ).over(w_cur),
+        )
+
+    lvl_idx = F.col("level")  # 1-based array positions below
+    ln_arr = F.array(*[F.col(f"_ln{l}") for l in range(0, max_depth + 1)])
+    tg_arr = F.array(*[F.col(f"_tg{l}") for l in range(0, max_depth + 1)])
+    fr_arr = F.array(*[F.col(f"_fr{l}") for l in range(0, max_depth + 1)])
+    # parent = last line one level up (levels are contiguous in wellformed
+    # GEDCOM; the parser trusts the producer, as the reference does).
+    df = (
+        df.withColumn(
+            "parent_line",
+            F.when(lvl_idx >= 1, F.element_at(ln_arr, lvl_idx)),  # arr[level-1+1]
+        )
+        .withColumn("parent_tag", F.when(lvl_idx >= 1, F.element_at(tg_arr, lvl_idx)))
+        .withColumn(
+            # ancestors at levels 1..level-1 must all be known tags, else
+            # the reference's `continue` drops the whole subtree.
+            "chain_known",
+            F.when(lvl_idx <= 1, F.lit(True)).otherwise(
+                F.forall(
+                    F.slice(fr_arr, 2, lvl_idx - 1), lambda x: x.isNotNull()
+                )
+            ),
+        )
+    )
+
+    # EVEN Type promotion: value of the LAST direct TYPE child of each
+    # EVEN line (max_by line_no = JS last-write-wins).
+    type_vals = (
+        df.filter((F.col("tag") == "TYPE") & (F.col("parent_tag") == "EVEN"))
+        .groupBy(F.col("parent_line").alias("_even_line"))
+        .agg(F.max_by("value", "line_no").alias("_promoted"))
+    )
+    df = df.join(
+        type_vals, df["line_no"] == type_vals["_even_line"], "left"
+    ).drop("_even_line")
+    # Key segment this line contributes when it is an ANCESTOR prefix.
+    # (A valued EVEN line's own scalar property still uses 'Event' —
+    # promotion applies only to the merged-subtree prefix.)
+    df = df.withColumn(
+        "segment",
+        F.when(
+            (F.col("tag") == "EVEN") & F.col("has_children") & F.col("_promoted").isNotNull(),
+            F.col("_promoted"),
+        ).otherwise(F.col("friendly")),
+    )
+
+    # Second window pass: last-seen promoted segment per level.
+    for lvl in range(1, max_depth + 1):
+        df = df.withColumn(
+            f"_sg{lvl}",
+            F.last(
+                F.when(F.col("level") == lvl, F.col("segment")), ignorenulls=True
+            ).over(w_cur),
+        )
+    sg_arr = F.array(*[F.col(f"_sg{l}") for l in range(1, max_depth + 1)])
+    # prefix = promoted segments of ancestors at levels 1..level-1
+    df = df.withColumn("prefix", F.slice(sg_arr, 1, F.greatest(lvl_idx - 1, F.lit(0))))
+
+    df = df.drop(
+        *[f"_ln{l}" for l in range(0, max_depth + 1)],
+        *[f"_tg{l}" for l in range(0, max_depth + 1)],
+        *[f"_fr{l}" for l in range(0, max_depth + 1)],
+    )
+
+    is_pointer = F.col("value").startswith("@")
+    guard = (F.col("value") != "") | ~F.col("has_children")
+    known = F.col("friendly").isNotNull() & F.col("chain_known")
+    child_level = F.col("level") >= 1
+
+    # ---------------- edges (hoist-to-root, id-required) ----------------
+    edges = (
+        df.filter(child_level & known & guard & is_pointer & F.col("root_id").isNotNull())
+        .select(
+            F.col("root_id").alias("src"),
+            F.translate(F.col("value"), "@", "").alias("dst"),
+            F.col("friendly").alias("rel_type"),
+            F.col("tag").alias("edge_tag"),
+        )
+    )
+
+    # ---------------- properties (long form) ----------------------------
+    prop_base = df.filter(
+        child_level
+        & known
+        & guard
+        & ~is_pointer
+        & ~((F.col("tag") == "TYPE") & (F.col("parent_tag") == "EVEN"))
+    )
+
+    flat_key = lambda suffix: F.concat_ws(  # noqa: E731
+        " ", F.concat(F.col("prefix"), F.array(suffix))
+    )
+    bool_enc = F.when(F.length("value") > 0, F.lit("True")).otherwise(F.lit("False"))
+    temple_hit = F.element_at(temples_map, F.col("value"))
+
+    name_pieces = F.split(F.col("value"), "/")
+    has_slash = F.col("value").contains("/")
+    given_piece = name_pieces.getItem(0)
+    surname_piece = F.when(F.size(name_pieces) >= 2, name_pieces.getItem(1))
+
+    # Each qualifying line contributes 1..3 (key, value) entries; nulls
+    # are filtered after the explode. Pieces are NOT trimmed (JS keeps
+    # raw split output, e.g. Given Name 'John ' from 'John /Smith/').
+    entries = F.when(
+        F.col("tag") == "NAME",
+        F.array(
+            F.struct(
+                F.lit("Given Name").alias("k"),
+                F.when(~has_slash, F.col("value"))
+                .when(given_piece.rlike(r"[^\s]"), given_piece)
+                .alias("v"),
+            ),
+            F.struct(
+                F.lit("Surname").alias("k"),
+                F.when(
+                    has_slash & surname_piece.rlike(r"[^\s]"), surname_piece
+                ).alias("v"),
+            ),
+            F.struct(F.col("friendly").alias("k"), F.col("value").alias("v")),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("friendly").alias("k"),
+                F.when(F.col("tag").isin(*BOOLEAN_TAGS), bool_enc)
+                .when(F.col("tag") == "TEMP", F.coalesce(temple_hit, F.col("value")))
+                .when(
+                    F.col("tag") == "PLAC",
+                    F.when(
+                        temple_hit.isNotNull(),
+                        F.concat(temple_hit, F.lit(" Temple")),
+                    ).otherwise(F.col("value")),
+                )
+                .otherwise(F.col("value"))
+                .alias("v"),
+            )
+        )
+    )
+
+    props = (
+        prop_base.withColumn("_e", F.explode(entries))
+        .filter(F.col("_e.v").isNotNull())
+        .select(
+            "record_seq",
+            F.col("root_id").alias("record_id"),
+            "label",
+            "root_tag",
+            flat_key(F.col("_e.k")).alias("flat_key"),
+            F.col("_e.v").alias("value"),
+            "line_no",
+        )
+    )
+
+    # 'Gedcom Id:ID' from any xref-carrying line: the record root (empty
+    # prefix) and — rare but faithful — nested xref'd subtree roots,
+    # whose id lands under their promoted composite key.
+    id_props = (
+        df.filter(
+            F.col("xref").isNotNull()
+            & (
+                (F.col("level") == 0)
+                | (child_level & known & F.col("has_children"))
+            )
+        )
+        .select(
+            "record_seq",
+            F.col("root_id").alias("record_id"),
+            "label",
+            "root_tag",
+            F.when(F.col("level") == 0, F.lit("Gedcom Id:ID"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.concat(
+                        F.col("prefix"),
+                        F.array(F.col("segment"), F.lit("Gedcom Id:ID")),
+                    ),
+                )
+            )
+            .alias("flat_key"),
+            F.col("xref").alias("value"),
+            "line_no",
+        )
+    )
+
+    # Last assignment wins on key collisions (JS object write order ==
+    # document order == line_no order).
+    nodes_long = (
+        props.unionByName(id_props)
+        .groupBy("record_seq", "record_id", "label", "root_tag", "flat_key")
+        .agg(F.max_by("value", "line_no").alias("value"))
+    )
+
+    # ---------------- audit distinct-sets (reference op 17) -------------
+    unused_tags = (
+        df.filter(child_level & F.col("friendly").isNull() & F.col("chain_known"))
+        .select("tag")
+        .distinct()
+    )
+    missing_temple_codes = (
+        prop_base.filter((F.col("tag") == "TEMP") & temple_hit.isNull())
+        .select(F.col("value").alias("code"))
+        .distinct()
+    )
+
+    return GedcomGraph(nodes_long, edges, unused_tags, missing_temple_codes)

@@ -1,0 +1,96 @@
+"""GEDCOM extraction as driver-checkable queries.
+
+The driver's tables carry no GEDCOM data, so these queries run the full
+frontend (parse -> record assembly -> extraction) over the embedded demo
+fixture; the oracles are hand-computed literal VALUES — a golden-file
+check routed through the same hash gate as the relational queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from node_gedcom_graph_spark.gedcom.extract import GedcomGraph, extract_graph
+from node_gedcom_graph_spark.gedcom.fixtures import DEMO_GEDCOM
+from node_gedcom_graph_spark.gedcom.parser import assign_records, lines_from_string
+from node_gedcom_graph_spark.operators import register
+
+
+def _demo_graph(spark: SparkSession) -> GedcomGraph:
+    lines = assign_records(lines_from_string(spark, DEMO_GEDCOM, n_partitions=3))
+    return extract_graph(lines)
+
+
+@register(
+    "gedcom_extract_nodes",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), 'Header', 'HEAD', 'Character', 'UTF-8'),
+      (1, NULL, 'Header', 'HEAD', 'Gedcom Version', '5.5'),
+      (2, 'I1', 'Individual', 'INDI', 'Birth Date', '1 JAN 1900'),
+      (2, 'I1', 'Individual', 'INDI', 'Birth Place', 'Boston'),
+      (2, 'I1', 'Individual', 'INDI', 'Gedcom Id:ID', 'I1'),
+      (2, 'I1', 'Individual', 'INDI', 'Given Name', 'John '),
+      (2, 'I1', 'Individual', 'INDI', 'Name', 'John /Smith/ Jr.'),
+      (2, 'I1', 'Individual', 'INDI', 'Primary', 'True'),
+      (2, 'I1', 'Individual', 'INDI', 'Sex', 'M'),
+      (2, 'I1', 'Individual', 'INDI', 'Surname', 'Smith'),
+      (3, 'I2', 'Individual', 'INDI', 'Gedcom Id:ID', 'I2'),
+      (3, 'I2', 'Individual', 'INDI', 'Given Name', 'Mary'),
+      (3, 'I2', 'Individual', 'INDI', 'Graduation Date', '5 MAY 1925'),
+      (3, 'I2', 'Individual', 'INDI', 'LDS Baptism Date', '2 FEB 1920'),
+      (3, 'I2', 'Individual', 'INDI', 'LDS Baptism Place', 'Salt Lake City Utah Temple'),
+      (3, 'I2', 'Individual', 'INDI', 'LDS Baptism Temple', 'Salt Lake City Utah'),
+      (3, 'I2', 'Individual', 'INDI', 'Name', 'Mary'),
+      (3, 'I2', 'Individual', 'INDI', 'Primary', 'False'),
+      (4, 'I3', 'Individual', 'INDI', 'Gedcom Id:ID', 'I3'),
+      (4, 'I3', 'Individual', 'INDI', 'Given Name', 'Bobby'),
+      (4, 'I3', 'Individual', 'INDI', 'Name', 'Bobby'),
+      (4, 'I3', 'Individual', 'INDI', 'Surname', 'Jones'),
+      (5, 'F1', 'Family', 'FAM', 'Gedcom Id:ID', 'F1'),
+      (5, 'F1', 'Family', 'FAM', 'Marriage Date', '3 MAR 1921'),
+      (5, 'F1', 'Family', 'FAM', 'Marriage Temple', 'XXXXX'),
+      (7, NULL, 'Individual', 'INDI', 'Note', 'idless')
+    ) t(record_seq, record_id, label, root_tag, flat_key, value)
+    """,
+)
+def gedcom_extract_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GEDCOM frontend, node side (SURVEY §2 ops 3-6, 9-17)."""
+    return _demo_graph(spark).nodes_long
+
+
+@register(
+    "gedcom_extract_edges",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('I1', 'S1', 'Source', 'SOUR'),
+      ('I1', 'F1', 'Spouse in Family', 'FAMS'),
+      ('I2', 'F1', 'Spouse in Family', 'FAMS'),
+      ('I3', 'F1', 'Child in Family', 'FAMC'),
+      ('F1', 'I1', 'Husband', 'HUSB'),
+      ('F1', 'I2', 'Wife', 'WIFE'),
+      ('F1', 'I3', 'Child', 'CHIL')
+    ) t(src, dst, rel_type, edge_tag)
+    """,
+)
+def gedcom_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEDCOM pointer routing + hoist-to-root edge construction (ops 7-8)."""
+    return _demo_graph(spark).edges
+
+
+@register(
+    "gedcom_unused_tags",
+    oracle="SELECT * FROM (VALUES ('_WEIRD')) t(tag)",
+)
+def gedcom_unused_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-tag distinct-set accumulator (ops 5, 17)."""
+    return _demo_graph(spark).unused_tags
+
+
+@register(
+    "gedcom_missing_temple_codes",
+    oracle="SELECT * FROM (VALUES ('XXXXX')) t(code)",
+)
+def gedcom_missing_temple_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing temple-code distinct-set accumulator (ops 10, 17)."""
+    return _demo_graph(spark).missing_temple_codes

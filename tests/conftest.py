@@ -1,0 +1,19 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from node_gedcom_graph_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4,
+                  extra_conf={"spark.ui.enabled": "false"})
+    yield s
+    s.stop()
+
+
+SF_DIR = "/root/testdata/sf0.001"
