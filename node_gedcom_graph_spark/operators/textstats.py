@@ -1,1 +1,203 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the documents corpus — the
+training-data-pipeline surface: token statistics, heuristic language ID,
+quality scoring, document fingerprinting.
+
+All computed with built-in column functions (regexp + higher-order array
+functions) — JVM-side, codegen'd, no UDFs. Regex patterns are restricted
+to constructs with identical semantics in Java regex (Spark) and RE2
+(DuckDB oracle): character classes and simple quantifiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.functions.scalar import normalize_text, tokens
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.sources.tables import load_table
+
+# Common-word lists for the n-gram/stopword language heuristic (public
+# knowledge — the standard top function words per language).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "ein", "zu", "den", "nicht"),
+    "es": ("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr": ("le", "les", "des", "et", "est", "dans", "une", "du", "au", "pour"),
+}
+
+
+def _stop_arr(lang: str) -> Column:
+    return F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+
+
+def _sql_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+             / COUNT(*) AS avg_tokens,
+           SUM(length(text)) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/alnum tokenizer) aggregated by source.
+
+    Scale: single scan + hash agg on a low-cardinality key; the tokenize
+    is a per-row regexp, fully pipelined in codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                 x -> list_contains({_sql_list('en')}, x))) AS score_en,
+             len(list_filter(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                 x -> list_contains({_sql_list('de')}, x))) AS score_de,
+             len(list_filter(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                 x -> list_contains({_sql_list('es')}, x))) AS score_es,
+             len(list_filter(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                 x -> list_contains({_sql_list('fr')}, x))) AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0
+                  THEN 'unknown'
+                WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+                  THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: distinct-stopword hit counts per language,
+    argmax with a fixed precedence (en > de > es > fr) for ties.
+
+    (The synthetic corpus uses one shared vocabulary, so predictions are
+    exercised for determinism, not accuracy — the oracle computes the
+    identical heuristic.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    scores = {
+        lang: F.size(F.array_intersect(toks, _stop_arr(lang))) for lang in STOPWORDS
+    }
+    df = docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+    )
+    e, d, s, f_ = (F.col(c) for c in ("score_en", "score_de", "score_es", "score_fr"))
+    pred = (
+        F.when((e == 0) & (d == 0) & (s == 0) & (f_ == 0), "unknown")
+        .when((e >= d) & (e >= s) & (e >= f_), "en")
+        .when((d >= s) & (d >= f_), "de")
+        .when(s >= f_, "es")
+        .otherwise("fr")
+    )
+    return df.withColumn("predicted_lang", pred)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> list_contains({_sql_list('en')}, x))) AS n_stopwords,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_tokens AS DOUBLE) / n_chars AS token_density
+    FROM base
+    WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal extraction: token count, stopword ratio, punctuation
+    ratio, token density — the standard cheap filters of a pretraining
+    data pipeline. All ratios are int/int double divisions (bit-exact
+    across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.array_contains(_stop_arr("en"), x))
+    )
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            n_stop.alias("n_stopwords"),
+            n_chars.alias("n_chars"),
+            n_punct.alias("n_punct"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_stopwords",
+            (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+                "stopword_ratio"
+            ),
+            (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+            (F.col("n_tokens").cast("double") / F.col("n_chars")).alias(
+                "token_density"
+            ),
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: md5 of the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed). The content-
+    addressable key for exact dedup across shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,0 +1,165 @@
+"""Behavioral tests for the dedup / similarity / multimodal operators on
+controlled inputs (the driver corpus has no true duplicates, so these
+inject them)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.operators.dedup import (
+    dot_f32,
+    minhash_signature,
+    word_shingles,
+)
+from node_gedcom_graph_spark.operators.multimodal import (
+    attach_binary_metadata,
+    extract_image_features,
+)
+from node_gedcom_graph_spark.operators.similarity import topk_cosine, topk_cosine_arrow
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "morning")  # one token changed
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, FAR), (5, "tiny")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical(spark, docs):
+    groups = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_n = sorted((r.n, r.keep) for r in groups)
+    assert by_n == [(1, 3), (1, 4), (1, 5), (2, 1)]  # docs 1+2 collapse
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    [row] = df.select(word_shingles(F.col("text")).alias("s")).collect()
+    assert sorted(row.s) == ["a b c", "b c d"]
+    [row] = (
+        spark.createDataFrame([("a b",)], "text string")
+        .select(word_shingles(F.col("text")).alias("s"))
+        .collect()
+    )
+    assert row.s == []  # shorter than k -> empty, not null
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in docs.select(
+            "doc_id", minhash_signature(word_shingles(F.col("text"))).alias("sig")
+        )
+        .filter(F.size(word_shingles(F.col("text"))) > 0)
+        .collect()
+    }
+    assert sigs[1] == sigs[2]
+    # near-dup shares most slots; far doc shares few
+    near_overlap = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 64
+    far_overlap = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 64
+    assert near_overlap > 0.6 > far_overlap
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark):
+    """On the driver corpus, every exact-Jaccard pair >= 0.5 must be
+    found by LSH (recall ~1 above the band-shape knee), and every LSH
+    pair is jaccard-verified by construction."""
+    from node_gedcom_graph_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()}
+    assert exact <= lsh
+
+
+def test_simhash_near_identical_close(spark, docs):
+    from node_gedcom_graph_spark.operators import dedup as D
+
+    docs.createOrReplaceTempView("t")
+    # reuse the registered query logic through a local table by calling
+    # the internals directly: identical docs -> identical fingerprints.
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    h = F.xxhash64("t")
+    sums = [
+        F.sum((F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"s{k}")
+        for k in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = agg.select(
+        "doc_id",
+        *[
+            sum(
+                (F.when(F.col(f"s{c*16+j}") > 0, 1).otherwise(0) * (1 << j))
+                for j in range(16)
+            ).alias(f"c{c}")
+            for c in range(4)
+        ],
+    ).collect()
+    rows = {r.doc_id: (r.c0, r.c1, r.c2, r.c3) for r in fp}
+    assert rows[1] == rows[2]
+    ham = lambda x, y: sum(bin(a ^ b).count("1") for a, b in zip(x, y))  # noqa: E731
+    assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])
+
+
+def test_topk_cosine_arrow_matches_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = topk_cosine(emb, queries, k=5)
+    arrow = topk_cosine_arrow(emb, queries.toPandas(), k=5)
+    e = {(r.query_id, r.rnk): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rnk): r.neighbor_id for r in arrow.collect()}
+    assert e == a
+
+
+def test_dot_f32_deterministic(spark):
+    df = spark.createDataFrame(
+        [([1.5, 2.5, 3.5], [0.5, 0.25, 2.0])],
+        "a array<float>, b array<float>",
+    )
+    [r] = df.select(dot_f32(F.col("a"), F.col("b")).alias("d")).collect()
+    assert abs(r.d - (0.75 + 0.625 + 7.0)) < 1e-6
+
+
+def test_binary_metadata_and_sniffing(spark):
+    rows = [
+        (1, bytes.fromhex("FFD8FF") + b"rest"),
+        (2, bytes.fromhex("89504E47") + b"rest"),
+        (3, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in attach_binary_metadata(df, "payload").collect()}
+    assert out[1].mime_sniffed == "image/jpeg"
+    assert out[2].mime_sniffed == "image/png"
+    assert out[3].mime_sniffed == "application/octet-stream"
+    assert out[3].n_bytes == 10
+
+
+def test_fake_feature_extraction_deterministic(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, b"payload-bytes")], "doc_id long, payload binary")
+    [r] = extract_image_features(df).collect()
+    digest = hashlib.md5(b"payload-bytes").digest()
+    assert r.width == 64 + digest[0] * 4
+    assert r.height == 64 + digest[1] * 4
+    assert len(r.features) == 8
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        extract_image_features(df, fake=False)
