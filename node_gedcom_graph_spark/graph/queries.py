@@ -1,0 +1,167 @@
+"""Property-graph queries over the extracted GEDCOM edges.
+
+The reference defers all graph semantics to Neo4j after bulk load; this
+engine answers the same traversals directly on the edges DataFrame
+(src, dst, rel_type, edge_tag) with joins — the GraphFrames model
+(vertices DF + edges DF) without the external package dependency.
+
+GEDCOM topology reminder: families are first-class nodes. An individual
+points at their family via 'Child in Family' (FAMC) / 'Spouse in Family'
+(FAMS); the family points back at members via 'Husband'/'Wife'/'Child'.
+Parent-of therefore traverses person -FAMC-> family -HUSB|WIFE-> person.
+
+Scale: every traversal below is an equi-join on ids (shuffle hash /
+sort-merge, Catalyst's pick; AQE handles skew). The iterative
+algorithms (ancestors BFS, connected components) use the standard
+frontier / HashMin patterns: per-iteration joins with early termination,
+localCheckpoint to truncate lineage so plans stay flat at depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARENT_RELS = ("Husband", "Wife")
+
+
+def _family_links(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(child->family, family->parent) link tables."""
+    famc = edges.filter(F.col("rel_type") == "Child in Family").select(
+        F.col("src").alias("child"), F.col("dst").alias("family")
+    )
+    fam_parent = edges.filter(F.col("rel_type").isin(*PARENT_RELS)).select(
+        F.col("src").alias("family"),
+        F.col("dst").alias("parent"),
+        F.col("rel_type").alias("parent_role"),
+    )
+    return famc, fam_parent
+
+
+def parents_of(edges: DataFrame) -> DataFrame:
+    """(child, parent, parent_role) — person -FAMC-> family -HUSB|WIFE->."""
+    famc, fam_parent = _family_links(edges)
+    return famc.join(fam_parent, "family").select("child", "parent", "parent_role")
+
+
+def children_of(edges: DataFrame) -> DataFrame:
+    """(parent, child) via the family's explicit Child edges."""
+    fam_child = edges.filter(F.col("rel_type") == "Child").select(
+        F.col("src").alias("family"), F.col("dst").alias("child")
+    )
+    _, fam_parent = _family_links(edges)
+    return fam_parent.join(fam_child, "family").select("parent", "child", "parent_role")
+
+
+def spouses(edges: DataFrame) -> DataFrame:
+    """(husband, wife, family) from each family's Husband/Wife edges."""
+    h = edges.filter(F.col("rel_type") == "Husband").select(
+        F.col("src").alias("family"), F.col("dst").alias("husband")
+    )
+    w = edges.filter(F.col("rel_type") == "Wife").select(
+        F.col("src").alias("family"), F.col("dst").alias("wife")
+    )
+    return h.join(w, "family").select("husband", "wife", "family")
+
+
+def siblings(edges: DataFrame) -> DataFrame:
+    """(person_a, person_b) sharing a family they are children of."""
+    fam_child = edges.filter(F.col("rel_type") == "Child").select(
+        F.col("src").alias("family"), F.col("dst").alias("child")
+    )
+    a, b = fam_child.alias("a"), fam_child.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.family") == F.col("b.family"))
+            & (F.col("a.child") < F.col("b.child")),
+        )
+        .select(
+            F.col("a.child").alias("person_a"), F.col("b.child").alias("person_b")
+        )
+        .distinct()
+    )
+
+
+def ancestors(edges: DataFrame, max_depth: int = 10) -> DataFrame:
+    """(person, ancestor, depth) — BFS over parent links.
+
+    Frontier-based iterative join: each round joins the current frontier
+    to the parent table (depth+1) and anti-joins already-found pairs, so
+    work shrinks monotonically; terminates early when the frontier
+    empties. localCheckpoint every round keeps the plan O(1) deep.
+    """
+    parent = parents_of(edges).select("child", "parent").distinct()
+    found = parent.select(
+        F.col("child").alias("person"),
+        F.col("parent").alias("ancestor"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint(eager=True)
+    frontier = found
+    for depth in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(
+                parent, frontier["ancestor"] == parent["child"], "inner"
+            )
+            .select(
+                frontier["person"],
+                parent["parent"].alias("ancestor"),
+                F.lit(depth).alias("depth"),
+            )
+            .join(found.select("person", "ancestor"), ["person", "ancestor"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        found = found.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return found
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) with component = min node id reachable (HashMin).
+
+    Treats edges as undirected. Each round every node adopts the minimum
+    label among itself and its neighbors; converges in O(diameter)
+    rounds with early termination, the standard DataFrame-only CC
+    (GraphFrames' algorithm shape) — each round is one shuffle on id.
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels

@@ -52,3 +52,4 @@ def _load_all() -> None:
         textstats,
     )
     from node_gedcom_graph_spark import gedcom as _gedcom  # noqa: F401
+    from node_gedcom_graph_spark import graph as _graph  # noqa: F401

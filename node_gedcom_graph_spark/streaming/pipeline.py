@@ -1,0 +1,136 @@
+"""Structured Streaming surface.
+
+The reference *is* a streaming pipeline mechanically (single-pass
+backpressured Node pipes) but has no event-time semantics (SURVEY §2.1);
+the engine provides both:
+
+- the pipeline analog: ``stream_gedcom_pipeline`` — files-source text
+  stream -> per-batch GEDCOM extraction -> exactly-once parquet sink via
+  foreachBatch (the reference's end-of-stream barrier becomes the
+  micro-batch epoch).
+- real event-time processing over the events table: watermarked tumbling
+  windows, session windows, streaming distinct (the op-17 accumulators
+  as a live stream).
+
+All queries run identically under ``availableNow`` (batch-drain, used in
+tests) and continuous triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.session import apply_engine_confs
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same nanos->micros
+    normalization as the batch loader (streams need an explicit schema,
+    taken from a batch peek of the same path)."""
+    apply_engine_confs(spark)
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    # File sources stream a *directory*; glob-filter to the events table.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    if dict(raw.dtypes).get("ts") in ("bigint", "long"):
+        # TIMESTAMP (session-TZ=UTC), not NTZ: watermarks require an
+        # event-time column of TIMESTAMP type.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def stream_windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the
+    watermark are dropped, state is evicted per window close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (dynamic-gap state) per user — the streaming twin
+    of operators.relational.sessionize_user_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_distinct_event_types(events: DataFrame) -> DataFrame:
+    """Streaming distinct-set accumulator (reference op 17 as a stream):
+    state = one row per distinct key, exactly the reference's in-memory
+    set, but partitioned and fault-tolerant."""
+    return events.select("event_type").dropDuplicates(["event_type"])
+
+
+def stream_gedcom_pipeline(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """The reference pipeline as a file-watching stream: GEDCOM files
+    dropped into ``in_dir`` are parsed, extracted, and appended to
+    nodes/edges parquet under ``out_dir``.
+
+    foreachBatch gives the end-of-batch barrier the reference implements
+    by hand (csv_writer.js:91-107); checkpointing makes the sink
+    effectively exactly-once across restarts. Record assembly happens
+    per batch (a GEDCOM file never straddles batches with the files
+    source, mirroring the reference's one-file-per-run contract).
+    Returns the StreamingQuery; callers stop it or drain with
+    availableNow.
+    """
+    from node_gedcom_graph_spark.gedcom.extract import extract_graph
+    from node_gedcom_graph_spark.gedcom.parser import assign_records, parse_lines
+
+    apply_engine_confs(spark)
+    raw = spark.readStream.format("text").load(in_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # line numbering happens per micro-batch (monotonic ids are not
+        # defined on unbounded streams, only on materialized batches).
+        numbered = batch_df.select(
+            F.monotonically_increasing_id().alias("line_no"), "value"
+        )
+        lines = assign_records(parse_lines(numbered))
+        g = extract_graph(lines)
+        g.nodes_long.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            f"{out_dir}/nodes"
+        )
+        g.edges.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            f"{out_dir}/edges"
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,87 @@
+"""Graph-layer tests over multi-generation GEDCOM fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.gedcom.extract import extract_graph
+from node_gedcom_graph_spark.gedcom.parser import assign_records, lines_from_string
+from node_gedcom_graph_spark.graph.queries import (
+    ancestors,
+    children_of,
+    connected_components,
+    parents_of,
+    siblings,
+    spouses,
+)
+
+THREE_GEN = """\
+0 @G1@ INDI
+1 FAMS @FG@
+0 @G2@ INDI
+1 FAMS @FG@
+0 @I1@ INDI
+1 FAMC @FG@
+1 FAMS @F1@
+0 @I2@ INDI
+1 FAMS @F1@
+0 @I3@ INDI
+1 FAMC @F1@
+0 @I4@ INDI
+1 FAMC @F1@
+0 @FG@ FAM
+1 HUSB @G1@
+1 WIFE @G2@
+1 CHIL @I1@
+0 @F1@ FAM
+1 HUSB @I1@
+1 WIFE @I2@
+1 CHIL @I3@
+1 CHIL @I4@
+0 @Z1@ INDI
+1 FAMS @FZ@
+0 @FZ@ FAM
+1 HUSB @Z1@
+"""
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    lines = assign_records(lines_from_string(spark, THREE_GEN, n_partitions=2))
+    return extract_graph(lines).edges.cache()
+
+
+def test_parents(edges):
+    got = {(r.child, r.parent) for r in parents_of(edges).collect()}
+    assert got == {("I1", "G1"), ("I1", "G2"), ("I3", "I1"), ("I3", "I2"),
+                   ("I4", "I1"), ("I4", "I2")}
+
+
+def test_children(edges):
+    got = {(r.parent, r.child) for r in children_of(edges).collect()}
+    assert ("I1", "I3") in got and ("G1", "I1") in got and ("I2", "I4") in got
+
+
+def test_spouses(edges):
+    got = {(r.husband, r.wife) for r in spouses(edges).collect()}
+    assert got == {("G1", "G2"), ("I1", "I2")}
+
+
+def test_siblings(edges):
+    got = {(r.person_a, r.person_b) for r in siblings(edges).collect()}
+    assert got == {("I3", "I4")}
+
+
+def test_ancestors_bfs_depth(edges):
+    got = {(r.person, r.ancestor): r.depth for r in ancestors(edges).collect()}
+    assert got[("I3", "I1")] == 1
+    assert got[("I3", "G1")] == 2  # grandparent found at depth 2
+    assert got[("I4", "G2")] == 2
+    assert got[("I1", "G1")] == 1
+    assert ("I3", "Z1") not in got  # other component never reached
+
+
+def test_connected_components_two_clusters(edges):
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    main = {comp[x] for x in ("G1", "G2", "I1", "I2", "I3", "I4", "FG", "F1")}
+    other = {comp[x] for x in ("Z1", "FZ")}
+    assert len(main) == 1 and len(other) == 1 and main != other

@@ -1,0 +1,139 @@
+"""Publish-layer (Neo4j CSV export + atomic swap) and streaming tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.gedcom.extract import extract_graph
+from node_gedcom_graph_spark.gedcom.fixtures import DEMO_GEDCOM
+from node_gedcom_graph_spark.gedcom.parser import assign_records, lines_from_string
+from node_gedcom_graph_spark.publish import (
+    atomic_publish,
+    build_import_args,
+    export_neo4j_csvs,
+)
+from node_gedcom_graph_spark.streaming import (
+    read_events_stream,
+    stream_distinct_event_types,
+    stream_gedcom_pipeline,
+    stream_windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def demo_graph(spark):
+    lines = assign_records(lines_from_string(spark, DEMO_GEDCOM, n_partitions=2))
+    return extract_graph(lines)
+
+
+# ------------------------------------------------------------- publish
+
+
+def test_export_neo4j_csvs(spark, demo_graph, tmp_path):
+    out = export_neo4j_csvs(demo_graph, str(tmp_path / "stage"))
+    assert set(out) >= {"nodes-INDI", "nodes-FAM", "relationships-HUSB"}
+    indi = spark.read.option("header", True).csv(out["nodes-INDI"])
+    assert "Gedcom Id:ID" in indi.columns and ":LABEL" in indi.columns
+    assert indi.count() == 4
+    ids = {r["Gedcom Id:ID"] for r in indi.collect()}
+    assert {"I1", "I2", "I3"} <= ids
+    husb = spark.read.option("header", True).csv(out["relationships-HUSB"])
+    [row] = husb.collect()
+    assert (row[":START_ID"], row[":END_ID"], row[":TYPE"]) == ("F1", "I1", "Husband")
+
+
+def test_build_import_args(tmp_path):
+    args = build_import_args(
+        {"nodes-INDI": "/x/nodes-INDI", "relationships-HUSB": "/x/relationships-HUSB"},
+        into="/db/tmp",
+    )
+    assert args[:2] == ["--into", "/db/tmp"]
+    assert ("--nodes", "/x/nodes-INDI") == tuple(args[2:4])
+    assert ("--relationships", "/x/relationships-HUSB") == tuple(args[4:6])
+
+
+def test_atomic_publish_swap_and_backup(tmp_path):
+    live = tmp_path / "live"
+    live.mkdir()
+    (live / "old.txt").write_text("old")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    (stage / "new.txt").write_text("new")
+    backup = atomic_publish(str(stage), str(live))
+    assert (live / "new.txt").read_text() == "new"
+    assert os.path.exists(os.path.join(backup, "old.txt"))
+
+
+def test_atomic_publish_rollback_on_failure(tmp_path):
+    live = tmp_path / "live"
+    live.mkdir()
+    (live / "old.txt").write_text("old")
+    with pytest.raises(OSError):
+        atomic_publish(str(tmp_path / "does-not-exist"), str(live))
+    # live dir restored from backup
+    assert (live / "old.txt").read_text() == "old"
+
+
+def test_atomic_publish_first_publish_no_backup(tmp_path):
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    (stage / "new.txt").write_text("new")
+    backup = atomic_publish(str(stage), str(tmp_path / "live"))
+    assert backup == ""
+    assert (tmp_path / "live" / "new.txt").read_text() == "new"
+
+
+# ----------------------------------------------------------- streaming
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    events = read_events_stream(spark, SF_DIR)
+    q = (
+        stream_windowed_event_counts(events)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) AS total FROM win_counts").collect()[0].total
+    assert got == 1000  # every sf0.001 event lands in exactly one window
+
+
+def test_stream_distinct_event_types(spark):
+    events = read_events_stream(spark, SF_DIR)
+    q = (
+        stream_distinct_event_types(events)
+        .writeStream.format("memory")
+        .queryName("distinct_types")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    types = {r.event_type for r in spark.sql("SELECT * FROM distinct_types").collect()}
+    assert {"signup", "purchase", "error"} <= types
+
+
+def test_stream_gedcom_pipeline_end_to_end(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "demo.ged").write_text(DEMO_GEDCOM, encoding="utf-8")
+    out_dir = str(tmp_path / "out")
+    q = stream_gedcom_pipeline(
+        spark, str(in_dir), out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    assert nodes.count() == 26 and edges.count() == 7
+    # drop a second file; a new availableNow run picks up ONLY the new file
+    (in_dir / "more.ged").write_text("0 @I9@ INDI\n1 SEX F\n", encoding="utf-8")
+    q2 = stream_gedcom_pipeline(spark, str(in_dir), out_dir, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    nodes2 = spark.read.parquet(f"{out_dir}/nodes")
+    assert nodes2.count() == 26 + 2  # I9: Gedcom Id + Sex, demo NOT re-ingested
