@@ -46,9 +46,13 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 SHINGLE_K = 3
 
 
-def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-grams of the lowercased alnum token stream."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-grams from an already-materialized token array.
+
+    IMPORTANT: pass an attribute reference (a real column), not an
+    inline tokens(...) expression — Spark does not CSE subexpressions
+    through higher-order-function lambdas, so an inline expression gets
+    re-evaluated once per element reference (observed 30x slowdown)."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -57,6 +61,27 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
         ),
     )
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-grams of the lowercased alnum token stream.
+    (Convenience form; hot paths should materialize tokens first and
+    use shingles_from_tokens — see that docstring.)"""
+    return shingles_from_tokens(tokens(text), k)
+
+
+def shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with tokens materialized in a separate
+    projection so the tokenizer runs exactly once per document."""
+    # Filter on the cheap token count, not size(shingles): a filter on
+    # the shingles column gets predicate-pushed below its defining
+    # projection, duplicating the whole shingle expression per row.
+    # (shingles non-empty <=> n_tokens >= k, so this is equivalent.)
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_K)
+        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("shingles"))
+    )
 
 
 def minhash_signature(shingles: Column) -> Column:
@@ -158,8 +183,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is an int/int double division — bit-exact across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    sh = shingled_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -204,31 +229,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this band shape is ~1 for J >= 0.5 pairs.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sigs = base.withColumn("sig", minhash_signature(F.col("shingles")))
+    base = shingled_docs(docs)
+
+    # Signature via explode + 64-way min agg (identical values to
+    # minhash_signature's array form — min is order-blind — but the agg
+    # shape keeps codegen small and gets map-side partials, instead of
+    # one gigantic per-row expression tree).
+    hashed = base.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(MINHASH_P)).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(a * F.col("h") + b, F.lit(MINHASH_P))).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
 
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
                         F.xxhash64(
-                            *[
-                                F.element_at(F.col("sig"), i * LSH_ROWS + r + 1)
-                                for r in range(LSH_ROWS)
-                            ]
+                            *[F.col(f"m{i * LSH_ROWS + r}") for r in range(LSH_ROWS)]
                         ).alias("bucket"),
                     )
                     for i in range(LSH_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", "bk.band", "bk.bucket")
+    ).select("doc_id", "bk.band", "bk.bucket")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -238,18 +270,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= 0.35)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -362,6 +393,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is a single shuffle; norms are precomputed once per side.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_candidate_pairs(emb, threshold=0.45, margin=1e-3)
     n = emb.select(
         "vec_id",
         "embedding",
@@ -369,16 +401,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nm"
         ),
     )
-    a, b = n.alias("a"), n.alias("b")
-    cosine = dot_f32(F.col("a.embedding"), F.col("b.embedding")).cast("double") / (
-        F.col("a.nm") * F.col("b.nm")
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nm").alias("nm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nm").alias("nm_b"),
+    )
+    cosine = dot_f32(F.col("emb_a"), F.col("emb_b")).cast("double") / (
+        F.col("nm_a") * F.col("nm_b")
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine.alias("cosine"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
+    )
+
+
+def cosine_candidate_pairs(
+    emb: DataFrame, threshold: float, margin: float = 1e-3
+) -> DataFrame:
+    """Exact-recall candidate pairs with cosine >= threshold - margin,
+    via a vectorized numpy GEMM prefilter.
+
+    One side of the all-pairs comparison is broadcast as a dense
+    (n, dim) float64 matrix; each Arrow batch of the other side does a
+    single C-speed matmul against it. The margin (1e-3) exceeds any
+    f32-vs-f64 accumulation drift (~1e-7) by four orders of magnitude,
+    so no true pair is lost — the exact fold then re-scores survivors.
+    Scale honesty: the broadcast side caps at ~1e6 x dim (500 MB);
+    beyond that, shard the broadcast matrix or switch to the SRP-LSH
+    path (similarity.ann_lsh_topk)."""
+    import numpy as np
+
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((ids, m / norms[:, None]))
+    cutoff = threshold - margin
+
+    def scan(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = q / np.linalg.norm(q, axis=1)[:, None]
+            qids = pdf["vec_id"].to_numpy()
+            sims = q @ b_mat.T
+            rows, cols = np.nonzero(sims >= cutoff)
+            keep = qids[rows] < b_ids[cols]
+            yield pd.DataFrame(
+                {"id_a": qids[rows][keep], "id_b": b_ids[cols][keep]}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        scan, "id_a long, id_b long"
     )
