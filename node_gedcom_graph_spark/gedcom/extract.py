@@ -58,6 +58,11 @@ class GedcomGraph:
     edges: DataFrame  # src, dst, rel_type, edge_tag
     unused_tags: DataFrame  # tag
     missing_temple_codes: DataFrame  # code
+    frame: DataFrame | None = None  # persisted enriched frame (persist=True)
+
+    def unpersist(self) -> None:
+        if self.frame is not None:
+            self.frame.unpersist()
 
     def nodes_wide(self, root_tag: str) -> DataFrame:
         """Per-label wide table (the reference's nodes-<TAG>.csv shape):
@@ -78,13 +83,21 @@ def _lookup_map(d: dict[str, str]) -> Column:
     return F.create_map(*items)
 
 
-def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph:
+def extract_graph(
+    lines: DataFrame, max_depth: int | None = None, persist: bool = False
+) -> GedcomGraph:
     """Run the full extraction over a lines IR that already carries
     ``record_seq`` (see parser.assign_records).
 
     ``max_depth``: deepest level present; discovered with a cheap scalar
     aggregate when not supplied (GEDCOM nesting is shallow — spec max 99,
     practice <10 — so the per-level window columns stay small).
+
+    ``persist``: cache the enriched per-line frame (MEMORY_AND_DISK).
+    Set this when materializing more than one of the four outputs in the
+    same job — the standard multi-sink fan-out pattern — so the
+    scan+window pass runs once instead of once per sink. Call
+    ``.unpersist()`` on the result when done.
     """
     if max_depth is None:
         max_depth = lines.agg(F.max("level")).collect()[0][0] or 0
@@ -190,6 +203,10 @@ def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph
         *[f"_tg{l}" for l in range(0, max_depth + 1)],
         *[f"_fr{l}" for l in range(0, max_depth + 1)],
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     is_pointer = F.col("value").startswith("@")
     guard = (F.col("value") != "") | ~F.col("has_children")
@@ -208,12 +225,24 @@ def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph
     )
 
     # ---------------- properties (long form) ----------------------------
-    prop_base = df.filter(
+    # One pass over the enriched frame: each line contributes 0..4
+    # complete (flat_key, value) entries — its scalar properties AND its
+    # 'Gedcom Id:ID' entry — via a single conditional-concat array +
+    # explode. (Previously props and id_props were two branches joined
+    # by unionByName, which made Spark evaluate the whole window stack
+    # twice per action — 2x the scan+shuffle at any scale.)
+    qualifies_prop = (
         child_level
         & known
         & guard
         & ~is_pointer
         & ~((F.col("tag") == "TYPE") & (F.col("parent_tag") == "EVEN"))
+    )
+    # 'Gedcom Id:ID' from any xref-carrying line: the record root (empty
+    # prefix) and — rare but faithful — nested xref'd subtree roots,
+    # whose id lands under their promoted composite key.
+    qualifies_id = F.col("xref").isNotNull() & (
+        (F.col("level") == 0) | (child_level & known & F.col("has_children"))
     )
 
     flat_key = lambda suffix: F.concat_ws(  # noqa: E731
@@ -227,30 +256,30 @@ def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph
     given_piece = name_pieces.getItem(0)
     surname_piece = F.when(F.size(name_pieces) >= 2, name_pieces.getItem(1))
 
-    # Each qualifying line contributes 1..3 (key, value) entries; nulls
-    # are filtered after the explode. Pieces are NOT trimmed (JS keeps
-    # raw split output, e.g. Given Name 'John ' from 'John /Smith/').
-    entries = F.when(
+    # Scalar-property entries; nulls are filtered after the explode.
+    # Pieces are NOT trimmed (JS keeps raw split output, e.g. Given Name
+    # 'John ' from 'John /Smith/'). Keys are completed (prefix-joined)
+    # before the explode so every entry is self-contained.
+    _entry = lambda k, v: F.struct(k.alias("k"), v.alias("v"))  # noqa: E731
+    prop_entries = F.when(
         F.col("tag") == "NAME",
         F.array(
-            F.struct(
-                F.lit("Given Name").alias("k"),
-                F.when(~has_slash, F.col("value"))
-                .when(given_piece.rlike(r"[^\s]"), given_piece)
-                .alias("v"),
+            _entry(
+                flat_key(F.lit("Given Name")),
+                F.when(~has_slash, F.col("value")).when(
+                    given_piece.rlike(r"[^\s]"), given_piece
+                ),
             ),
-            F.struct(
-                F.lit("Surname").alias("k"),
-                F.when(
-                    has_slash & surname_piece.rlike(r"[^\s]"), surname_piece
-                ).alias("v"),
+            _entry(
+                flat_key(F.lit("Surname")),
+                F.when(has_slash & surname_piece.rlike(r"[^\s]"), surname_piece),
             ),
-            F.struct(F.col("friendly").alias("k"), F.col("value").alias("v")),
+            _entry(flat_key(F.col("friendly")), F.col("value")),
         ),
     ).otherwise(
         F.array(
-            F.struct(
-                F.col("friendly").alias("k"),
+            _entry(
+                flat_key(F.col("friendly")),
                 F.when(F.col("tag").isin(*BOOLEAN_TAGS), bool_enc)
                 .when(F.col("tag") == "TEMP", F.coalesce(temple_hit, F.col("value")))
                 .when(
@@ -260,62 +289,43 @@ def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph
                         F.concat(temple_hit, F.lit(" Temple")),
                     ).otherwise(F.col("value")),
                 )
-                .otherwise(F.col("value"))
-                .alias("v"),
+                .otherwise(F.col("value")),
             )
         )
     )
+    id_entry = _entry(
+        F.when(F.col("level") == 0, F.lit("Gedcom Id:ID")).otherwise(
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.col("prefix"),
+                    F.array(F.col("segment"), F.lit("Gedcom Id:ID")),
+                ),
+            )
+        ),
+        F.col("xref"),
+    )
+    _empty = F.array().cast("array<struct<k:string,v:string>>")
+    entries = F.concat(
+        F.when(qualifies_prop, prop_entries).otherwise(_empty),
+        F.when(qualifies_id, F.array(id_entry)).otherwise(_empty),
+    )
 
-    props = (
-        prop_base.withColumn("_e", F.explode(entries))
+    # Last assignment wins on key collisions (JS object write order ==
+    # document order == line_no order).
+    nodes_long = (
+        df.filter(qualifies_prop | qualifies_id)
+        .withColumn("_e", F.explode(entries))
         .filter(F.col("_e.v").isNotNull())
         .select(
             "record_seq",
             F.col("root_id").alias("record_id"),
             "label",
             "root_tag",
-            flat_key(F.col("_e.k")).alias("flat_key"),
+            F.col("_e.k").alias("flat_key"),
             F.col("_e.v").alias("value"),
             "line_no",
         )
-    )
-
-    # 'Gedcom Id:ID' from any xref-carrying line: the record root (empty
-    # prefix) and — rare but faithful — nested xref'd subtree roots,
-    # whose id lands under their promoted composite key.
-    id_props = (
-        df.filter(
-            F.col("xref").isNotNull()
-            & (
-                (F.col("level") == 0)
-                | (child_level & known & F.col("has_children"))
-            )
-        )
-        .select(
-            "record_seq",
-            F.col("root_id").alias("record_id"),
-            "label",
-            "root_tag",
-            F.when(F.col("level") == 0, F.lit("Gedcom Id:ID"))
-            .otherwise(
-                F.concat_ws(
-                    " ",
-                    F.concat(
-                        F.col("prefix"),
-                        F.array(F.col("segment"), F.lit("Gedcom Id:ID")),
-                    ),
-                )
-            )
-            .alias("flat_key"),
-            F.col("xref").alias("value"),
-            "line_no",
-        )
-    )
-
-    # Last assignment wins on key collisions (JS object write order ==
-    # document order == line_no order).
-    nodes_long = (
-        props.unionByName(id_props)
         .groupBy("record_seq", "record_id", "label", "root_tag", "flat_key")
         .agg(F.max_by("value", "line_no").alias("value"))
     )
@@ -327,9 +337,15 @@ def extract_graph(lines: DataFrame, max_depth: int | None = None) -> GedcomGraph
         .distinct()
     )
     missing_temple_codes = (
-        prop_base.filter((F.col("tag") == "TEMP") & temple_hit.isNull())
+        df.filter(qualifies_prop & (F.col("tag") == "TEMP") & temple_hit.isNull())
         .select(F.col("value").alias("code"))
         .distinct()
     )
 
-    return GedcomGraph(nodes_long, edges, unused_tags, missing_temple_codes)
+    return GedcomGraph(
+        nodes_long,
+        edges,
+        unused_tags,
+        missing_temple_codes,
+        frame=df if persist else None,
+    )

@@ -25,6 +25,17 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas-UDF / toPandas transfers.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate adds size(e)>0/isnotnull(e) under every
+    # explode; predicate pushdown then inlines the generator's whole
+    # child expression into a pre-codegen Filter at the scan. For
+    # computed arrays (shingles, token arrays — every explode in this
+    # engine) that re-runs the array-building expression per element
+    # reference: measured 14x slowdown on the MinHash pipeline. The rule
+    # only ever helps when the exploded column is a bare scan attribute,
+    # which never occurs here, so exclude it engine-wide.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
