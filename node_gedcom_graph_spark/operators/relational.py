@@ -748,3 +748,182 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) event-time window — the overlap variant of the tumbling
+# query above. Each event lands in length/slide = 4 windows; Spark expands
+# them with the built-in `window(ts, len, slide)` generator (no UDF, no
+# self-join), then a plain hash agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - j * INTERVAL '30 minutes' AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events CROSS JOIN generate_series(0, 3) t(j)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every 30 minutes. An event at time t
+    belongs to the 4 grid-aligned windows starting in (t-2h, t]; the
+    oracle expands the same membership arithmetically."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations in one pass (Catalyst Expand: each
+# input row fans out to the 4 grouping sets map-side, then one hash agg;
+# no re-scan per grouping set).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_orders_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with GROUPING indicators to
+    disambiguate genuine NULL keys from subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — for every 'purchase' event, the latest strictly-earlier
+# 'view' event by the same user. Spark has no ASOF JOIN operator; the
+# scalable plan is the union-merge: tag both sides, union, one window
+# pass per user ordered by (ts, side), pick the running last view. One
+# shuffle on user_id, zero join fan-out — this is the 100 TB shape (an
+# equi-join + filter would materialize every (purchase x earlier-view)
+# pair before picking the max).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_view_before_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           v.ts AS view_ts,
+           v.event_id AS view_id
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-merge as-of join (strict <). At equal ts a purchase sorts
+    BEFORE views (side 0 < side 1) so same-instant views are invisible
+    to it; among equal-ts views the last by event_id wins, matching the
+    oracle's per-(user, ts) MAX(event_id) dedup."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.col("event_id"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    merged = purchases.unionByName(views)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_struct = F.when(
+        F.col("side") == 1, F.struct(F.col("ts"), F.col("event_id"))
+    )
+    return (
+        merged.withColumn("_last_view", F.last(view_struct, ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("_last_view.ts").alias("view_ts"),
+            F.col("_last_view.event_id").alias("view_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead analytics — per-customer order-value deltas.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_lag_order_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice
+                  - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS delta_prev
+    FROM orders
+    """,
+)
+def window_lag_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference to the customer's previous order value (NULL for the
+    first order). One shuffle on o_custkey; the sort is per-partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .cast("double")
+        .alias("delta_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++). No oracle: DuckDB's approx sketch
+# is a different implementation, so values legitimately differ — the
+# rows-only driver check applies, and tests/test_dedup_similarity.py pins
+# the estimate within 5% of the exact count.
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users")  # no oracle: HLL sketches are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct at 1% relative error — the sketch is the
+    scale path (constant memory, map-side mergeable) where
+    exact_distinct_counts needs a full shuffle of the key set."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
+    )

@@ -215,3 +215,118 @@ def topk_cosine_arrow(
     return partials.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells probed per query
+IVF_SAMPLE_MOD = 4  # train on ~1/4 of the corpus (hash-sampled)
+
+
+def _train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
+    """Deterministic spherical k-means on a hash-sampled subset.
+
+    IVF training always runs on a sample (FAISS does the same): the
+    sample is collected to the driver (bounded — cap the fraction so it
+    stays ~1e5 rows at any corpus size) and Lloyd iterations run in
+    numpy. Seeded init + fixed iteration count -> identical centroids on
+    every run and every cluster topology.
+    """
+    import numpy as np
+
+    sample = (
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(IVF_SAMPLE_MOD)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    m = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    rng = np.random.RandomState(42)
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(10):
+        sims = m @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    return [[float(x) for x in row] for row in cent]
+
+
+def _nearest_cells(centroids: list[list[float]], n: int) -> Column:
+    """Indices of the n centroids nearest to `embedding` (unit-dot
+    ranking), as a JVM-side expression: 16 literal-array dot products ->
+    array_sort of (negative-sim, idx) structs -> first n indices."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -dot_f32(
+                        F.col("embedding"),
+                        F.array(*[F.lit(v) for v in c]).cast("array<float>"),
+                    ).cast("double")
+                    / F.col("nm")
+                ).alias("neg"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n)
+
+
+@register("ann_ivf_topk")  # approximate by construction: no SQL oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF (inverted-file) index.
+
+    Build: spherical k-means centroids from a deterministic sample
+    (driver-side, bounded); every corpus vector is assigned to its
+    nearest cell with pure column expressions (16 literal-array dots —
+    no UDF, codegen'd, embarrassingly parallel). Probe: each query
+    scans only its IVF_NPROBE nearest cells — the candidate join hits
+    1/4 of the corpus instead of all of it, and the fraction drops as
+    k grows (k ~ sqrt(corpus) at real scale; 100 TB note: the cell
+    assignment is a one-off materialized column partitioned/bucketed by
+    cell, so probes prune at the scan).
+
+    Recall vs the exact query is pinned >= 0.5 in tests (observed ~1.0
+    on the clustered fixture embeddings).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _train_ivf_centroids(emb)
+    n = _normed(emb)
+    corpus = n.select(
+        "vec_id",
+        "embedding",
+        "nm",
+        F.element_at(_nearest_cells(centroids, 1), 1)["cell"].alias("cell"),
+    )
+    q = (
+        n.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nm").alias("q_nm"),
+            F.explode(
+                F.transform(
+                    _nearest_cells(centroids, IVF_NPROBE), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        )
+    )
+    cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.col("q_nm") * F.col("nm")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)

@@ -134,3 +134,70 @@ def stream_gedcom_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful per-user aggregation via applyInPandasWithState —
+    the escape hatch for operators the built-in streaming aggs can't
+    express (here: running count + running value total + last seen
+    event-time, emitted as an updated row per user per micro-batch).
+
+    State is one small tuple per user key, Arrow-transferred; the
+    framework shuffles by key, so state for a user lives on exactly one
+    executor — the 100 TB path is horizontal partitioning of the key
+    space, identical to built-in streaming aggregation state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_us = max(last_us, int(batch_max.value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

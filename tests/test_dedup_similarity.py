@@ -163,3 +163,76 @@ def test_real_decode_is_explicitly_stubbed(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError):
         extract_image_features(df, fake=False)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF probe of 4/16 cells must recover most of the exact top-10
+    (fixture embeddings are label-clustered, so recall is near 1)."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ann_topk_cosine(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from node_gedcom_graph_spark.operators.relational import approx_distinct_users
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = approx_distinct_users(spark, sf).collect()[0]
+    events = load_table(spark, sf, "events")
+    exact = events.agg(
+        F.countDistinct("user_id").alias("u"), F.countDistinct("event_type").alias("t")
+    ).collect()[0]
+    assert abs(got.approx_users - exact.u) <= max(2, 0.05 * exact.u)
+    assert abs(got.approx_types - exact.t) <= max(2, 0.05 * exact.t)
+
+
+def test_asof_join_semantics(spark):
+    """Strict-< as-of: same-instant views are invisible; latest earlier
+    view wins; users with no earlier view get NULLs (left join)."""
+    from node_gedcom_graph_spark.operators import all_queries
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: views at t0, t0+10; purchase at t0+10 (same instant as a
+    # view -> only the t0 view counts), purchase at t0+20.
+    rows += [
+        (100, t0, 1, "view", 1.0, None),
+        (101, t0 + dt.timedelta(minutes=10), 1, "view", 1.0, None),
+        (102, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0, None),
+        (103, t0 + dt.timedelta(minutes=20), 1, "purchase", 5.0, None),
+        # user 2: purchase with no view at all.
+        (200, t0, 2, "purchase", 5.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import node_gedcom_graph_spark.operators.relational as R
+    import node_gedcom_graph_spark.sources.tables as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, name: events  # noqa: E731
+        R.load_table = T.load_table
+        out = {
+            r.purchase_id: (r.view_id)
+            for r in all_queries()["asof_last_view_before_purchase"](spark, "x").collect()
+        }
+    finally:
+        T.load_table = orig
+        R.load_table = orig
+    assert out[102] == 100  # same-instant view 101 invisible
+    assert out[103] == 101  # latest earlier view
+    assert out[200] is None  # left join: no view -> NULL

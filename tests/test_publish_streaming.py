@@ -137,3 +137,35 @@ def test_stream_gedcom_pipeline_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     nodes2 = spark.read.parquet(f"{out_dir}/nodes")
     assert nodes2.count() == 26 + 2  # I9: Gedcom Id + Sex, demo NOT re-ingested
+
+
+def test_stream_stateful_user_stats_matches_batch(spark):
+    from node_gedcom_graph_spark.sources.tables import load_table
+    from node_gedcom_graph_spark.streaming.pipeline import stream_user_stats_stateful
+
+    events = read_events_stream(spark, SF_DIR)
+    q = (
+        stream_user_stats_stateful(events)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Last update per user = final state (single-batch drain emits once).
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM user_stats").collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
