@@ -148,3 +148,116 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
     )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize over mapInPandas (binary in -> binary
+    out + new dims). The fake resize re-encodes deterministically
+    (md5-chained stretch of the payload to a size proportional to the
+    target area) so length/content are reproducible; a real
+    implementation replaces only the inner per-image function with
+    PIL.Image.resize. Batch shape, schema, and partitioning are real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real resize requires an image codec not present in this "
+            "container; swap _fake_resize for PIL and set fake=False"
+        )
+
+    out_schema = f"{id_col} long, width int, height int, payload binary"
+
+    def _fake_resize(payload: bytes) -> bytes:
+        # Deterministic byte stream sized to the target area / 64.
+        need = max(1, (target_w * target_h) // 64)
+        out = bytearray()
+        block = bytes(payload)[:64] or b"\x00"
+        while len(out) < need:
+            block = hashlib.md5(block).digest()
+            out.extend(block)
+        return bytes(out[:need])
+
+    def _batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [_fake_resize(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batch, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame (doc_id, frame_idx, ts_ms, frame binary). The fake decoder
+    derives a deterministic frame count from the payload length and
+    synthesizes frame bytes from (payload md5, frame_idx); a real
+    implementation swaps the inner loop for pyav/ffmpeg iteration. The
+    explode-shaped output (rows >> inputs) is the part that matters for
+    Spark: downstream repartitioning treats frames, not videos, as the
+    unit of work.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires a video codec not present in "
+            "this container; swap the synthesis loop for pyav and set "
+            "fake=False"
+        )
+
+    out_schema = f"{id_col} long, frame_idx int, ts_ms long, frame binary"
+
+    def _batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                n_frames = 1 + len(payload) % 300  # fake stream length
+                digest = hashlib.md5(payload).digest()
+                for j, f_idx in enumerate(range(0, n_frames, every_n)):
+                    if j >= max_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(f_idx)
+                    tss.append(f_idx * 33)  # ~30 fps
+                    frames.append(
+                        hashlib.md5(digest + f_idx.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batch, out_schema)
+
+
+@register("multimodal_frame_sample")  # pandas-UDF path: rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over fake video payloads: per-frame rows
+    with stable ids/timestamps and per-frame content hashes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = sample_video_frames(docs)
+    return frames.select(
+        "doc_id", "frame_idx", "ts_ms", F.md5("frame").alias("frame_md5")
+    )
