@@ -126,19 +126,27 @@ def extract_graph(
         "has_children", next_level.isNotNull() & (next_level > F.col("level"))
     )
 
-    # Last-seen line/tag/friendly at each level (ancestor chain).
+    # Last-seen line/tag/friendly at each level (ancestor chain). The
+    # carried value is a STRUCT so that a line whose friendly is NULL
+    # (unknown tag) still overwrites the level slot — a bare
+    # last(friendly, ignorenulls) would skip it and resolve to an
+    # earlier KNOWN sibling at the same level, wrongly keeping the
+    # unknown subtree alive (caught by the property-based oracle test).
     for lvl in range(0, max_depth + 1):
-        at = F.when(F.col("level") == lvl, F.col("line_no"))
-        df = df.withColumn(f"_ln{lvl}", F.last(at, ignorenulls=True).over(w_cur))
-        df = df.withColumn(
-            f"_tg{lvl}",
-            F.last(F.when(F.col("level") == lvl, F.col("tag")), ignorenulls=True).over(w_cur),
+        at_level = F.when(
+            F.col("level") == lvl,
+            F.struct(
+                F.col("line_no").alias("ln"),
+                F.col("tag").alias("tg"),
+                F.col("friendly").alias("fr"),
+            ),
         )
-        df = df.withColumn(
-            f"_fr{lvl}",
-            F.last(
-                F.when(F.col("level") == lvl, F.col("friendly")), ignorenulls=True
-            ).over(w_cur),
+        df = df.withColumn(f"_lv{lvl}", F.last(at_level, ignorenulls=True).over(w_cur))
+        df = (
+            df.withColumn(f"_ln{lvl}", F.col(f"_lv{lvl}.ln"))
+            .withColumn(f"_tg{lvl}", F.col(f"_lv{lvl}.tg"))
+            .withColumn(f"_fr{lvl}", F.col(f"_lv{lvl}.fr"))
+            .drop(f"_lv{lvl}")
         )
 
     lvl_idx = F.col("level")  # 1-based array positions below
