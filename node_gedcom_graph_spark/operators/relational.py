@@ -927,3 +927,91 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — linear-interpolation quantiles per group, matching
+# ANSI percentile_cont. (At 100 TB the approx_percentile sketch is the
+# constant-memory variant; the exact form shuffles each group's values.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_lineitem_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (percentile_cont semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    def pct(p: float, alias: str) -> Column:
+        return F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(alias)
+    return li.groupBy("l_returnflag").agg(
+        pct(0.25, "p25"), pct(0.50, "p50"), pct(0.75, "p75"), pct(0.95, "p95")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — pairs of same-user events within 5 minutes.
+# Naively this is an inequality self-join (quadratic scan). The scale
+# plan buckets time into interval-width cells and equi-joins on
+# (user, cell) x {same, adjacent cell}, turning it into a hash join
+# whose per-bucket fan-out is bounded by local density; the inequality
+# is then just a residual filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_close_events",
+    oracle="""
+    SELECT a.user_id AS user_id,
+           a.event_id AS id_a,
+           b.event_id AS id_b,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts - INTERVAL '5 minutes'
+     AND b.ts <= a.ts + INTERVAL '5 minutes'
+    """,
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (a, b) same-user event pairs with |ts_a - ts_b| <= 5 min,
+    via bucketed equi-join: cell = floor(epoch/300s); b probes a's cell
+    and both neighbors, so every qualifying pair is found exactly once
+    and nothing outside +-1 cell is ever compared."""
+    events = load_table(spark, sf_dir, "events")
+    cell = (F.unix_timestamp("ts") / F.lit(300)).cast("long")
+    a = events.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_a"),
+        cell.alias("cell"),
+    )
+    b = events.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        F.explode(F.array(cell - 1, cell, cell + 1)).alias("cell"),
+    )
+    gap_us = (
+        F.unix_micros(F.col("ts_b").cast("timestamp"))
+        - F.unix_micros(F.col("ts_a").cast("timestamp"))
+    )
+    return (
+        a.join(b, ["user_id", "cell"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select("user_id", "id_a", "id_b", gap_us.alias("gap_us"))
+        .dropDuplicates(["user_id", "id_a", "id_b"])
+    )
