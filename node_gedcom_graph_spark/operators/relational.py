@@ -1015,3 +1015,32 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "id_a", "id_b", gap_us.alias("gap_us"))
         .dropDuplicates(["user_id", "id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDAF — the UDF-surface family built-ins can't
+# cover (arbitrary numpy per group, Arrow-transferred). Note: grouped-agg
+# pandas UDFs get NO map-side partials (whole group ships to one task),
+# so at scale they're for aggregates genuinely inexpressible as
+# partial+final — here geometric mean is used as a verifiable stand-in.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udaf_geomean_price",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(EXP(AVG(LN(o_totalprice))), 3) AS geomean_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pandas_udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order value per status via a GROUPED_AGG
+    pandas UDF (exp of mean log, computed in float64 numpy)."""
+    from node_gedcom_graph_spark.functions.pandas_udafs import geomean
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 3).alias("geomean_price")
+    )
