@@ -68,19 +68,29 @@ def lines_from_string(spark: SparkSession, text: str, n_partitions: int = 2) -> 
 def assign_records(lines: DataFrame) -> DataFrame:
     """Add ``record_seq`` (1-based running count of level-0 lines).
 
-    Two jobs over the same deterministic lineage: (1) a tiny per-partition
-    aggregate collected to the driver to compute prefix offsets, (2) a
-    partition-local running count plus the broadcast offset. No global
-    single-partition shuffle at any scale.
+    The classic prefix-sum pattern, with ZERO shuffles of the lines
+    table:
+
+    1. a tiny per-partition aggregate (one row per partition, collected
+       to the driver) yields each partition's record count, from which
+       prefix offsets are computed — O(partitions) driver state;
+    2. a stateful ``mapInPandas`` pass computes the partition-local
+       running count, carrying it across Arrow batches, and adds the
+       broadcast offset.
+
+    A window over ``spark_partition_id()`` would express step 2
+    declaratively but physically inserts an Exchange on _pid — a full
+    shuffle of every line, which is exactly what this function exists to
+    avoid at the 100 TB tier. The partition-local sequential scan is the
+    one semantic Catalyst cannot express shuffle-free, so this is a
+    justified Python (Arrow-batched) escape hatch; both jobs read the
+    same deterministic scan lineage, so partition ids agree.
     """
-    with_pid = lines.withColumn("_pid", F.spark_partition_id())
-    w = W.partitionBy("_pid").orderBy("line_no")
-    local = with_pid.withColumn(
-        "_local_rec",
-        F.sum(F.when(F.col("level") == 0, 1).otherwise(0)).over(w),
-    )
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
     stats = (
-        with_pid.groupBy("_pid")
+        lines.groupBy(F.spark_partition_id().alias("_pid"))
         .agg(
             F.sum(F.when(F.col("level") == 0, 1).otherwise(0)).alias("n_recs"),
             F.min("line_no").alias("first_line"),
@@ -92,13 +102,23 @@ def assign_records(lines: DataFrame) -> DataFrame:
     for row in sorted(stats, key=lambda r: r["first_line"]):
         offsets[row["_pid"]] = running
         running += row["n_recs"] or 0
-    spark = lines.sparkSession
-    offsets_df = F.broadcast(
-        spark.createDataFrame(list(offsets.items()), "_pid int, _offset long")
+    bc = lines.sparkSession.sparkContext.broadcast(offsets)
+    # Fresh StructType — StructType.add would MUTATE the frame's cached
+    # schema and corrupt mapInPandas' input-column resolution.
+    out_schema = StructType(
+        list(lines.schema.fields) + [StructField("record_seq", LongType())]
     )
-    return (
-        local.join(offsets_df, "_pid")
-        .withColumn("record_seq", F.col("_offset") + F.col("_local_rec"))
-        .drop("_pid", "_local_rec", "_offset")
-        .filter(F.col("record_seq") > 0)
-    )
+
+    def assign(batches):
+        base = bc.value.get(TaskContext.get().partitionId(), 0)
+        count = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            local = (pdf["level"] == 0).to_numpy().cumsum() + count
+            count = int(local[-1])
+            pdf = pdf.copy()
+            pdf["record_seq"] = local + base
+            yield pdf
+
+    return lines.mapInPandas(assign, out_schema).filter(F.col("record_seq") > 0)
