@@ -201,3 +201,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+@register(
+    "udtf_split_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(text, '[.!?]\\s+')) AS sentence
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           CAST(MAX(LENGTH(sentence)) AS BIGINT) AS max_sentence_len
+    FROM s
+    WHERE TRIM(sentence) <> ''
+    GROUP BY doc_id
+    """,
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input document row ->
+    N sentence rows, then a per-doc aggregate so the output is
+    order-insensitive and oracle-comparable. UDTFs are the
+    row-multiplying member of the UDF family (UDF 1->1, UDAF N->1,
+    UDTF 1->N); the lateral-join shape mirrors explode but with
+    arbitrary Python between input and output rows. Scale note: the
+    UDTF runs per input partition (no shuffle), Arrow-batched.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            parts = _re.split(r"[.!?]\s+", text)
+            idx = 0
+            for p in parts:
+                if p.strip():
+                    yield doc_id, idx, p
+                    idx += 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    sent = spark.sql(
+        "SELECT s.* FROM _docs_for_udtf, "
+        "LATERAL split_sentences(doc_id, text) s"
+    )
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.max(F.length("sentence")).cast("bigint").alias("max_sentence_len"),
+    )
