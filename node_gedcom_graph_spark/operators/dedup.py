@@ -113,7 +113,7 @@ def minhash_signature(shingles: Column) -> Column:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the smallest doc_id.
     Shuffles 16-byte hashes, never document bodies."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.groupBy(F.md5("text").alias("fingerprint"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -134,7 +134,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after canonicalization (case/punct/whitespace-blind) —
     catches trivially reformatted copies across sources."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.groupBy(F.md5(normalize_text(F.col("text"))).alias("fingerprint"))
         .agg(
@@ -182,7 +182,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked baseline that the LSH variant approximates at scale.
     Jaccard is an int/int double division — bit-exact across engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = shingled_docs(docs).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
@@ -228,7 +228,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against dedup_ngram_jaccard in tests — LSH recall at
     this band shape is ~1 for J >= 0.5 pairs.)
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     base = shingled_docs(docs)
 
     # Signature via explode + 64-way min agg (identical values to
@@ -299,7 +299,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join is on (chunk_idx, chunk_value) — bucket-local,
     no all-pairs. One explode + one hash agg per doc; map-side partials.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     h = F.xxhash64("t")
     bit_sums = [
@@ -392,6 +392,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.ann_lsh_topk's signature scheme) is the scale path. The
     self-join is a single shuffle; norms are precomputed once per side.
     """
+    # Unspread: at 20k x 64 the GEMM batches and verify joins are faster
+    # without an extra repartition exchange; on a real partitioned corpus
+    # the scan has splits already (spread=True documented in load_table
+    # is for the regex-heavy documents pipelines).
     emb = load_table(spark, sf_dir, "embeddings")
     cand = cosine_candidate_pairs(emb, threshold=0.45, margin=1e-3)
     n = emb.select(
@@ -423,7 +427,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine_candidate_pairs(
-    emb: DataFrame, threshold: float, margin: float = 1e-3
+    emb: DataFrame,
+    threshold: float,
+    margin: float = 1e-3,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-recall candidate pairs with cosine >= threshold - margin,
     via a vectorized numpy GEMM prefilter.
@@ -438,7 +445,11 @@ def cosine_candidate_pairs(
     path (similarity.ann_lsh_topk)."""
     import numpy as np
 
-    corpus = emb.select("vec_id", "embedding").toPandas()
+    # ``corpus``: optionally a cheaper-to-collect lineage of the SAME
+    # rows (e.g. the unspread scan) for the driver-side broadcast.
+    corpus = (corpus if corpus is not None else emb).select(
+        "vec_id", "embedding"
+    ).toPandas()
     ids = corpus["vec_id"].to_numpy()
     m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1)

@@ -69,7 +69,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction (size, content hash, sniffed
     format) — all JVM-side; md5 over the utf-8 payload bytes matches the
     oracle's md5 over the source text."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return attach_binary_metadata(docs, "payload").select(
@@ -135,7 +135,7 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stubbed decode + feature extraction over the Arrow
     batch path (schema/partitioning/UDF signature are the real thing;
     only the pixel decode is faked — see extract_image_features)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     feats = extract_image_features(docs)
@@ -254,7 +254,7 @@ def sample_video_frames(
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over fake video payloads: per-frame rows
     with stable ids/timestamps and per-frame content hashes."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     frames = sample_video_frames(docs)

@@ -298,8 +298,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact query is pinned >= 0.5 in tests (observed ~1.0
     on the clustered fixture embeddings).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _train_ivf_centroids(emb)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    centroids = _train_ivf_centroids(load_table(spark, sf_dir, "embeddings"))
     n = _normed(emb)
     corpus = n.select(
         "vec_id",

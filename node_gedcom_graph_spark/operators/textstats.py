@@ -54,7 +54,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single scan + hash agg on a low-cardinality key; the tokenize
     is a per-row regexp, fully pipelined in codegen.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     n_tok = F.size(tokens(F.col("text")))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -98,7 +98,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised for determinism, not accuracy — the oracle computes the
     identical heuristic.)
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = F.array_distinct(tokens(F.col("text")))
     scores = {
         lang: F.size(F.array_intersect(toks, _stop_arr(lang))) for lang in STOPWORDS
@@ -147,7 +147,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, token density — the standard cheap filters of a pretraining
     data pipeline. All ratios are int/int double divisions (bit-exact
     across engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_stop = F.size(
@@ -194,7 +194,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form document fingerprint: md5 of the normalized text
     (lowercase, punctuation stripped, whitespace collapsed). The content-
     addressable key for exact dedup across shards."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     norm = normalize_text(F.col("text"))
     return docs.select(
         "doc_id",
@@ -244,7 +244,7 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield doc_id, idx, p
                     idx += 1
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     spark.udtf.register("split_sentences", SplitSentences)
     docs.createOrReplaceTempView("_docs_for_udtf")
     sent = spark.sql(

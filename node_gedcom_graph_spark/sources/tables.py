@@ -36,12 +36,22 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one test table, normalizing types.
 
     ``events.ts`` arrives as int64 nanoseconds (see module docstring) and
     is converted JVM-side to TIMESTAMP_NTZ at microsecond resolution —
     the same truncation DuckDB applies, so oracle comparisons line up.
+
+    ``spread=True`` repartitions the scan to default parallelism. Use it
+    for compute-heavy per-row pipelines (tokenize/shingle/GEMM) over
+    SMALL inputs, where a single parquet file yields one split and the
+    whole stage runs on one core: the shuffle moves megabytes to unlock
+    every core. On a large partitioned dataset the scan already has
+    splits, so the repartition is a cheap near-no-op relative to the
+    compute it balances (and still irons out skewed split sizes).
     """
     apply_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
@@ -52,6 +62,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
