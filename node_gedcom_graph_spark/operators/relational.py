@@ -1044,3 +1044,67 @@ def pandas_udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.round(geomean("o_totalprice"), 3).alias("geomean_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# ntile — equi-depth bucketing per partition (quartiles of customer
+# balance within each region-market segment).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ntile_customer_balance_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment, c_custkey,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT c_mktsegment, quartile, COUNT(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def ntile_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) by account balance within market segment (deterministic
+    tie-break on c_custkey), aggregated to bucket sizes."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form rollup/cube specialize; one Expand +
+# one hash agg regardless of how many sets are requested.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent one-dimensional aggregates in a single pass via
+    GROUPING SETS (SQL form — the DataFrame API spells only its rollup/
+    cube specializations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )

@@ -201,3 +201,32 @@ def stream_user_stats_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema from a batch peek)."""
+    apply_engine_confs(spark)
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(base)
+    )
+
+
+def stream_dedup_exact(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the training-data-pipeline dedup operator
+    as a continuous query: fingerprint each document, keep the first
+    occurrence of each fingerprint across the whole stream.
+
+    State is one row per distinct fingerprint (16-byte md5, not the
+    text), partitioned by fingerprint — the same layout the batch
+    groupBy uses, held incrementally. Unbounded without a watermark by
+    design: dedup state is the product here; bound it per-deployment
+    with ``withWatermark`` on an event-time column when the dedup window
+    can be finite.
+    """
+    return docs.select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])

@@ -169,3 +169,28 @@ def test_stream_stateful_user_stats_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_exact_matches_batch(spark):
+    from node_gedcom_graph_spark.sources.tables import load_table
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        read_documents_stream,
+        stream_dedup_exact,
+    )
+
+    docs = read_documents_stream(spark, SF_DIR)
+    q = (
+        stream_dedup_exact(docs)
+        .writeStream.format("memory")
+        .queryName("doc_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fingerprint FROM doc_dedup").collect()
+    batch = load_table(spark, SF_DIR, "documents")
+    want_fps = {r.fp for r in batch.select(F.md5("text").alias("fp")).collect()}
+    got_fps = [r.fingerprint for r in got]
+    assert len(got_fps) == len(set(got_fps))  # one row per fingerprint
+    assert set(got_fps) == want_fps  # every distinct doc survives
