@@ -71,3 +71,19 @@ def gedcom_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gedcom_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HashMin connected components over the undirected edge set."""
     return connected_components(_demo_edges(spark))
+
+
+@register(
+    "gedcom_graph_descendants",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('I1', 'I3', 1),
+      ('I2', 'I3', 1)
+    ) t(person, descendant, depth)
+    """,
+)
+def gedcom_graph_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse BFS (ancestors flipped) over the demo tree."""
+    from node_gedcom_graph_spark.graph.queries import descendants
+
+    return descendants(_demo_edges(spark), max_depth=5)

@@ -165,3 +165,41 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if converged:
             break
     return labels
+
+
+def descendants(edges: DataFrame, max_depth: int = 10) -> DataFrame:
+    """(person, descendant, depth) — the ancestors traversal reversed
+    (same frontier BFS: shrink-only work set, early termination,
+    localCheckpoint to keep plans O(1) deep)."""
+    child_parent = parents_of(edges).select("child", "parent").distinct()
+    found = child_parent.select(
+        F.col("parent").alias("person"),
+        F.col("child").alias("descendant"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint(eager=True)
+    frontier = found
+    for depth in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(
+                child_parent,
+                frontier["descendant"] == child_parent["parent"],
+                "inner",
+            )
+            .select(
+                frontier["person"],
+                child_parent["child"].alias("descendant"),
+                F.lit(depth).alias("depth"),
+            )
+            .join(
+                found.select("person", "descendant"),
+                ["person", "descendant"],
+                "left_anti",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        found = found.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return found

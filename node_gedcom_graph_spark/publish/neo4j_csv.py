@@ -96,3 +96,24 @@ def atomic_publish(staging_dir: str, live_dir: str) -> str:
             os.rename(backup, live_dir)
         raise
     return backup if had_live else ""
+
+
+def observed_counts(graph: GedcomGraph) -> dict[str, int]:
+    """Row-level pipeline metrics via ``df.observe`` (SURVEY op 26: the
+    reference's read/write/skip event counters, re-expressed as
+    accumulator-backed observations riding the job that materializes the
+    data — no second scan, unlike a separate ``count()``).
+    """
+    from pyspark.sql import Observation
+
+    node_obs = Observation("node_metrics")
+    edge_obs = Observation("edge_metrics")
+    nodes = graph.nodes_long.observe(
+        node_obs,
+        F.count(F.lit(1)).alias("n_property_rows"),
+        F.approx_count_distinct("record_id").alias("n_records_approx"),
+    )
+    edges = graph.edges.observe(edge_obs, F.count(F.lit(1)).alias("n_edges"))
+    nodes.write.format("noop").mode("overwrite").save()
+    edges.write.format("noop").mode("overwrite").save()
+    return {**node_obs.get, **edge_obs.get}

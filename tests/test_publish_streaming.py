@@ -194,3 +194,19 @@ def test_stream_dedup_exact_matches_batch(spark):
     got_fps = [r.fingerprint for r in got]
     assert len(got_fps) == len(set(got_fps))  # one row per fingerprint
     assert set(got_fps) == want_fps  # every distinct doc survives
+
+
+def test_observed_counts_match_direct_counts(spark):
+    from node_gedcom_graph_spark.gedcom.extract import extract_graph
+    from node_gedcom_graph_spark.gedcom.fixtures import DEMO_GEDCOM
+    from node_gedcom_graph_spark.gedcom.parser import (
+        assign_records,
+        lines_from_string,
+    )
+    from node_gedcom_graph_spark.publish.neo4j_csv import observed_counts
+
+    g = extract_graph(assign_records(lines_from_string(spark, DEMO_GEDCOM)))
+    m = observed_counts(g)
+    assert m["n_property_rows"] == g.nodes_long.count()
+    assert m["n_edges"] == g.edges.count()
+    assert m["n_records_approx"] >= 1
