@@ -1108,3 +1108,28 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
     )
+
+
+@register(
+    "argmax_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS top_orderkey,
+           o_totalprice AS top_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most expensive order via max_by (arg-max
+    aggregate — one hash agg, no window/sort; ties broken on orderkey
+    so the result is deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_totalprice"),
+    )
