@@ -255,3 +255,70 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sentences"),
         F.max(F.length("sentence")).cast("bigint").alias("max_sentence_len"),
     )
+
+
+@register(
+    "curate_corpus",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS punct_ratio
+      FROM documents
+      WHERE LENGTH(text) > 0
+    ), filtered AS (
+      SELECT * FROM q
+      WHERE n_tokens >= 10 AND punct_ratio <= 0.1
+    ), deduped AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keep_id,
+             MAX(n_tokens) AS n_tokens
+      FROM filtered GROUP BY md5(text)
+    ), f AS (
+      SELECT d.*, q2.source
+      FROM deduped d JOIN filtered q2 ON q2.doc_id = d.keep_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_tokens) AS token_budget
+    FROM f GROUP BY source
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass — the composite shape a pretraining data
+    pipeline runs over every shard: cheap quality gates (min token
+    count, max punctuation ratio) -> exact dedup keeping the smallest
+    doc_id per fingerprint -> per-source document/token budget.
+
+    One scan feeds everything; the only shuffles are the 16-byte
+    fingerprint groupBy, a keep-id self-join (broadcast at this size,
+    shuffle at scale), and the final low-cardinality source agg. The
+    near-dup stage (dedup_minhash_lsh) slots in between the gates and
+    the budget agg unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.length("text") > 0
+    )
+    q = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+    filtered = q.filter((F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.1))
+    deduped = filtered.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.max("n_tokens").alias("n_tokens")
+    )
+    kept = deduped.join(
+        filtered.select(F.col("doc_id").alias("keep_id"), "source"), "keep_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("token_budget"),
+    )
