@@ -16,9 +16,23 @@ from node_gedcom_graph_spark.gedcom.parser import assign_records, lines_from_str
 from node_gedcom_graph_spark.operators import register
 
 
+_DEMO_GRAPH_CACHE: dict[int, GedcomGraph] = {}
+
+
 def _demo_graph(spark: SparkSession) -> GedcomGraph:
+    """Demo extraction, built once per SparkSession — four registered
+    queries read different outputs of the same DAG; the memoized
+    enriched frame is persisted (extract_graph(persist=True)) so each
+    output materializes from the cached per-line frame instead of
+    re-running parse + windows."""
+    key = id(spark._jsparkSession)
+    cached = _DEMO_GRAPH_CACHE.get(key)
+    if cached is not None:
+        return cached
     lines = assign_records(lines_from_string(spark, DEMO_GEDCOM, n_partitions=3))
-    return extract_graph(lines)
+    g = extract_graph(lines, persist=True)
+    _DEMO_GRAPH_CACHE[key] = g
+    return g
 
 
 @register(

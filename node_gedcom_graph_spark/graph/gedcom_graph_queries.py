@@ -18,9 +18,24 @@ from node_gedcom_graph_spark.graph.queries import (
 from node_gedcom_graph_spark.operators import register
 
 
+_DEMO_EDGES_CACHE: dict[int, DataFrame] = {}
+
+
 def _demo_edges(spark: SparkSession) -> DataFrame:
+    """Demo-fixture edge table, extracted once per SparkSession.
+
+    Five registered graph queries share this input; without the memo
+    each re-runs the whole parse+extract DAG (a dozen tiny jobs), which
+    dominates their wall time. localCheckpoint materializes the edges so
+    the traversals start from a trivial scan."""
+    key = id(spark._jsparkSession)
+    cached = _DEMO_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
     lines = assign_records(lines_from_string(spark, DEMO_GEDCOM, n_partitions=3))
-    return extract_graph(lines).edges
+    edges = extract_graph(lines).edges.localCheckpoint(eager=True)
+    _DEMO_EDGES_CACHE[key] = edges
+    return edges
 
 
 @register(
