@@ -219,3 +219,33 @@ def test_nodes_wide_shape(spark):
     row = {r["record_id"]: r for r in wide.collect()}
     assert row["I1"]["Birth Date"] == "1 JAN 1900"
     assert row["I3"]["Surname"] == "Jones"
+
+
+def test_read_gedcom_directory_multi_file(spark, tmp_path):
+    """Directory scan: multiple .ged files in one read — records never
+    span files, and per-file split ordering keeps boundaries correct."""
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "a.ged").write_text(
+        "0 @A1@ INDI\n1 SEX M\n0 @A2@ INDI\n1 SEX F\n", encoding="utf-8"
+    )
+    (d / "b.ged").write_text(
+        "0 @B1@ FAM\n1 HUSB @A1@\n1 WIFE @A2@\n", encoding="utf-8"
+    )
+    g = extract_graph(assign_records(read_gedcom_lines(spark, str(d))))
+    ids = {
+        r.value
+        for r in g.nodes_long.filter(F.col("flat_key") == "Gedcom Id:ID").collect()
+    }
+    assert ids == {"A1", "A2", "B1"}
+    edges = {(r.src, r.dst, r.rel_type) for r in g.edges.collect()}
+    assert edges == {("B1", "A1", "Husband"), ("B1", "A2", "Wife")}
+    # every record's lines stayed together (2 or 3 lines per record)
+    sizes = sorted(
+        r["count"]
+        for r in assign_records(read_gedcom_lines(spark, str(d)))
+        .groupBy("record_seq")
+        .count()
+        .collect()
+    )
+    assert sizes == [2, 2, 3]
