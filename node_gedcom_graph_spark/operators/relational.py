@@ -1133,3 +1133,33 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_orderkey"),
         F.max("o_totalprice").alias("top_totalprice"),
     )
+
+
+@register(
+    "date_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+    FROM orders
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function surface (§2.1): truncation, interval
+    arithmetic, month boundaries, day arithmetic, day-of-week. The
+    reference leaves dates raw (README TODO #5); the engine types them."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    )
