@@ -58,6 +58,7 @@ class GedcomGraph:
     edges: DataFrame  # src, dst, rel_type, edge_tag
     unused_tags: DataFrame  # tag
     missing_temple_codes: DataFrame  # code
+    skipped_records: DataFrame  # record_seq, tag, xref (unknown top-level)
     frame: DataFrame | None = None  # persisted enriched frame (persist=True)
 
     def unpersist(self) -> None:
@@ -349,11 +350,21 @@ def extract_graph(
         .select(F.col("value").alias("code"))
         .distinct()
     )
+    # The reference's `skip` event (csv_writer.js:176-180, consumed at
+    # index.js:85-87): whole records whose top-level tag has no
+    # dictionary entry. Computed from the raw lines — no window pass.
+    skipped_records = (
+        lines.filter(F.col("level") == 0)
+        .withColumn("_fr", F.element_at(tags_map, F.col("tag")))
+        .filter(F.col("_fr").isNull())
+        .select("record_seq", "tag", "xref")
+    )
 
     return GedcomGraph(
         nodes_long,
         edges,
         unused_tags,
         missing_temple_codes,
+        skipped_records,
         frame=df if persist else None,
     )

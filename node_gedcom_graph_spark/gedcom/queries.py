@@ -108,3 +108,18 @@ def gedcom_unused_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gedcom_missing_temple_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing temple-code distinct-set accumulator (ops 10, 17)."""
     return _demo_graph(spark).missing_temple_codes
+
+
+@register(
+    "gedcom_skipped_records",
+    oracle="""
+    SELECT * FROM (VALUES (CAST(6 AS BIGINT), 'FOO', 'X9'))
+      t(record_seq, tag, xref)
+    """,
+)
+def gedcom_skipped_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `skip` event as an audit table (unknown top-level
+    tags; the demo's record 6 `FOO`). TRLR is NOT here: it has a
+    dictionary entry and is suppressed by the >=1-property guard
+    instead (csv_writer.js:182-185)."""
+    return _demo_graph(spark).skipped_records
