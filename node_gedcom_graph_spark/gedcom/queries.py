@@ -123,3 +123,32 @@ def gedcom_skipped_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary entry and is suppressed by the >=1-property guard
     instead (csv_writer.js:182-185)."""
     return _demo_graph(spark).skipped_records
+
+
+@register(
+    "gedcom_nodes_wide_indi",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), 'I1', 'John /Smith/ Jr.', 'M', '1 JAN 1900'),
+      (3, 'I2', 'Mary', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      (4, 'I3', 'Bobby', NULL, NULL),
+      (7, CAST(NULL AS VARCHAR), NULL, NULL, NULL)
+    ) t(record_seq, record_id, "Name", "Sex", "Birth Date")
+    """,
+)
+def gedcom_nodes_wide_indi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nodes-INDI.csv wide shape (op 13/18): one row per
+    Individual record, one column per flat key — via groupBy().pivot()
+    with an explicit key list (no second pass at scale when the key
+    vocabulary is supplied). Projected to three stable keys for the
+    golden oracle."""
+    from pyspark.sql import functions as F
+
+    wide = _demo_graph(spark).nodes_wide("INDI")
+    return wide.select(
+        "record_seq",
+        "record_id",
+        F.col("Name"),
+        F.col("Sex"),
+        F.col("Birth Date"),
+    )
