@@ -1163,3 +1163,36 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_95"),
         F.dayofweek("o_orderdate").cast("int").alias("dow"),
     )
+
+
+@register(
+    "fuzzy_match_parts_blocked",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: candidate pairs from an
+    equi-join on a blocking key (brand), then an edit-distance filter.
+    Blocking is what makes fuzzy matching tractable at scale — the
+    quadratic comparison runs only within blocks, and the block join is
+    an ordinary shuffle/broadcast hash join (salt hot blocks via
+    operators.scale.salted_join when a block dominates)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 5)
+        .select("key_a", "key_b", "edit_dist")
+    )
