@@ -1196,3 +1196,55 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 5)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@register(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts —
+    nations active on only one side survive with a zero on the other.
+    Aggregate-then-join: the outer join sees one row per nation, not
+    the raw fact tables."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, c["nk_c"] == s["nk_s"], "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register("approx_percentile_prices")  # no oracle: t-digest/GK sketches differ
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) — the constant-memory,
+    mergeable companion to percentiles_lineitem_price; tests pin it
+    within 1% relative error of the exact quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("approx_q")
+    ).select(
+        "l_returnflag",
+        F.col("approx_q")[0].alias("p25"),
+        F.col("approx_q")[1].alias("p50"),
+        F.col("approx_q")[2].alias("p75"),
+    )

@@ -236,3 +236,20 @@ def test_asof_join_semantics(spark):
     assert out[102] == 100  # same-instant view 101 invisible
     assert out[103] == 101  # latest earlier view
     assert out[200] is None  # left join: no view -> NULL
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from node_gedcom_graph_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in all_queries()["approx_percentile_prices"](spark, sf).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in all_queries()["percentiles_lineitem_price"](spark, sf).collect()
+    }
+    for flag, ex in exact.items():
+        for a, e in zip(approx[flag], ex):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
