@@ -211,6 +211,11 @@ def extract_graph(
         *[f"_ln{l}" for l in range(0, max_depth + 1)],
         *[f"_tg{l}" for l in range(0, max_depth + 1)],
         *[f"_fr{l}" for l in range(0, max_depth + 1)],
+        # consumed above; keeping them in the persisted frame would
+        # inflate the cache by a per-level string array per row
+        *[f"_sg{l}" for l in range(1, max_depth + 1)],
+        "_promoted",
+        "parent_line",
     )
     if persist:
         from pyspark import StorageLevel

@@ -57,6 +57,15 @@ def get_spark(
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
+        if master.startswith("local"):
+            # In local mode the driver JVM IS the executor; Spark's 1g
+            # default heap makes 32 concurrent tasks GC-thrash (and OOM
+            # outright on larger persists). Static conf — only applies
+            # when this builder launches the JVM. Overridable via env.
+            builder = builder.config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
