@@ -477,3 +477,78 @@ def cosine_candidate_pairs(
     return emb.select("vec_id", "embedding").mapInPandas(
         scan, "id_a long, id_b long"
     )
+
+
+# ------------------------------------------- duplicate-cluster canonicalization
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT doc_id, canonical_id, cluster_size,
+           doc_id = canonical_id AS is_kept
+    FROM (
+      SELECT id AS doc_id, MIN(r) AS canonical_id, COUNT(*) AS cluster_size
+      FROM reach GROUP BY id
+    )
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact-Jaccard pair graph, each doc labeled with its cluster's
+    canonical (minimum) doc_id and a keep/drop flag — the decision a
+    curation pipeline actually applies ("keep one copy per duplicate
+    cluster", transitively: if A~B and B~C, drop two of {A,B,C} even
+    when A~C is below threshold).
+
+    Scale: HashMin label propagation (graph/queries.connected_components)
+    — one shuffle on doc_id per round, O(cluster diameter) rounds, and
+    near-dup clusters are shallow (dup chains rarely exceed 2-3 hops);
+    `localCheckpoint` truncates lineage each round so the plan stays
+    O(1) deep. The DuckDB oracle computes the same fixpoint as a
+    recursive-CTE transitive closure — exponential in cluster size, fine
+    at oracle scale, which is exactly why the engine side uses HashMin.
+    """
+    from pyspark.sql import Window as W
+
+    from node_gedcom_graph_spark.graph.queries import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )
