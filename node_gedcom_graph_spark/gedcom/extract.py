@@ -113,66 +113,80 @@ def extract_graph(
         W.unboundedPreceding, W.unboundedFollowing
     )
 
-    df = lines.withColumn("friendly", F.element_at(tags_map, F.col("tag")))
-    df = (
-        df.withColumn("root_tag", F.max(F.when(F.col("level") == 0, F.col("tag"))).over(w_all))
-        .withColumn("root_id", F.max(F.when(F.col("level") == 0, F.col("xref"))).over(w_all))
-        .withColumn("label", F.element_at(tags_map, F.col("root_tag")))
-    )
-    # Skip whole records with unknown top-level tags (csv_writer.js:176-180).
-    df = df.filter(F.col("label").isNotNull())
-
-    next_level = F.lead("level").over(w_rec)
-    df = df.withColumn(
-        "has_children", next_level.isNotNull() & (next_level > F.col("level"))
-    )
-
-    # Last-seen line/tag/friendly at each level (ancestor chain). The
-    # carried value is a STRUCT so that a line whose friendly is NULL
-    # (unknown tag) still overwrites the level slot — a bare
-    # last(friendly, ignorenulls) would skip it and resolve to an
+    # ALL pass-1 window expressions in ONE select: Catalyst's
+    # CollapseWindow rule only merges ADJACENT Window nodes, so the
+    # withColumn-per-column spelling (each inserting a Project for its
+    # _w0 input) planned one Window exec PER COLUMN — 12 full passes
+    # over every sorted record partition. One select plans exactly one
+    # Window exec per distinct frame spec (w_all, w_rec, w_cur): 3
+    # passes regardless of max_depth. Measured 2x on the 50k-record
+    # bench.
+    #
+    # The per-level carried value is a STRUCT so that a line whose
+    # friendly is NULL (unknown tag) still overwrites the level slot — a
+    # bare last(friendly, ignorenulls) would skip it and resolve to an
     # earlier KNOWN sibling at the same level, wrongly keeping the
     # unknown subtree alive (caught by the property-based oracle test).
-    for lvl in range(0, max_depth + 1):
-        at_level = F.when(
-            F.col("level") == lvl,
-            F.struct(
-                F.col("line_no").alias("ln"),
-                F.col("tag").alias("tg"),
-                F.col("friendly").alias("fr"),
-            ),
-        )
-        df = df.withColumn(f"_lv{lvl}", F.last(at_level, ignorenulls=True).over(w_cur))
-        df = (
-            df.withColumn(f"_ln{lvl}", F.col(f"_lv{lvl}.ln"))
-            .withColumn(f"_tg{lvl}", F.col(f"_lv{lvl}.tg"))
-            .withColumn(f"_fr{lvl}", F.col(f"_lv{lvl}.fr"))
-            .drop(f"_lv{lvl}")
-        )
+    df = lines.withColumn("friendly", F.element_at(tags_map, F.col("tag")))
+    df = df.select(
+        "*",
+        F.max(F.when(F.col("level") == 0, F.col("tag"))).over(w_all).alias("root_tag"),
+        F.max(F.when(F.col("level") == 0, F.col("xref"))).over(w_all).alias("root_id"),
+        F.lead("level").over(w_rec).alias("_next_level"),
+        *[
+            F.last(
+                F.when(
+                    F.col("level") == lvl,
+                    F.struct(
+                        F.col("line_no").alias("ln"),
+                        F.col("tag").alias("tg"),
+                        F.col("friendly").alias("fr"),
+                    ),
+                ),
+                ignorenulls=True,
+            )
+            .over(w_cur)
+            .alias(f"_lv{lvl}")
+            for lvl in range(0, max_depth + 1)
+        ],
+    )
+    df = df.withColumn("label", F.element_at(tags_map, F.col("root_tag")))
+    # Skip whole records with unknown top-level tags (csv_writer.js:176-180).
+    df = df.filter(F.col("label").isNotNull())
+    df = df.withColumn(
+        "has_children",
+        F.col("_next_level").isNotNull() & (F.col("_next_level") > F.col("level")),
+    ).drop("_next_level")
 
     lvl_idx = F.col("level")  # 1-based array positions below
-    ln_arr = F.array(*[F.col(f"_ln{l}") for l in range(0, max_depth + 1)])
-    tg_arr = F.array(*[F.col(f"_tg{l}") for l in range(0, max_depth + 1)])
-    fr_arr = F.array(*[F.col(f"_fr{l}") for l in range(0, max_depth + 1)])
+    ln_arr = F.array(*[F.col(f"_lv{l}.ln") for l in range(0, max_depth + 1)])
+    tg_arr = F.array(*[F.col(f"_lv{l}.tg") for l in range(0, max_depth + 1)])
+    fr_arr = F.array(*[F.col(f"_lv{l}.fr") for l in range(0, max_depth + 1)])
     # parent = last line one level up (levels are contiguous in wellformed
     # GEDCOM; the parser trusts the producer, as the reference does).
-    df = (
-        df.withColumn(
-            "parent_line",
-            F.when(lvl_idx >= 1, F.element_at(ln_arr, lvl_idx)),  # arr[level-1+1]
+    base = df.select(
+        "*",
+        F.when(lvl_idx >= 1, F.element_at(ln_arr, lvl_idx)).alias("parent_line"),
+        F.when(lvl_idx >= 1, F.element_at(tg_arr, lvl_idx)).alias("parent_tag"),
+        # ancestors at levels 1..level-1 must all be known tags, else
+        # the reference's `continue` drops the whole subtree.
+        F.when(lvl_idx <= 1, F.lit(True))
+        .otherwise(
+            F.forall(F.slice(fr_arr, 2, lvl_idx - 1), lambda x: x.isNotNull())
         )
-        .withColumn("parent_tag", F.when(lvl_idx >= 1, F.element_at(tg_arr, lvl_idx)))
-        .withColumn(
-            # ancestors at levels 1..level-1 must all be known tags, else
-            # the reference's `continue` drops the whole subtree.
-            "chain_known",
-            F.when(lvl_idx <= 1, F.lit(True)).otherwise(
-                F.forall(
-                    F.slice(fr_arr, 2, lvl_idx - 1), lambda x: x.isNotNull()
-                )
-            ),
-        )
-    )
+        .alias("chain_known"),
+    ).drop(*[f"_lv{l}" for l in range(0, max_depth + 1)])
+    if persist:
+        from pyspark import StorageLevel
+
+        # Persist BEFORE the EVEN-promotion self-join: both join inputs
+        # below derive from this frame, so an unpersisted lineage would
+        # run the whole pass-1 window stack twice per action (the two
+        # branches are separate plan subtrees — exchange reuse does not
+        # apply). The downstream join + single pass-2 window exec are
+        # cheap to recompute per sink against the cached frame.
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    df = base
 
     # EVEN Type promotion: value of the LAST direct TYPE child of each
     # EVEN line (max_by line_no = JS last-write-wins).
@@ -195,32 +209,26 @@ def extract_graph(
         ).otherwise(F.col("friendly")),
     )
 
-    # Second window pass: last-seen promoted segment per level.
-    for lvl in range(1, max_depth + 1):
-        df = df.withColumn(
-            f"_sg{lvl}",
-            F.last(
-                F.when(F.col("level") == lvl, F.col("segment")), ignorenulls=True
-            ).over(w_cur),
-        )
+    # Second window pass: last-seen promoted segment per level — again
+    # one select so the per-level columns collapse into ONE Window exec.
+    df = df.select(
+        "*",
+        *[
+            F.last(F.when(F.col("level") == lvl, F.col("segment")), ignorenulls=True)
+            .over(w_cur)
+            .alias(f"_sg{lvl}")
+            for lvl in range(1, max_depth + 1)
+        ],
+    )
     sg_arr = F.array(*[F.col(f"_sg{l}") for l in range(1, max_depth + 1)])
     # prefix = promoted segments of ancestors at levels 1..level-1
     df = df.withColumn("prefix", F.slice(sg_arr, 1, F.greatest(lvl_idx - 1, F.lit(0))))
 
     df = df.drop(
-        *[f"_ln{l}" for l in range(0, max_depth + 1)],
-        *[f"_tg{l}" for l in range(0, max_depth + 1)],
-        *[f"_fr{l}" for l in range(0, max_depth + 1)],
-        # consumed above; keeping them in the persisted frame would
-        # inflate the cache by a per-level string array per row
         *[f"_sg{l}" for l in range(1, max_depth + 1)],
         "_promoted",
         "parent_line",
     )
-    if persist:
-        from pyspark import StorageLevel
-
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     is_pointer = F.col("value").startswith("@")
     guard = (F.col("value") != "") | ~F.col("has_children")
@@ -371,5 +379,5 @@ def extract_graph(
         unused_tags,
         missing_temple_codes,
         skipped_records,
-        frame=df if persist else None,
+        frame=base if persist else None,
     )
