@@ -389,3 +389,52 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = F.when(F.col("source") == "web", F.lit("8")).otherwise(F.lit("4"))
     digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return docs.filter(digit < threshold).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join, surfaced in the correctness gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_supplier_revenue",
+    oracle="""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue through an explicitly SALTED join
+    (operators/scale.salted_join): fact rows get a deterministic salt in
+    [0,8), the supplier side is replicated once per salt value, and the
+    join key becomes (s_suppkey, salt) — a hot supplier's rows land in 8
+    shuffle partitions instead of one.
+
+    The oracle is the PLAIN join: salting must be a pure physical
+    rewrite with zero semantic effect, and this entry pins that under
+    the driver's value-hash at every sf. The salt expression is
+    content-derived (xxhash64 of the orderkey/linenumber), not rand() —
+    identical row placement on retries and under AQE replans. At TPC-H
+    uniformity salting is overhead; the entry exists to keep the scale
+    path's semantics continuously verified (AQE skew-join handles the
+    common case; explicit salting covers single-key hotspots AQE splits
+    poorly, e.g. one key larger than an executor).
+    """
+    from node_gedcom_graph_spark.operators.scale import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast("int")
+    joined = salted_join(lineitem, supplier, "l_suppkey", n_salt=8, salt_expr=salt)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
