@@ -22,8 +22,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # LEVEL [@XREF@] TAG [VALUE] — value = everything after one separator
-# space (trailing spaces are significant in GEDCOM values).
-_LINE_RE = r"^\s*(\d+)(?:\s+@([^@]*)@)?\s+(\S+)(?: (.*))?$"
+# space (trailing spaces are significant in GEDCOM values). Real-world
+# files often open with a UTF-8 BOM before "0 HEAD"; tolerate it so the
+# header record survives (it would otherwise fail the match and drop,
+# reassigning the HEAD children to no record).
+_LINE_RE = "^\ufeff?" + r"\s*(\d+)(?:\s+@([^@]*)@)?\s+(\S+)(?: (.*))?$"
 
 
 def parse_lines(raw: DataFrame, text_col: str = "value", line_no_col: str = "line_no") -> DataFrame:

@@ -56,9 +56,11 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-# Same grammar as parser._LINE_RE (LEVEL [@XREF@] TAG [VALUE]); compiled
-# here for Python-side matching. Kept in lockstep by a test.
-LINE_RE = re.compile(r"^\s*(\d+)(?:\s+@([^@]*)@)?\s+(\S+)(?: (.*))?$")
+# The one line grammar (LEVEL [@XREF@] TAG [VALUE], BOM-tolerant),
+# shared with the JVM path so both sources parse identically.
+from node_gedcom_graph_spark.gedcom.parser import _LINE_RE
+
+LINE_RE = re.compile(_LINE_RE)
 
 SCHEMA = (
     "file string, record_seq bigint, line_no bigint, "

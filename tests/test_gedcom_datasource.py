@@ -37,6 +37,14 @@ def test_regex_lockstep():
     assert LINE_RE.pattern == _LINE_RE
 
 
+def test_bom_header_survives(tmp_path):
+    """UTF-8 BOM before '0 HEAD' must not drop the header record."""
+    f = tmp_path / "bom.ged"
+    f.write_bytes("\ufeff0 HEAD\n1 CHAR UTF-8\n0 TRLR\n".encode("utf-8"))
+    rows = list(_read_range(_RangePartition(str(f), 0, 0, os.path.getsize(f))))
+    assert [(r[3], r[5]) for r in rows] == [(0, "HEAD"), (1, "CHAR"), (0, "TRLR")]
+
+
 def test_split_invariance(tmp_path):
     """Any split size yields the identical row set — records never lose,
     duplicate, or misattribute lines across split boundaries."""
@@ -62,6 +70,48 @@ def test_split_invariance(tmp_path):
     assert len(whole) == 200 * 4
     for split_size in (64, 97, 256, 1024):
         assert sorted(rows(split_size)) == sorted(whole), f"split_size={split_size}"
+
+
+def test_split_invariance_property(tmp_path):
+    """Hypothesis: for ARBITRARY line content (unicode values, CRLF,
+    blank/garbage lines, records of any shape) and arbitrary split
+    sizes, range-reading a file in pieces equals reading it whole.
+    Pure-Python check — no Spark session, so hypothesis can run many
+    examples cheaply."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    value = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=12
+    )
+    line = st.one_of(
+        st.builds(
+            lambda lvl, tag, v: f"{lvl} {tag}{' ' + v if v else ''}",
+            st.integers(0, 3),
+            st.sampled_from(["INDI", "FAM", "NAME", "DATE", "X"]),
+            value,
+        ),
+        st.just(""),  # blank
+        st.just("garbage line without level"),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=40), st.integers(8, 200))
+    def check(lines_list, split_size):
+        f = tmp_path / "prop.ged"
+        f.write_bytes(("\n".join(lines_list) + "\n").encode("utf-8"))
+        size = os.path.getsize(f)
+        whole = sorted(_read_range(_RangePartition(str(f), 0, 0, size)))
+        pieces = []
+        for start in range(0, size, split_size):
+            pieces.extend(
+                _read_range(
+                    _RangePartition(str(f), 0, start, min(start + split_size, size))
+                )
+            )
+        assert sorted(pieces) == whole
+
+    check()
 
 
 def test_matches_jvm_text_path(registered, ged_dir):
