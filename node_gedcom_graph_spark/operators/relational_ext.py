@@ -438,3 +438,41 @@ def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VariantType semi-structured extraction (Spark 4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema ingestion via Spark 4's VARIANT type: parse_json once
+    into the binary variant encoding, then typed variant_get extraction.
+
+    Versus get_json_object (string re-parse per extraction), VARIANT
+    parses once and every subsequent path access reads the binary
+    encoding — the right shape for wide semi-structured event payloads
+    where a 100 TB pipeline extracts many fields: store the column as
+    VARIANT in parquet and each field access skips the parse entirely.
+    The oracle reads the same field with DuckDB's JSON functions.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select(k.alias("k"), F.col("value"))
+        .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
