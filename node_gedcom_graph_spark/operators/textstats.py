@@ -11,6 +11,7 @@ to constructs with identical semantics in Java regex (Spark) and RE2
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.functions.scalar import normalize_text, tokens
@@ -321,4 +322,60 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").alias("token_budget"),
+    )
+
+
+@register(
+    "pack_sequences_chunked",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           start_off // 2048 AS chunk_id,
+           start_off % 2048 AS chunk_offset
+    FROM pos
+    """,
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk (the GPT-pretraining shape):
+    documents are laid end-to-end per source in deterministic doc_id
+    order; each doc gets its starting offset in the token stream, the
+    2048-token chunk it starts in, and its offset within that chunk.
+    Downstream, a chunk's members are `groupBy(source, chunk_id)` —
+    ready for the tokenize-and-splice step.
+
+    Scale: one window (cumulative sum) per source partition. The
+    per-source ORDER BY doc_id sort is the honest cost of deterministic
+    packing; at 100 TB you range-partition by (source, doc_id) so the
+    sort is partition-local and the window never sees a global
+    ordering. No shuffle beyond the one on source; token counting is
+    scan-local.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n_tokens = F.size(tokens(F.col("text")))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pos = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+    ).withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return pos.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("start_off DIV 2048").alias("chunk_id"),
+        F.pmod("start_off", F.lit(2048)).cast("bigint").alias("chunk_offset"),
     )
