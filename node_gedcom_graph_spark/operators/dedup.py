@@ -273,6 +273,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Exact-Jaccard verification joins the candidate pairs back to the
+    # shingle arrays. MEASURED CHOICE (sf0.1): re-deriving sh_a/sh_b
+    # from the full corpus costs two extra tokenizer passes (~0.3s each)
+    # but keeps the plan to 2 joins; gating the scan with a semi-join on
+    # the candidate id set (so only candidates re-shingle) added 3 AQE
+    # stage rounds and recomputed the signature pipeline on the build
+    # side (no exchange reuse across the divergently-replanned branches)
+    # — net 0.8s SLOWER here. At 100 TB flip to the gate: materialize
+    # `cand` (tiny) first, then
+    #   cand_sh = shingled_docs(docs.join(cand.ids, "doc_id", "left_semi"))
+    # so the two verification scans touch only candidate docs instead of
+    # re-tokenizing the corpus twice.
     sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
