@@ -230,3 +230,44 @@ def stream_dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5("text").alias("fingerprint")
     ).dropDuplicates(["fingerprint"])
+
+
+def stream_stream_view_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with watermarks: each purchase matched
+    to the same user's view events from the preceding hour.
+
+    Both sides carry a watermark so the join state is BOUNDED: a
+    buffered view can be evicted once the purchase-side watermark passes
+    view_ts + 1 hour (the time-range condition gives Spark the eviction
+    bound — without it, stream-stream join state grows forever). This is
+    the streaming twin of the batch as-of join
+    (relational.asof_last_view_before_purchase), trading its exact
+    "latest view" semantics for all-views-in-window with O(watermark
+    horizon) keyed state per user.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "p_user", "purchase_ts", "view_id", "view_ts", "amount")

@@ -119,6 +119,55 @@ def test_stream_distinct_event_types(spark):
     assert {"signup", "purchase", "error"} <= types
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream join must produce exactly the rows
+    of the equivalent batch time-range join (availableNow drains every
+    file, and all events fall inside the watermark horizon relative to
+    the max event time, so nothing is dropped as late)."""
+    from node_gedcom_graph_spark.streaming import stream_stream_view_purchase_join
+
+    events = read_events_stream(spark, SF_DIR)
+    q = (
+        stream_stream_view_purchase_join(events)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("view_ts") < F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stream_gedcom_pipeline_end_to_end(spark, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
