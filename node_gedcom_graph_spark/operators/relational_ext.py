@@ -476,3 +476,52 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Map functions (§2.1 array/map/JSON family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_functions_user_type_counts",
+    oracle="""
+    SELECT user_id, event_type, n * 2 AS n_doubled
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE n >= 2
+    """,
+)
+def map_functions_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType function family end-to-end: per user, build a
+    map<event_type, count> (map_from_entries over collected structs),
+    drop rare entries with map_filter, rescale values with
+    transform_values, then explode back to rows so the DuckDB oracle can
+    check the values. This is the §2.1 map surface the GEDCOM node
+    model uses internally (nodes as map<flat_key, value>), exercised on
+    the events table where an oracle exists.
+
+    Scale: the per-user map is bounded by the event-type vocabulary
+    (not event count) — safe to materialize per key; one shuffle for
+    the (user, type) count, one for the per-user collect.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    cooked = as_map.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("type_counts", lambda k, v: v >= 2),
+            lambda k, v: v * 2,
+        ).alias("m"),
+    )
+    e = F.explode("m")
+    return cooked.select("user_id", e.alias("event_type", "n_doubled"))
