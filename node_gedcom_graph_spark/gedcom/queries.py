@@ -184,7 +184,14 @@ def gedcom_source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from node_gedcom_graph_spark.sources.gedcom_datasource import GedcomDataSource
 
-    path = os.path.join(tempfile.gettempdir(), "ngg_demo_source.ged")
+    # Per-process unique path: a fixed name would race concurrent gate
+    # runs on the same host (one process rewriting the file while the
+    # other's partitions are mid-read). local-mode only by construction
+    # (executors share the driver's filesystem); on a cluster the
+    # fixture would need shared storage, like any file-based source.
+    path = os.path.join(
+        tempfile.gettempdir(), f"ngg_demo_source_{os.getpid()}.ged"
+    )
     with open(path, "w") as fh:
         fh.write(DEMO_GEDCOM)
     spark.dataSource.register(GedcomDataSource)

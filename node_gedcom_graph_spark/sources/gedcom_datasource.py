@@ -25,10 +25,13 @@ Scale design:
   split's record. Every line is emitted exactly once, by exactly one
   split, with no coordination.
 - **Offset-based identity**: `line_no` / `record_seq` are byte offsets
-  (tagged with a file index in the high bits), which are file-order
-  monotonic and globally unique without any global counter — the same
-  reasoning as `parser.assign_records`' shuffle-free prefix-sum, but
-  here the source computes them for free while scanning.
+  (batch reads tag them with the file's index in the one stable listing
+  in the high bits), file-order monotonic and unique without any global
+  counter — the same reasoning as `parser.assign_records`' shuffle-free
+  prefix-sum, but computed for free while scanning. STREAMING identity
+  is the (file, record_seq) PAIR — there is no stable cross-microbatch
+  file numbering, so streamed ids carry no file tag and streaming
+  consumers must group on both columns.
 - **Streaming**: the stream reader treats files as immutable-once-
   present (the standard file-source contract), lists the directory per
   microbatch, and fans NEW files out as one partition each — discovery
@@ -57,10 +60,17 @@ from pyspark.sql.datasource import (
 )
 
 # The one line grammar (LEVEL [@XREF@] TAG [VALUE], BOM-tolerant),
-# shared with the JVM path so both sources parse identically.
+# shared with the JVM path so both sources parse identically. re.ASCII
+# matters: Java regex \s/\d are ASCII-only, while Python's default is
+# Unicode-aware — without the flag this source would accept NBSP
+# separators or Arabic-Indic level digits that regexp_extract rejects,
+# silently diverging on record structure. (The literal U+FEFF BOM
+# alternative still matches under ASCII mode.) Known residual
+# divergence: Hadoop's text reader also splits on lone \r line
+# terminators; this reader splits on \n only.
 from node_gedcom_graph_spark.gedcom.parser import _LINE_RE
 
-LINE_RE = re.compile(_LINE_RE)
+LINE_RE = re.compile(_LINE_RE, re.ASCII)
 
 SCHEMA = (
     "file string, record_seq bigint, line_no bigint, "
@@ -172,20 +182,29 @@ class GedcomStreamReader(DataSourceStreamReader):
         return {"files": _list_gedcom_files(self.path)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # file_index is 0 for EVERY streamed file: a position in the
+        # current listing is NOT stable across microbatches (a file
+        # sorting before an already-processed one would shift indices
+        # and collide ids), so streaming identity is the (file,
+        # record_seq) pair — the file column is in the schema for
+        # exactly this reason; streaming consumers must group on both.
+        # Batch reads keep the packed file_index (one stable listing).
         new = sorted(set(end["files"]) - set(start["files"]))
         parts: list[_RangePartition] = []
         for file in new:
-            # File index from position in the END listing keeps ids
-            # stable under replay of the same (start, end) range.
-            idx = end["files"].index(file)
-            parts.extend(_split_file(file, idx, self.split_size))
+            parts.extend(_split_file(file, 0, self.split_size))
         return parts
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         return _read_range(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are pure file listings; nothing to clean up
+        # Offsets are pure file listings; nothing to clean up. Known
+        # limitation: the listing grows with the directory (every
+        # checkpointed offset carries the full processed-file list) —
+        # fine for inbox-sized streams; a long-lived 100k-file stream
+        # wants log compaction like Spark's built-in file source.
+        pass
 
 
 class GedcomDataSource(DataSource):

@@ -135,7 +135,7 @@ def test_stream_stream_join_matches_batch(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
     got = {
         (r.purchase_id, r.view_id)
         for r in spark.sql("SELECT * FROM ss_join").collect()
