@@ -45,6 +45,18 @@ def test_bom_header_survives(tmp_path):
     assert [(r[3], r[5]) for r in rows] == [(0, "HEAD"), (1, "CHAR"), (0, "TRLR")]
 
 
+def test_unicode_separators_rejected_like_jvm(registered, tmp_path):
+    """re.ASCII parity: NBSP separators / non-ASCII digits must be
+    rejected by the Python source exactly as the JVM regexp path
+    rejects them (Java \\s and \\d are ASCII-only)."""
+    f = tmp_path / "nbsp.ged"
+    f.write_bytes("0\u00a0@I1@\u00a0INDI\n0 @I2@ INDI\n".encode("utf-8"))
+    rows = list(_read_range(_RangePartition(str(f), 0, 0, os.path.getsize(f))))
+    assert [r[5] for r in rows] == ["INDI"] and rows[0][4] == "I2"
+    via_jvm = read_gedcom_lines(registered, str(f)).collect()
+    assert [(r.xref, r.tag) for r in via_jvm] == [("I2", "INDI")]
+
+
 def test_split_invariance(tmp_path):
     """Any split size yields the identical row set — records never lose,
     duplicate, or misattribute lines across split boundaries."""
