@@ -525,3 +525,57 @@ def map_functions_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
     e = F.explode("m")
     return cooked.select("user_id", e.alias("event_type", "n_doubled"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches: two-level rollup without re-scanning.
+# ---------------------------------------------------------------------------
+
+
+@register("sketch_rollup_region")  # no SQL oracle: DataSketches binary state
+def sketch_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sketch rollup: per-nation HLL (distinct customers) and
+    KLL (balance quantiles) sketches, MERGED up to region level —
+    estimates come from combining the partial sketches, never from
+    re-scanning customers.
+
+    This is the pattern that matters at 100 TB: sketches are mergeable
+    partial aggregates (HLL register-max / KLL compaction are
+    order-independent), so a daily pipeline keeps per-partition
+    sketches and answers distinct/quantile rollups at any grouping
+    level by union alone — same shape as Spark's own partial/final
+    aggregation, but the partial state is persistable and reusable
+    across jobs. Error bounds are asserted in tests (rows-only here:
+    the sketch state is engine-specific binary).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("hll"),
+        F.kll_sketch_agg_double(F.col("c_acctbal")).alias("kll"),
+    )
+    return (
+        per_nation.join(nation, per_nation.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_customers"),
+            # KLL has no union AGGREGATE (merge is a binary scalar), so
+            # fold the bounded per-nation sketch list (<= 25/region):
+            # collect_list -> left fold with kll_sketch_merge_double.
+            F.collect_list("kll").alias("klls"),
+        )
+        .select(
+            "region_name",
+            "approx_customers",
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice(F.col("klls"), 2, F.size("klls") - 1),
+                    F.element_at(F.col("klls"), 1),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ).alias("approx_median_balance"),
+        )
+    )

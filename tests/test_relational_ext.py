@@ -62,6 +62,46 @@ def test_sample_is_deterministic_and_stratified(spark):
             assert rate < 0.5
 
 
+def test_sketch_rollup_error_bounds(spark):
+    """Merged-sketch estimates must sit near the exact answers: HLL is
+    exact-ish at this cardinality (sparse mode), KLL median within the
+    sketch's rank error of the true quantile."""
+    from node_gedcom_graph_spark.operators.relational_ext import sketch_rollup_region
+
+    got = {r.region_name: r for r in sketch_rollup_region(spark, SF_DIR).collect()}
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    exact = {
+        r.r_name: r
+        for r in customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n"),
+            F.expr("percentile(c_acctbal, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for name, e in exact.items():
+        g = got[name]
+        assert abs(g.approx_customers - e.n) <= max(2, 0.03 * e.n)
+        # KLL default k: rank error ~1.7%; accept the estimate anywhere
+        # in the 40th-60th percentile band of the true distribution.
+        band = (
+            customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .filter(F.col("r_name") == name)
+            .selectExpr(
+                "percentile(c_acctbal, 0.40) AS lo",
+                "percentile(c_acctbal, 0.60) AS hi",
+            )
+            .collect()[0]
+        )
+        assert band.lo <= g.approx_median_balance <= band.hi, name
+
+
 def test_mode_tie_break_is_smallest_value(spark):
     rows = spark.createDataFrame(
         [("O", "2-HIGH"), ("O", "1-URGENT"), ("O", "3-LOW"), ("O", "1-URGENT"), ("O", "2-HIGH")],
