@@ -579,3 +579,35 @@ def sketch_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_median_balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations (ALL variants).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_ops_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each open-order priority row is
+    cancelled by at most one finished-order row, surviving copies keep
+    their multiplicity (the distinct-flavored set_ops_customer_keys
+    covers INTERSECT; this completes the §2.1 set-op family with the
+    ALL variants Spark implements as a left-anti-style hash join on
+    counted duplicates).
+
+    Scale: one shuffle per side on the compared column; multiplicities
+    are carried as counts, not replicated rows, inside the join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(done_p)
