@@ -16,8 +16,9 @@ by workload and the tradeoff stays measured instead of assumed:
   Arrow-transferring every line through a Python worker.
 
 Measured (synth 50k records / 350k lines, local[32], warm): window
-variant 8.2 s, grouped variant 15.1 s — per-record groups are tiny
-(7 lines), so the grouped map pays ~2x in per-group pandas overhead.
+variant 2.2 s (after collapsing the window stack to one exec per frame
+spec), grouped variant 24.4 s — per-record groups are tiny (7 lines),
+so the grouped map pays ~10x in per-group pandas overhead.
 The window stack is therefore the default engine path; the grouped
 variant remains the right shape when per-record logic outgrows what
 column expressions can say (custom per-record ML featurization, deeply
