@@ -25,6 +25,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas-UDF / toPandas transfers.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let Python data sources (sources/gedcom_datasource.py) absorb
+    # filters via pushFilters — off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # InferFiltersFromGenerate adds size(e)>0/isnotnull(e) under every
     # explode; predicate pushdown then inlines the generator's whole
     # child expression into a pre-codegen Filter at the scan. For

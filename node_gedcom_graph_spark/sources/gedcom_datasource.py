@@ -50,13 +50,17 @@ from __future__ import annotations
 
 import os
 import re
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
     InputPartition,
+    IsNotNull,
 )
 
 # The one line grammar (LEVEL [@XREF@] TAG [VALUE], BOM-tolerant),
@@ -148,12 +152,53 @@ def _read_range(part: _RangePartition) -> Iterator[tuple]:
             )
 
 
+# Column index per pushable attribute in the output tuple.
+_PUSHABLE = {"file": 0, "level": 3, "xref": 4, "tag": 5}
+
+
+def _row_passes(pushed: list, row: tuple) -> bool:
+    for f in pushed:
+        v = row[_PUSHABLE[f.attribute[0]]]
+        if isinstance(f, EqualTo):
+            if v != f.value:
+                return False
+        elif isinstance(f, In):
+            if v not in f.value:
+                return False
+        elif isinstance(f, IsNotNull):
+            if v is None:
+                return False
+    return True
+
+
 class GedcomBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("gedcom source requires a path: .load('/data/x.ged')")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.pushed: list = []
+
+    def pushFilters(self, filters: list) -> Iterable["Filter"]:
+        """Handle EqualTo/In/IsNotNull on (file, level, xref, tag)
+        inside the scan; everything else stays with Spark. Filters are
+        applied at EMISSION time, after record-boundary tracking, so
+        record_seq stays correct even when the filter drops level-0
+        lines (the skipped record's boundary still advances the
+        sequence). A tag/level filter thus skips the regex-to-row work
+        for non-matching lines without corrupting record identity —
+        the Python-source analog of parquet PushedFilters."""
+        residual = []
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, In, IsNotNull))
+                and len(f.attribute) == 1
+                and f.attribute[0] in _PUSHABLE
+            ):
+                self.pushed.append(f)
+            else:
+                residual.append(f)  # must be returned by reference
+        return residual
 
     def partitions(self) -> Sequence[InputPartition]:
         parts: list[_RangePartition] = []
@@ -162,7 +207,11 @@ class GedcomBatchReader(DataSourceReader):
         return parts
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        return _read_range(partition)
+        rows = _read_range(partition)
+        if not self.pushed:
+            return rows
+        pushed = self.pushed
+        return (r for r in rows if _row_passes(pushed, r))
 
 
 class GedcomStreamReader(DataSourceStreamReader):

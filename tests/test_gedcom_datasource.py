@@ -5,6 +5,7 @@ file-discovery stream reader."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.gedcom.fixtures import DEMO_GEDCOM
 from node_gedcom_graph_spark.gedcom.parser import (
@@ -142,6 +143,36 @@ def test_matches_jvm_text_path(registered, ged_dir):
         return sorted(sorted(lines) for lines in by_rec.values())
 
     assert record_multiset(via_source) == record_multiset(via_text)
+
+
+def test_filter_pushdown_into_python_source(registered, ged_dir):
+    """tag/level filters evaluate inside the Python reader (pushFilters)
+    and must not disturb record identity: a pushed tag filter that
+    drops level-0 lines still advances record_seq past the skipped
+    records."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from node_gedcom_graph_spark.sources.gedcom_datasource import GedcomBatchReader
+
+    # Unit: supported filters are absorbed, others returned by reference.
+    r = GedcomBatchReader({"path": ged_dir})
+    gt = GreaterThan(("level",), 1)
+    residual = list(r.pushFilters([EqualTo(("tag",), "NAME"), In(("level",), (1, 2)), gt]))
+    assert residual == [gt] and len(r.pushed) == 2
+
+    # End-to-end: pushed results equal post-scan filtering.
+    base = registered.read.format("gedcom").load(ged_dir)
+    want = sorted(
+        (r.record_seq, r.value) for r in base.collect() if r.tag == "NAME"
+    )
+    got = sorted(
+        (r.record_seq, r.value)
+        for r in base.filter(F.col("tag") == "NAME").collect()
+    )
+    assert got == want and len(got) > 0
+    # Distinct record_seq values survive even though level-0 INDI lines
+    # were filtered out by the pushed predicate.
+    assert len({s for s, _ in got}) >= 3
 
 
 def test_extract_graph_integration(registered, ged_dir):
