@@ -18,7 +18,6 @@ prefix-sum pattern, O(partitions) driver state at any data size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # LEVEL [@XREF@] TAG [VALUE] — value = everything after one separator

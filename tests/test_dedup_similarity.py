@@ -87,8 +87,6 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark):
 
 
 def test_simhash_near_identical_close(spark, docs):
-    from node_gedcom_graph_spark.operators import dedup as D
-
     docs.createOrReplaceTempView("t")
     # reuse the registered query logic through a local table by calling
     # the internals directly: identical docs -> identical fingerprints.

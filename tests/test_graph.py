@@ -1,7 +1,6 @@
 """Graph-layer tests over multi-generation GEDCOM fixtures."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.gedcom.extract import extract_graph
 from node_gedcom_graph_spark.gedcom.parser import assign_records, lines_from_string
