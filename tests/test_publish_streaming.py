@@ -86,6 +86,29 @@ def test_atomic_publish_first_publish_no_backup(tmp_path):
     assert (tmp_path / "live" / "new.txt").read_text() == "new"
 
 
+def test_cli_end_to_end(spark, tmp_path):
+    """The `python -m node_gedcom_graph_spark` surface (the reference's
+    index.js CLI): export, audits, argv, atomic publish with backup on
+    the second run."""
+    from node_gedcom_graph_spark.__main__ import main
+
+    src = tmp_path / "t.ged"
+    src.write_text(DEMO_GEDCOM)
+    dest = str(tmp_path / "live")
+
+    # Reuse the session fixture's master so the CLI's get_spark call
+    # returns the active session instead of building a new JVM.
+    rc = main(["--src", str(src), "--dest", dest, "--master", "local[4]",
+               "--tmpdir", str(tmp_path / "stage1")])
+    assert rc == 0
+    assert os.path.isdir(f"{dest}/nodes-INDI")
+    rc = main(["--src", str(src), "--dest", dest, "--master", "local[4]",
+               "--tmpdir", str(tmp_path / "stage2")])
+    assert rc == 0
+    backups = [d for d in os.listdir(tmp_path) if d.startswith("live.bak-")]
+    assert len(backups) == 1  # second publish preserved the first as backup
+
+
 # ----------------------------------------------------------- streaming
 
 
