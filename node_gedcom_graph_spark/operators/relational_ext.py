@@ -611,3 +611,44 @@ def set_ops_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return open_p.exceptAll(done_p)
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame over a time interval (rolling 30-day totals).
+# ---------------------------------------------------------------------------
+
+_RANGE_WINDOW_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30d_total
+    FROM orders
+"""
+
+
+@register(
+    "window_range_30d_order_totals",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30d_total
+    FROM orders
+    """,
+)
+def window_range_30d_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day spend per customer — a RANGE frame over the
+    event-time column, which is VALUE-based: the frame holds every row
+    within the interval of the current row's date, regardless of row
+    count (and peers with the same date share one frame), unlike the
+    ROWS frames used by the running-total/lag/top-k queries. The exact
+    decimal sum keeps the output order-independent and engine-exact.
+
+    Scale: one shuffle on o_custkey + per-partition sort on date; the
+    runtime keeps a sliding aggregate over the value window — state is
+    the rows inside 30 days, not the whole partition.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RANGE_WINDOW_SQL)
