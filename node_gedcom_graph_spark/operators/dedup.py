@@ -564,3 +564,53 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("component")).alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_kept"),
     )
+
+
+# ----------------------------------------------------- decontamination
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+      FROM documents
+    )
+    SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+    FROM sh t
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE source = 'wiki') b
+      ON t.shingle = b.shingle
+    WHERE t.source <> 'wiki'
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every candidate training doc
+    (source != 'wiki') that shares at least one word-3-gram with the
+    held-out set (source = 'wiki'), with the count of distinct
+    overlapping shingles — the standard n-gram-overlap contamination
+    check run before pretraining.
+
+    Scale: the join shuffles on the SHINGLE, so a training doc only
+    ever meets benchmark shingles it actually contains; the benchmark
+    side is distinct-reduced first (and at real scale is both far
+    smaller than the corpus and broadcastable as a bloom/hash set —
+    here an equi-join so the oracle can mirror it exactly). No
+    all-pairs stage; output is per-doc hit counts for thresholding.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = shingled_docs(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", F.explode("shingles").alias("shingle"))
+    bench = sh.filter(F.col("source") == "wiki").select("shingle").distinct()
+    train = sh.filter(F.col("source") != "wiki")
+    return (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
