@@ -57,7 +57,17 @@ def main(argv: list[str] | None = None) -> int:
         lines = assign_records(read_gedcom_lines(spark, args.src))
         graph = extract_graph(lines, persist=True)
 
-        staging = args.tmpdir or tempfile.mkdtemp(prefix="ged2neo-csvs-")
+        # Stage on the SAME filesystem as dest: atomic_publish swaps
+        # with os.rename, which cannot cross devices — a /tmp default
+        # would export everything and then die with EXDEV when dest
+        # lives on another mount.
+        import os
+
+        dest_parent = os.path.dirname(os.path.abspath(args.dest)) or "."
+        os.makedirs(dest_parent, exist_ok=True)
+        staging = args.tmpdir or tempfile.mkdtemp(
+            prefix="ged2neo-csvs-", dir=dest_parent
+        )
         outputs = export_neo4j_csvs(graph, staging)
         counts = observed_counts(graph)
 
@@ -80,9 +90,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"published {staging} -> {args.dest}"
                   + (f" (backup: {backup})" if backup else ""), file=sys.stderr)
             # The CSVs now live under dest — the argv must point there.
-            final_outputs = {
-                g: args.dest + p[len(staging):] for g, p in outputs.items()
-            }
+            # (Group name == directory basename by construction in
+            # export_neo4j_csvs; joining avoids trailing-slash breakage
+            # a prefix-strip rewrite would hit.)
+            final_outputs = {g: os.path.join(args.dest, g) for g in outputs}
         print(" ".join([f"{args.bindir}/neo4j-admin", "database", "import", "full"]
                        + build_import_args(final_outputs,
                                            into=args.dest if not args.dry_run else staging)))

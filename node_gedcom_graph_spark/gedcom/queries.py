@@ -189,11 +189,17 @@ def gedcom_source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other's partitions are mid-read). local-mode only by construction
     # (executors share the driver's filesystem); on a cluster the
     # fixture would need shared storage, like any file-based source.
+    import atexit
+
     path = os.path.join(
         tempfile.gettempdir(), f"ngg_demo_source_{os.getpid()}.ged"
     )
-    with open(path, "w") as fh:
-        fh.write(DEMO_GEDCOM)
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write(DEMO_GEDCOM)
+        # One fixture per process, removed at exit (repeated gate runs
+        # on a long-lived host must not accumulate orphans).
+        atexit.register(lambda p=path: os.path.exists(p) and os.remove(p))
     spark.dataSource.register(GedcomDataSource)
     lines = spark.read.format("gedcom").option("split_size", "64").load(path)
     return (

@@ -603,12 +603,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     here an equi-join so the oracle can mirror it exactly). No
     all-pairs stage; output is per-doc hit counts for thresholding.
     """
+    # Filter BEFORE shingling: each branch tokenizes only its own docs
+    # (one pass over the corpus total), versus shingling everything and
+    # re-attaching `source` with a join — which ran the tokenizer twice
+    # and added a shuffle purely to recover a column the scan had.
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = shingled_docs(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    ).select("doc_id", "source", F.explode("shingles").alias("shingle"))
-    bench = sh.filter(F.col("source") == "wiki").select("shingle").distinct()
-    train = sh.filter(F.col("source") != "wiki")
+    bench = (
+        shingled_docs(docs.filter(F.col("source") == "wiki"))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = shingled_docs(docs.filter(F.col("source") != "wiki")).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
     return (
         train.join(bench, "shingle")
         .groupBy("doc_id")

@@ -627,17 +627,9 @@ _RANGE_WINDOW_SQL = """
 """
 
 
-@register(
-    "window_range_30d_order_totals",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate
-                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS rolling_30d_total
-    FROM orders
-    """,
-)
+# The same text runs on both engines (the dialect overlap covers it),
+# so the oracle IS the query string — no drift possible.
+@register("window_range_30d_order_totals", oracle=_RANGE_WINDOW_SQL)
 def window_range_30d_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 30-day spend per customer — a RANGE frame over the
     event-time column, which is VALUE-based: the frame holds every row

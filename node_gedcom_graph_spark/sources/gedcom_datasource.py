@@ -28,10 +28,10 @@ Scale design:
   (batch reads tag them with the file's index in the one stable listing
   in the high bits), file-order monotonic and unique without any global
   counter — the same reasoning as `parser.assign_records`' shuffle-free
-  prefix-sum, but computed for free while scanning. STREAMING identity
-  is the (file, record_seq) PAIR — there is no stable cross-microbatch
-  file numbering, so streamed ids carry no file tag and streaming
-  consumers must group on both columns.
+  prefix-sum, but computed for free while scanning. Streamed files are
+  numbered files-processed-so-far + in-batch rank — unique across the
+  stream's life (the processed set only grows) and stable under replay
+  of a committed batch.
 - **Streaming**: the stream reader treats files as immutable-once-
   present (the standard file-source contract), lists the directory per
   microbatch, and fans NEW files out as one partition each — discovery
@@ -182,19 +182,29 @@ class GedcomBatchReader(DataSourceReader):
     def pushFilters(self, filters: list) -> Iterable["Filter"]:
         """Handle EqualTo/In/IsNotNull on (file, level, xref, tag)
         inside the scan; everything else stays with Spark. Filters are
-        applied at EMISSION time, after record-boundary tracking, so
-        record_seq stays correct even when the filter drops level-0
-        lines (the skipped record's boundary still advances the
-        sequence). A tag/level filter thus skips the regex-to-row work
-        for non-matching lines without corrupting record identity —
-        the Python-source analog of parquet PushedFilters."""
+        applied at EMISSION time, after the regex parse and after
+        record-boundary tracking — so record_seq stays correct even
+        when the filter drops level-0 lines (the skipped record's
+        boundary still advances the sequence). The saving is the
+        per-row materialization + Arrow transfer of dropped rows, not
+        the regex itself (every line must still parse for boundary
+        tracking).
+
+        NULL-bearing comparisons stay with Spark: SQL three-valued
+        logic makes `x IN (..., NULL)` never-true-only-null, which a
+        Python `in` check would wrongly pass for NULL cells."""
         residual = []
         for f in filters:
-            if (
+            ok = (
                 isinstance(f, (EqualTo, In, IsNotNull))
                 and len(f.attribute) == 1
                 and f.attribute[0] in _PUSHABLE
-            ):
+            )
+            if isinstance(f, EqualTo) and f.value is None:
+                ok = False
+            if isinstance(f, In) and any(v is None for v in f.value):
+                ok = False
+            if ok:
                 self.pushed.append(f)
             else:
                 residual.append(f)  # must be returned by reference
@@ -231,17 +241,18 @@ class GedcomStreamReader(DataSourceStreamReader):
         return {"files": _list_gedcom_files(self.path)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # file_index is 0 for EVERY streamed file: a position in the
-        # current listing is NOT stable across microbatches (a file
-        # sorting before an already-processed one would shift indices
-        # and collide ids), so streaming identity is the (file,
-        # record_seq) pair — the file column is in the schema for
-        # exactly this reason; streaming consumers must group on both.
-        # Batch reads keep the packed file_index (one stable listing).
+        # file_index = files-processed-so-far + rank within this batch:
+        # unique across the stream's whole life (start["files"] only
+        # grows under the immutable-files contract) and stable under
+        # replay of the same (start, end) range — unlike a position in
+        # the current listing, which shifts when a later file sorts
+        # before an already-processed one, and unlike a constant, which
+        # collides two files discovered in the same batch.
         new = sorted(set(end["files"]) - set(start["files"]))
+        base = len(start["files"])
         parts: list[_RangePartition] = []
-        for file in new:
-            parts.extend(_split_file(file, 0, self.split_size))
+        for i, file in enumerate(new):
+            parts.extend(_split_file(file, base + i, self.split_size))
         return parts
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

@@ -185,6 +185,35 @@ def test_extract_graph_integration(registered, ged_dir):
     assert g.nodes_long.filter("label = 'Individual'").count() > 0
 
 
+def test_stream_same_batch_files_get_distinct_ids(registered, tmp_path):
+    """Two files discovered in ONE microbatch (both present at stream
+    start) must not collide on record_seq — their records all start at
+    byte offset 0, so the file tag in the high bits is what separates
+    them."""
+    src = tmp_path / "inbox0"
+    src.mkdir()
+    (src / "a.ged").write_text("0 @A1@ INDI\n1 NAME A //\n")
+    (src / "b.ged").write_text("0 @B1@ INDI\n1 NAME B //\n")
+    q = (
+        registered.readStream.format("gedcom")
+        .load(str(src))
+        .writeStream.format("memory")
+        .queryName("ged_samebatch")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = registered.sql("SELECT * FROM ged_samebatch").collect()
+        seqs = {r.record_seq for r in rows}
+        assert len(seqs) == 2  # one distinct id per file's record
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r.record_seq, set()).add(r.file)
+        assert all(len(files) == 1 for files in by_seq.values())
+    finally:
+        q.stop()
+
+
 def test_stream_discovers_new_files_once(registered, tmp_path):
     src = tmp_path / "inbox"
     src.mkdir()
