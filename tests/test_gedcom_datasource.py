@@ -38,6 +38,14 @@ def test_regex_lockstep():
     assert LINE_RE.pattern == _LINE_RE
 
 
+def test_on_disk_fixture_matches_embedded():
+    """tests/fixtures/demo.ged (FIXTURES.md §2) must stay in sync with
+    the embedded DEMO_GEDCOM the oracles are hand-computed against."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    on_disk = open(os.path.join(here, "fixtures", "demo.ged")).read()
+    assert on_disk == DEMO_GEDCOM
+
+
 def test_bom_header_survives(tmp_path):
     """UTF-8 BOM before '0 HEAD' must not drop the header record."""
     f = tmp_path / "bom.ged"
