@@ -249,3 +249,19 @@ def test_read_gedcom_directory_multi_file(spark, tmp_path):
         .collect()
     )
     assert sizes == [2, 2, 3]
+
+
+def test_cont_conc_are_plain_properties_not_spliced(spark):
+    """The reference treats CONC/CONT as ordinary dictionary tags
+    (const/tags.js:62,65 — 'Concatenation'/'Continued'), NOT as value
+    continuations to splice into the parent; multiple CONT children
+    collapse last-wins like any repeated key. Pinned here so the
+    faithful oddity reads as intent, not accident."""
+    g = graph_of(
+        spark,
+        "0 @I1@ INDI\n1 NOTE first part\n2 CONT second part\n2 CONT third part\n",
+    )
+    props = node_map(g, 1)
+    assert props["Note"] == "first part"
+    assert props["Note Continued"] == "third part"  # last CONT wins
+    assert "second part" not in props.values()
