@@ -644,3 +644,81 @@ def window_range_30d_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RANGE_WINDOW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling: hourly spine + gap-fill + forward-fill.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "resample_hourly_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE user_id <= 5
+    ), u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id <= 5
+    ), spine AS (
+      SELECT u.user_id,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM u, b
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events WHERE user_id <= 5 GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.h AS hour,
+           COALESCE(hy.n, 0) AS n_events,
+           CAST(LAST_VALUE(hy.sv IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS ffill_sum
+    FROM spine s
+    LEFT JOIN hourly hy ON hy.user_id = s.user_id AND hy.h = s.h
+    """,
+)
+def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample sparse events onto a dense hourly grid per user: build
+    the complete (user, hour) spine, left-join observed hourly
+    aggregates, zero-fill counts, and FORWARD-FILL the hourly sum
+    (last(ignorenulls) over the preceding frame) — the standard
+    time-series densification before rolling features or charting.
+
+    Scale: the spine is generated with `sequence()` + explode — no
+    driver loop, no range table materialized outside the plan; rows =
+    users x hours, produced streamingly inside codegen. One shuffle on
+    (user_id, hour) for the join, one window per user for the fill.
+    The hour span derives from the data via a 1-row aggregate
+    broadcast-crossed onto the users — O(1) driver state.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    users = events.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("sv"),
+    )
+    w = (
+        W.partitionBy(spine.user_id)
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("sv", ignorenulls=True).over(w).cast("double").alias("ffill_sum"),
+        )
+    )
