@@ -379,3 +379,55 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("start_off DIV 2048").alias("chunk_id"),
         F.pmod("start_off", F.lit(2048)).cast("bigint").alias("chunk_offset"),
     )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+               / length(text) AS w
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+    )
+    SELECT doc_id, source, w AS keep_prob
+    FROM scored
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+          lpad(lower(to_hex(CAST(floor(LEAST(w, 0.999999) * 16777216) AS BIGINT))), 6, '0')
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each doc survives with
+    probability equal to its quality weight (here token density), the
+    importance-sampling shape behind data-mixing recipes ("sample
+    high-quality sources at a higher rate") — but with zero RNG state:
+    accept iff the first 6 hex digits of md5(doc_id) fall below the
+    weight mapped onto [0, 16^6). Identical keep set on every run and
+    cluster layout, and per-doc auditable (the keep decision is a pure
+    function of the row).
+
+    Scale: stateless row-local predicate — evaluates inside the scan
+    stage like sample_hash_stratified, no shuffle; the weight can be
+    any deterministic double expression (model scores included) as long
+    as both engines derive it identically (here an int/int division —
+    bit-exact).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.size(toks).cast("double") / F.length("text")).alias("w"),
+    ).filter(F.size(toks) > 0)
+    threshold = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.least(F.col("w"), F.lit(0.999999)) * 16777216).cast("bigint"))
+        ),
+        6,
+        "0",
+    )
+    digest = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    return scored.filter(digest < threshold).select(
+        "doc_id", "source", F.col("w").alias("keep_prob")
+    )
