@@ -438,30 +438,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEMM_BROADCAST_CAP_ROWS = 1_000_000  # ~500 MB at dim=64 float64
+
+
+def _srp_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Fully distributed near-dup candidate pairs via SRP-LSH band
+    buckets: vectors sharing >= 1 of 4 sign-random-projection bands
+    become a candidate pair. Bucket self-join only — no all-pairs, no
+    driver-side collection; this is the 100 TB path. Recall < 1 by
+    construction (tunable via bands/bits); callers re-score candidates
+    with the exact cosine so precision is unaffected."""
+    # Function-level import: similarity imports dot_f32 from this module
+    # at load time, so the reverse import must stay lazy.
+    from node_gedcom_graph_spark.operators.similarity import (
+        SRP_BANDS,
+        srp_bucket_cols,
+    )
+
+    banded = (
+        emb.select("vec_id", *srp_bucket_cols())
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"srp{b}").alias("bucket")
+                        )
+                        for b in range(SRP_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("vec_id", "bk.band", "bk.bucket")
+    )
+    other = banded.select(
+        F.col("vec_id").alias("id_b"), "band", "bucket"
+    )
+    return (
+        banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+        .join(other, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+
+
 def cosine_candidate_pairs(
     emb: DataFrame,
     threshold: float,
     margin: float = 1e-3,
     corpus: DataFrame | None = None,
+    broadcast_cap: int = GEMM_BROADCAST_CAP_ROWS,
 ) -> DataFrame:
     """Exact-recall candidate pairs with cosine >= threshold - margin,
-    via a vectorized numpy GEMM prefilter.
+    via a vectorized numpy GEMM prefilter — guarded by a row-count cap.
 
     One side of the all-pairs comparison is broadcast as a dense
     (n, dim) float64 matrix; each Arrow batch of the other side does a
     single C-speed matmul against it. The margin (1e-3) exceeds any
     f32-vs-f64 accumulation drift (~1e-7) by four orders of magnitude,
     so no true pair is lost — the exact fold then re-scores survivors.
-    Scale honesty: the broadcast side caps at ~1e6 x dim (500 MB);
-    beyond that, shard the broadcast matrix or switch to the SRP-LSH
-    path (similarity.ann_lsh_topk)."""
+
+    Scale guard: the broadcast side is only safe to ~`broadcast_cap`
+    rows (~500 MB at dim=64). The corpus is counted first (a cheap
+    2-column aggregate); above the cap the function degrades gracefully
+    to the fully distributed SRP-LSH bucket join instead of dying on a
+    driver OOM — approximate recall, exact precision (callers
+    re-score)."""
     import numpy as np
 
     # ``corpus``: optionally a cheaper-to-collect lineage of the SAME
     # rows (e.g. the unspread scan) for the driver-side broadcast.
-    corpus = (corpus if corpus is not None else emb).select(
-        "vec_id", "embedding"
-    ).toPandas()
+    side = corpus if corpus is not None else emb
+    if side.count() > broadcast_cap:
+        return _srp_candidate_pairs(emb)
+    corpus = side.select("vec_id", "embedding").toPandas()
     ids = corpus["vec_id"].to_numpy()
     m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1)

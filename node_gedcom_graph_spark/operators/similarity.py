@@ -223,25 +223,44 @@ def topk_cosine_arrow(
 IVF_K = 16  # coarse-quantizer cells
 IVF_NPROBE = 4  # cells probed per query
 IVF_SAMPLE_MOD = 4  # train on ~1/4 of the corpus (hash-sampled)
+IVF_TRAIN_CAP = 100_000  # hard cap on driver-collected training rows
 
 
-def _train_ivf_centroids(emb: DataFrame, k: int = IVF_K) -> list[list[float]]:
-    """Deterministic spherical k-means on a hash-sampled subset.
+def _ivf_training_sample(emb: DataFrame, cap: int = IVF_TRAIN_CAP):
+    """Deterministic bounded training sample for the IVF quantizer.
 
-    IVF training always runs on a sample (FAISS does the same): the
-    sample is collected to the driver (bounded — cap the fraction so it
-    stays ~1e5 rows at any corpus size) and Lloyd iterations run in
-    numpy. Seeded init + fixed iteration count -> identical centroids on
-    every run and every cluster topology.
+    Hash-filter to ~1/IVF_SAMPLE_MOD of the corpus, then take the `cap`
+    rows with the smallest (salted-hash, vec_id) rank. The orderBy+limit
+    plans as TakeOrderedAndProject — each partition keeps at most `cap`
+    rows and the driver merges the per-partition heads, so driver memory
+    is O(cap * dim) at ANY corpus size. When the hash-filtered corpus is
+    smaller than the cap (every test SF), the limit doesn't bind and the
+    sample is exactly the old unbounded one.
     """
-    import numpy as np
-
-    sample = (
+    return (
         emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(IVF_SAMPLE_MOD)) == 0)
         .select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id", F.lit(17)), "vec_id")
+        .limit(cap)
         .toPandas()
         .sort_values("vec_id")
     )
+
+
+def _train_ivf_centroids(
+    emb: DataFrame, k: int = IVF_K, cap: int = IVF_TRAIN_CAP
+) -> list[list[float]]:
+    """Deterministic spherical k-means on a hash-sampled subset.
+
+    IVF training always runs on a sample (FAISS does the same): the
+    sample is collected to the driver — bounded to `cap` rows by
+    `_ivf_training_sample` — and Lloyd iterations run in numpy. Seeded
+    init + fixed iteration count -> identical centroids on every run
+    and every cluster topology.
+    """
+    import numpy as np
+
+    sample = _ivf_training_sample(emb, cap)
     m = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     m = m / np.linalg.norm(m, axis=1)[:, None]
     rng = np.random.RandomState(42)

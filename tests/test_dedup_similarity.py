@@ -236,6 +236,91 @@ def test_asof_join_semantics(spark):
     assert out[200] is None  # left join: no view -> NULL
 
 
+def test_ivf_training_sample_is_capped_and_deterministic(spark):
+    """The driver-side IVF training collect must honor the row cap
+    (TakeOrderedAndProject keeps driver memory O(cap)) and stay
+    deterministic across invocations."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        IVF_TRAIN_CAP,
+        _ivf_training_sample,
+        _train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped = _ivf_training_sample(emb, cap=50)
+    assert len(capped) == 50
+    again = _ivf_training_sample(emb, cap=50)
+    assert list(capped["vec_id"]) == list(again["vec_id"])
+    # uncapped-at-this-SF sample == the plain hash-filter set (limit
+    # doesn't bind), so centroids are unchanged vs the unbounded path
+    full = _ivf_training_sample(emb, cap=IVF_TRAIN_CAP)
+    plain = (
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        .select("vec_id")
+        .toPandas()
+    )
+    assert sorted(full["vec_id"]) == sorted(plain["vec_id"])
+    # training still converges on a tiny capped sample
+    cents = _train_ivf_centroids(emb, k=4, cap=50)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+
+
+def test_cosine_candidate_guard_falls_back_to_srp(spark):
+    """Above the broadcast cap, cosine_candidate_pairs must NOT collect
+    the corpus to the driver — it degrades to the distributed SRP-LSH
+    bucket join (no MapInPandas GEMM stage in the plan), and the
+    candidates it yields still contain most true near-dup pairs."""
+    from node_gedcom_graph_spark.operators.dedup import (
+        cosine_candidate_pairs,
+        dot_f32 as _dot,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    gemm = cosine_candidate_pairs(emb, threshold=0.45)
+    fallback = cosine_candidate_pairs(emb, threshold=0.45, broadcast_cap=10)
+    gemm_plan = gemm._jdf.queryExecution().executedPlan().toString()
+    fb_plan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in gemm_plan
+    assert "MapInPandas" not in fb_plan  # fully distributed: no collect
+    # exact-precision re-score both candidate sets; SRP recall on the
+    # clustered fixture should recover most true pairs
+    def verified(cand):
+        n = emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding")).cast("double")).alias("nm"),
+        )
+        a = n.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nm").alias("na"),
+        )
+        b = n.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nm").alias("nb"),
+        )
+        cos = _dot(F.col("ea"), F.col("eb")).cast("double") / (
+            F.col("na") * F.col("nb")
+        )
+        return {
+            (r.id_a, r.id_b)
+            for r in cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(cos >= 0.45)
+            .select("id_a", "id_b")
+            .collect()
+        }
+
+    true_pairs = verified(gemm)
+    srp_pairs = verified(fallback)
+    assert srp_pairs <= true_pairs  # precision 1 after re-score
+    assert len(srp_pairs) >= 0.5 * len(true_pairs), (
+        len(srp_pairs),
+        len(true_pairs),
+    )
+
+
 def test_approx_percentile_close_to_exact(spark):
     from node_gedcom_graph_spark.operators import all_queries
 
