@@ -54,20 +54,24 @@ def place_decode(place: Column) -> Column:
 
 # --- NAME split (reference lib/csv_writer.js:66-82) -----------------------
 # GEDCOM personal names are "Given /Surname/ suffix". The reference splits
-# on '/' and keeps: piece[0] as Given Name iff it contains a non-space
-# char, piece[1] as Surname iff present and non-blank; suffix after the
+# on '/' and keeps the RAW pieces (no trimming — 'John /Smith/' yields
+# Given Name 'John '): a slash-less value is the Given Name verbatim;
+# with a slash, piece[0] is Given Name iff it contains a non-space char
+# and piece[1] is Surname iff present and non-blank; suffix after the
 # 2nd slash is dropped from the split fields; the full raw value is kept.
+# These helpers are pinned equal to the authoritative extraction path
+# (gedcom/extract.py NAME entries) by tests/test_gedcom.py.
 
 
 def given_name(name: Column) -> Column:
     piece = F.split(name, "/").getItem(0)
-    return F.when(piece.rlike(r"[^\s]"), F.trim(piece))
+    return F.when(~name.contains("/"), name).when(piece.rlike(r"[^\s]"), piece)
 
 
 def surname(name: Column) -> Column:
     parts = F.split(name, "/")
     piece = F.when(F.size(parts) >= 2, parts.getItem(1))
-    return F.when(piece.rlike(r"[^\s]"), F.trim(piece))
+    return F.when(name.contains("/") & piece.rlike(r"[^\s]"), piece)
 
 
 # --- text helpers shared by the dedup / text-analysis operators -----------

@@ -73,6 +73,43 @@ def test_name_no_slash_all_given(demo):
     assert n["Given Name"] == "Mary" and n["Name"] == "Mary" and "Surname" not in n
 
 
+def test_scalar_name_helpers_match_extraction(spark):
+    """functions.scalar.given_name/surname are pinned equal to the
+    authoritative extraction path (untrimmed raw pieces, slash-less
+    value is the Given Name verbatim, blank pieces -> absent)."""
+    from node_gedcom_graph_spark.functions.scalar import given_name, surname
+
+    names = [
+        "John /Smith/ Jr.",  # suffix dropped, given keeps trailing space
+        "Mary",  # no slash: all given
+        "John /Smith/",
+        " /Smith/",  # all-space given piece -> NULL
+        "A / /",  # blank surname piece -> NULL
+        "/Jones/",  # empty given piece -> NULL
+        "//",
+    ]
+    ged = "".join(f"0 @I{i}@ INDI\n1 NAME {nm}\n" for i, nm in enumerate(names, 1))
+    g = graph_of(spark, ged)
+    nodes = g.nodes_long.collect()
+    by_record: dict[int, dict[str, str]] = {}
+    for r in nodes:
+        by_record.setdefault(r.record_seq, {})[r.flat_key] = r.value
+    expected = {
+        props["Name"]: (props.get("Given Name"), props.get("Surname"))
+        for props in by_record.values()
+    }
+    df = spark.createDataFrame([(nm,) for nm in names], "name string")
+    got = {
+        r.name: (r.g, r.s)
+        for r in df.select(
+            "name",
+            given_name(F.col("name")).alias("g"),
+            surname(F.col("name")).alias("s"),
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_name_last_wins_per_key(demo):
     """Two NAME lines: later line overwrites only the keys it produces."""
     n = node_map(demo, 4)
