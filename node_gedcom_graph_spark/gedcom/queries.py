@@ -176,32 +176,23 @@ def gedcom_source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     forces the fixture through MANY byte-range splits, so the
     record-boundary alignment (each split owns records whose level-0
     line starts inside it, reads past its end to finish them) is
-    exercised by the correctness gate itself, not just unit tests."""
-    import os
-    import tempfile
+    exercised by the correctness gate itself, not just unit tests.
 
+    The fixture rides the source's ``inline`` option — the content
+    serializes with the reader to every executor, so there's no
+    node-local filesystem assumption (cluster-safe, race-free, no temp
+    files)."""
     from pyspark.sql import functions as F
 
     from node_gedcom_graph_spark.sources.gedcom_datasource import GedcomDataSource
 
-    # Per-process unique path: a fixed name would race concurrent gate
-    # runs on the same host (one process rewriting the file while the
-    # other's partitions are mid-read). local-mode only by construction
-    # (executors share the driver's filesystem); on a cluster the
-    # fixture would need shared storage, like any file-based source.
-    import atexit
-
-    path = os.path.join(
-        tempfile.gettempdir(), f"ngg_demo_source_{os.getpid()}.ged"
-    )
-    if not os.path.exists(path):
-        with open(path, "w") as fh:
-            fh.write(DEMO_GEDCOM)
-        # One fixture per process, removed at exit (repeated gate runs
-        # on a long-lived host must not accumulate orphans).
-        atexit.register(lambda p=path: os.path.exists(p) and os.remove(p))
     spark.dataSource.register(GedcomDataSource)
-    lines = spark.read.format("gedcom").option("split_size", "64").load(path)
+    lines = (
+        spark.read.format("gedcom")
+        .option("split_size", "64")
+        .option("inline", DEMO_GEDCOM)
+        .load()
+    )
     return (
         lines.groupBy("record_seq")
         .agg(

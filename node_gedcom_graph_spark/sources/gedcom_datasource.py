@@ -114,42 +114,51 @@ def _split_file(file: str, file_index: int, split_size: int) -> list[_RangeParti
     ]
 
 
-def _read_range(part: _RangePartition) -> Iterator[tuple]:
+def _read_range(part: _RangePartition, fobj=None) -> Iterator[tuple]:
     """Emit the lines of every record whose level-0 line starts in
-    [part.start, part.end). See module docstring for the split rules."""
-    tag_base = part.file_index << _FILE_SHIFT
+    [part.start, part.end). See module docstring for the split rules.
+    ``fobj``: optional already-open binary file-like (the inline path);
+    default opens part.file from the local filesystem."""
+    if fobj is not None:
+        yield from _scan_range(part, fobj)
+        return
     with open(part.file, "rb") as f:
-        if part.start > 0:
-            # Land on the first line boundary at/after `start`: back up
-            # one byte and discard the (possibly empty) tail of the
-            # previous split's line.
-            f.seek(part.start - 1)
-            f.readline()
-        record_seq = None
-        while True:
-            line_start = f.tell()
-            raw = f.readline()
-            if not raw:
-                return
-            m = LINE_RE.match(raw.decode("utf-8", errors="replace").rstrip("\r\n"))
-            if m is None:
-                continue  # blank/garbage line (parser.parse_lines drops these too)
-            level = int(m.group(1))
-            if level == 0:
-                if line_start >= part.end:
-                    return  # next split's record
-                record_seq = tag_base + line_start
-            if record_seq is None:
-                continue  # tail lines of the previous split's record
-            yield (
-                part.file,
-                record_seq,
-                tag_base + line_start,
-                level,
-                m.group(2),
-                m.group(3),
-                m.group(4) or "",
-            )
+        yield from _scan_range(part, f)
+
+
+def _scan_range(part: _RangePartition, f) -> Iterator[tuple]:
+    tag_base = part.file_index << _FILE_SHIFT
+    if part.start > 0:
+        # Land on the first line boundary at/after `start`: back up
+        # one byte and discard the (possibly empty) tail of the
+        # previous split's line.
+        f.seek(part.start - 1)
+        f.readline()
+    record_seq = None
+    while True:
+        line_start = f.tell()
+        raw = f.readline()
+        if not raw:
+            return
+        m = LINE_RE.match(raw.decode("utf-8", errors="replace").rstrip("\r\n"))
+        if m is None:
+            continue  # blank/garbage line (parser.parse_lines drops these too)
+        level = int(m.group(1))
+        if level == 0:
+            if line_start >= part.end:
+                return  # next split's record
+            record_seq = tag_base + line_start
+        if record_seq is None:
+            continue  # tail lines of the previous split's record
+        yield (
+            part.file,
+            record_seq,
+            tag_base + line_start,
+            level,
+            m.group(2),
+            m.group(3),
+            m.group(4) or "",
+        )
 
 
 # Column index per pushable attribute in the output tuple.
@@ -171,11 +180,27 @@ def _row_passes(pushed: list, row: tuple) -> bool:
     return True
 
 
+INLINE_FILE = "<inline>"
+
+
 class GedcomBatchReader(DataSourceReader):
+    """Batch reader over files, or over content embedded in the plan.
+
+    ``.option("inline", <gedcom text>)`` reads the given string instead
+    of the filesystem: the content serializes with this reader to every
+    executor, so it is cluster-safe with no shared-storage assumption
+    (meant for fixtures / small embedded documents — the same
+    byte-range split + record-alignment machinery still runs over it).
+    """
+
     def __init__(self, options: dict):
+        self.inline = options.get("inline")
         self.path = options.get("path")
-        if not self.path:
-            raise ValueError("gedcom source requires a path: .load('/data/x.ged')")
+        if not self.path and self.inline is None:
+            raise ValueError(
+                "gedcom source requires a path (.load('/data/x.ged')) "
+                "or .option('inline', <content>)"
+            )
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self.pushed: list = []
 
@@ -211,13 +236,24 @@ class GedcomBatchReader(DataSourceReader):
         return residual
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.inline is not None:
+            size = len(self.inline.encode("utf-8"))
+            return [
+                _RangePartition(INLINE_FILE, 0, off, min(off + self.split_size, size))
+                for off in range(0, size, self.split_size)
+            ] or [_RangePartition(INLINE_FILE, 0, 0, 0)]
         parts: list[_RangePartition] = []
         for idx, file in enumerate(_list_gedcom_files(self.path)):
             parts.extend(_split_file(file, idx, self.split_size))
         return parts
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        rows = _read_range(partition)
+        if self.inline is not None:
+            import io
+
+            rows = _read_range(partition, io.BytesIO(self.inline.encode("utf-8")))
+        else:
+            rows = _read_range(partition)
         if not self.pushed:
             return rows
         pushed = self.pushed

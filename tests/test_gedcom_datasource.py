@@ -93,6 +93,42 @@ def test_split_invariance(tmp_path):
         assert sorted(rows(split_size)) == sorted(whole), f"split_size={split_size}"
 
 
+def test_inline_option_matches_file_read(registered, ged_dir):
+    """.option('inline', text) must yield the same rows as reading the
+    same content from a file (modulo the file column), including under
+    many tiny byte-range splits — no filesystem assumption on executors."""
+    from_file = (
+        registered.read.format("gedcom")
+        .option("split_size", "64")
+        .load(os.path.join(ged_dir, "demo.ged"))
+        .drop("file")
+        .collect()
+    )
+    inline = (
+        registered.read.format("gedcom")
+        .option("split_size", "64")
+        .option("inline", DEMO_GEDCOM)
+        .load()
+        .drop("file")
+        .collect()
+    )
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, from_file))
+    [f] = (
+        registered.read.format("gedcom")
+        .option("inline", DEMO_GEDCOM)
+        .load()
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    assert f.file == "<inline>"
+
+
+def test_inline_empty_content_yields_no_rows(registered):
+    df = registered.read.format("gedcom").option("inline", "").load()
+    assert df.count() == 0
+
+
 def test_split_invariance_property(tmp_path):
     """Hypothesis: for ARBITRARY line content (unicode values, CRLF,
     blank/garbage lines, records of any shape) and arbitrary split
