@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bindir", "-b", default="/usr/bin", help="neo4j-admin location (argv print only)")
     ap.add_argument("--master", default="local[*]", help="Spark master")
     ap.add_argument("--dry-run", action="store_true", help="export + print argv, skip the publish swap")
+    ap.add_argument(
+        "--run-import",
+        action="store_true",
+        help="spawn `neo4j-admin database import` + DB stop/start with "
+        "exit-code-driven swap/rollback (reference neo4j.js lifecycle); "
+        "--dest is then the DB directory, not a CSV publish dir",
+    )
     args = ap.parse_args(argv)
 
     from node_gedcom_graph_spark.gedcom.extract import extract_graph
@@ -46,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
         build_import_args,
         export_neo4j_csvs,
         observed_counts,
+        run_import_publish,
     )
     from node_gedcom_graph_spark.session import get_spark
 
@@ -83,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
             if vals:
                 print(f"{label}: {vals}", file=sys.stderr)
 
+        if args.run_import and not args.dry_run:
+            backup = run_import_publish(outputs, args.dest, bindir=args.bindir)
+            print(
+                f"imported + published -> {args.dest}"
+                + (f" (backup: {backup})" if backup else ""),
+                file=sys.stderr,
+            )
+            graph.unpersist()
+            return 0
         if args.dry_run:
             final_outputs = outputs
         else:

@@ -9,9 +9,11 @@ Re-expresses the reference's sink + publish machinery:
   first-record-wins header quirk (documented divergence, SURVEY §7.3).
 - neo4j-import argv construction (index.js:80-84, neo4j.js:79).
 - atomic publish: stage -> swap live to backup -> staging to live,
-  rollback on failure (neo4j.js:20-51,84-95 / ops 21-23). The external
-  `neo4j-admin` invocation itself stays outside the engine, as in the
-  reference (it shells out too).
+  rollback on failure (neo4j.js:20-51,84-95 / ops 21-23).
+- optional full lifecycle (`run_import_publish` / CLI --run-import):
+  spawn `neo4j-admin database import` + DB stop/start, with the
+  swap/restore driven by real exit codes — the reference's
+  import->stop->swap->start state machine (neo4j.js:84-109 / op 20).
 
 Scale: each per-tag dataset is written partitioned (many part files) —
 that IS the scalable layout; neo4j-admin import accepts multiple files
@@ -95,6 +97,71 @@ def atomic_publish(staging_dir: str, live_dir: str) -> str:
                 shutil.rmtree(live_dir)
             os.rename(backup, live_dir)
         raise
+    return backup if had_live else ""
+
+
+def run_import_publish(
+    outputs: dict[str, str],
+    db_path: str,
+    bindir: str = "/usr/bin",
+    runner=None,
+) -> str:
+    """Execute the reference's full import lifecycle (ops 20-23,
+    neo4j.js:84-109): bulk-import into ``db_path + '.tmp'``; on import
+    success stop the DB, swap (live -> .bak, .tmp -> live), start the
+    DB; a failed start restores the backup and aborts; a failed import
+    aborts with the live DB untouched. Returns the backup path ('' if
+    there was no live dir — first publish, which the reference assumes
+    never happens; handled gracefully here).
+
+    ``runner``: callable(argv: list[str]) -> int exit code. Defaults to
+    a real subprocess call; injectable so tests drive every exit-code
+    branch without Neo4j installed. The stop exit code is ignored, as
+    in the reference (its stopProcess handler never checks ``code``).
+    """
+    import subprocess
+
+    if runner is None:
+        runner = lambda argv: subprocess.call(argv)  # noqa: E731
+
+    temp = db_path + ".tmp"
+    backup = db_path + ".bak"
+    neo4j_bin = os.path.join(bindir, "neo4j")
+    import_bin = os.path.join(bindir, "neo4j-admin")
+
+    # _setupTempDir (neo4j.js:20-29): fresh temp target for the import.
+    if os.path.exists(temp):
+        shutil.rmtree(temp)
+    os.makedirs(temp)
+
+    import_argv = (
+        [import_bin, "database", "import", "full"]
+        + build_import_args(outputs, into=temp)
+    )
+    code = runner(import_argv)
+    if code != 0:
+        # neo4j.js:103-106 — abort; live dir untouched.
+        raise RuntimeError(f"Import failed. Exited {code}. Abort.")
+
+    runner([neo4j_bin, "stop"])
+
+    # _swapDirs (neo4j.js:31-44): drop the previous backup, then
+    # real -> backup, temp -> real.
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    had_live = os.path.exists(db_path)
+    if had_live:
+        os.rename(db_path, backup)
+    os.rename(temp, db_path)
+
+    code = runner([neo4j_bin, "start"])
+    if code != 0:
+        # _restoreDirs (neo4j.js:46-51): drop the new live dir, put the
+        # backup back, then abort.
+        if had_live:
+            shutil.rmtree(db_path)
+            os.rename(backup, db_path)
+        raise RuntimeError("Starting neo4j failed.  Abort.")
     return backup if had_live else ""
 
 

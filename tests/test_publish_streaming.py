@@ -86,6 +86,136 @@ def test_atomic_publish_first_publish_no_backup(tmp_path):
     assert (tmp_path / "live" / "new.txt").read_text() == "new"
 
 
+def _scripted_runner(exit_codes: dict[str, int], calls: list):
+    """Fake process runner: records argv, returns the scripted exit
+    code for the subcommand ('import'/'stop'/'start')."""
+
+    def run(argv: list[str]) -> int:
+        if "import" in argv:
+            key = "import"
+        else:
+            key = argv[-1]  # neo4j stop|start
+        calls.append((key, list(argv)))
+        return exit_codes.get(key, 0)
+
+    return run
+
+
+def _mk_dirs(tmp_path):
+    """A live DB dir with sentinel content + exported CSV outputs."""
+    live = tmp_path / "db"
+    live.mkdir()
+    (live / "old.txt").write_text("old")
+    outputs = {"nodes-INDI": str(tmp_path / "nodes-INDI")}
+    return str(live), outputs
+
+
+def test_run_import_success_swaps_and_starts(tmp_path):
+    """Exit 0 everywhere: import into .tmp, stop, swap (live -> .bak,
+    .tmp -> live), start — the reference's happy path (neo4j.js:84-102)."""
+    from node_gedcom_graph_spark.publish.neo4j_csv import run_import_publish
+
+    live, outputs = _mk_dirs(tmp_path)
+    calls: list = []
+    backup = run_import_publish(
+        outputs, live, bindir="/opt/neo4j/bin",
+        runner=_scripted_runner({}, calls),
+    )
+    assert [k for k, _ in calls] == ["import", "stop", "start"]
+    imp = calls[0][1]
+    assert imp[0] == "/opt/neo4j/bin/neo4j-admin"
+    assert imp[1:4] == ["database", "import", "full"]
+    assert imp[imp.index("--into") + 1] == live + ".tmp"
+    assert "--nodes" in imp and outputs["nodes-INDI"] in imp
+    assert backup == live + ".bak"
+    assert os.path.isdir(live) and not os.path.exists(live + ".tmp")
+    assert (tmp_path / "db.bak" / "old.txt").read_text() == "old"
+    assert not os.path.exists(os.path.join(live, "old.txt"))  # new live
+
+
+def test_run_import_failed_import_aborts_untouched(tmp_path):
+    """Nonzero import exit: abort before any stop/swap — the live DB is
+    never touched (neo4j.js:103-106 / op 23)."""
+    from node_gedcom_graph_spark.publish.neo4j_csv import run_import_publish
+
+    live, outputs = _mk_dirs(tmp_path)
+    calls: list = []
+    with pytest.raises(RuntimeError, match="Import failed. Exited 2"):
+        run_import_publish(
+            outputs, live, runner=_scripted_runner({"import": 2}, calls)
+        )
+    assert [k for k, _ in calls] == ["import"]  # no stop, no start
+    assert (tmp_path / "db" / "old.txt").read_text() == "old"
+    assert not os.path.exists(live + ".bak")
+
+
+def test_run_import_failed_start_restores_backup(tmp_path):
+    """Nonzero start exit after the swap: the backup is restored as the
+    live dir before aborting (neo4j.js:46-51,92-96 / op 22)."""
+    from node_gedcom_graph_spark.publish.neo4j_csv import run_import_publish
+
+    live, outputs = _mk_dirs(tmp_path)
+    calls: list = []
+    with pytest.raises(RuntimeError, match="Starting neo4j failed"):
+        run_import_publish(
+            outputs, live, runner=_scripted_runner({"start": 1}, calls)
+        )
+    assert [k for k, _ in calls] == ["import", "stop", "start"]
+    assert (tmp_path / "db" / "old.txt").read_text() == "old"  # restored
+    assert not os.path.exists(live + ".bak")  # backup consumed by restore
+
+
+def test_run_import_stop_exit_code_ignored(tmp_path):
+    """The reference never checks the stop exit code (neo4j.js:88-91):
+    a failing stop (e.g. DB already down) must not block the publish."""
+    from node_gedcom_graph_spark.publish.neo4j_csv import run_import_publish
+
+    live, outputs = _mk_dirs(tmp_path)
+    calls: list = []
+    run_import_publish(outputs, live, runner=_scripted_runner({"stop": 137}, calls))
+    assert [k for k, _ in calls] == ["import", "stop", "start"]
+    assert not os.path.exists(os.path.join(live, "old.txt"))  # swap happened
+
+
+def test_run_import_first_publish_no_live_dir(tmp_path):
+    """No existing DB dir: import + start succeed, no backup produced
+    (divergence from the reference, which assumes a live dir exists)."""
+    from node_gedcom_graph_spark.publish.neo4j_csv import run_import_publish
+
+    live = str(tmp_path / "db")
+    backup = run_import_publish(
+        {"nodes-INDI": str(tmp_path / "n")}, live,
+        runner=_scripted_runner({}, []),
+    )
+    assert backup == ""
+    assert os.path.isdir(live) and not os.path.exists(live + ".bak")
+
+
+def test_cli_run_import_flag(spark, tmp_path, monkeypatch):
+    """--run-import drives the full lifecycle through the CLI: the
+    subprocess layer is faked at the subprocess.call boundary."""
+    import subprocess
+
+    from node_gedcom_graph_spark.__main__ import main
+
+    seen: list = []
+    monkeypatch.setattr(
+        subprocess, "call", lambda argv: (seen.append(list(argv)), 0)[1]
+    )
+    src = tmp_path / "t.ged"
+    src.write_text(DEMO_GEDCOM)
+    dest = str(tmp_path / "db")
+    rc = main(["--src", str(src), "--dest", dest, "--master", "local[4]",
+               "--tmpdir", str(tmp_path / "stage"), "--run-import",
+               "--bindir", "/opt/neo4j/bin"])
+    assert rc == 0
+    assert [a[0].rsplit("/", 1)[-1] for a in seen] == [
+        "neo4j-admin", "neo4j", "neo4j",
+    ]
+    assert seen[1][-1] == "stop" and seen[2][-1] == "start"
+    assert os.path.isdir(dest)  # the imported .tmp dir became live
+
+
 def test_cli_end_to_end(spark, tmp_path):
     """The `python -m node_gedcom_graph_spark` surface (the reference's
     index.js CLI): export, audits, argv, atomic publish with backup on
