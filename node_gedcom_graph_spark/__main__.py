@@ -13,10 +13,11 @@ backup, mirroring neo4j.js:20-51. Audit sets (unused tags, missing
 temple codes, skipped records — the reference's `missing`/`skip`
 events, index.js:85-90) print to stderr.
 
-Differences from the reference, on purpose: no stdin source (Spark
-sources are path-based; SURVEY §2 op 2), schema-first CSV headers
-(fixes the first-record-wins quirk, SURVEY §7.3), and `--master` to
-aim the same command at a cluster.
+Differences from the reference, on purpose: stdin arrives via an
+explicit `--src -` spool-to-temp-file shim rather than a true streaming
+source (Spark sources are path-based; SURVEY §2 op 2), schema-first CSV
+headers (fixes the first-record-wins quirk, SURVEY §7.3), and
+`--master` to aim the same command at a cluster.
 """
 
 from __future__ import annotations
@@ -31,7 +32,10 @@ def main(argv: list[str] | None = None) -> int:
         prog="python -m node_gedcom_graph_spark",
         description="GEDCOM -> property-graph CSVs with atomic publish",
     )
-    ap.add_argument("--src", "-s", required=True, help="GEDCOM file or directory")
+    ap.add_argument(
+        "--src", "-s", required=True,
+        help="GEDCOM file or directory; '-' reads STDIN (index.js:122-125)",
+    )
     ap.add_argument("--dest", "-d", required=True, help="publish directory (live)")
     ap.add_argument("--tmpdir", "-t", default=None, help="staging dir (default: mkdtemp)")
     ap.add_argument("--bindir", "-b", default="/usr/bin", help="neo4j-admin location (argv print only)")
@@ -61,8 +65,23 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="gedcom-import", master=args.master)
+    stdin_tmp = None
     try:
-        lines = assign_records(read_gedcom_lines(spark, args.src))
+        src = args.src
+        if src == "-":
+            # STDIN parity with the reference (index.js:122-125): Spark
+            # sources are path-based, so spool stdin to a driver-local
+            # temp file first. Driver-side by necessity — fine, because
+            # stdin is single-machine by definition; the spooled file
+            # then fans out through the normal splittable read.
+            import os as _os
+
+            fd, stdin_tmp = tempfile.mkstemp(prefix="ged-stdin-", suffix=".ged")
+            with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(sys.stdin.read())
+            src = stdin_tmp
+            print(f"reading STDIN -> {stdin_tmp}", file=sys.stderr)
+        lines = assign_records(read_gedcom_lines(spark, src))
         graph = extract_graph(lines, persist=True)
 
         # Stage on the SAME filesystem as dest: atomic_publish swaps
@@ -117,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
         graph.unpersist()
         return 0
     finally:
+        if stdin_tmp is not None:
+            import os as _os
+
+            if _os.path.exists(stdin_tmp):
+                _os.remove(stdin_tmp)
         if owns_session:  # embedded callers (tests) keep their session
             spark.stop()
 

@@ -239,6 +239,26 @@ def test_cli_end_to_end(spark, tmp_path):
     assert len(backups) == 1  # second publish preserved the first as backup
 
 
+def test_cli_stdin_source(spark, tmp_path, monkeypatch):
+    """`--src -` pipes STDIN through the normal pipeline (the
+    reference's no-src stdin mode, index.js:122-125)."""
+    import io
+
+    from node_gedcom_graph_spark.__main__ import main
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(DEMO_GEDCOM))
+    dest = str(tmp_path / "live")
+    rc = main(["--src", "-", "--dest", dest, "--master", "local[4]",
+               "--tmpdir", str(tmp_path / "stage")])
+    assert rc == 0
+    assert os.path.isdir(f"{dest}/nodes-INDI")
+    # the stdin spool file is cleaned up
+    import glob as _glob
+    import tempfile as _tempfile
+
+    assert not _glob.glob(os.path.join(_tempfile.gettempdir(), "ged-stdin-*"))
+
+
 # ----------------------------------------------------------- streaming
 
 
