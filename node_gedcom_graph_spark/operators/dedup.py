@@ -229,6 +229,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this band shape is ~1 for J >= 0.5 pairs.)
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    return minhash_lsh_pairs(docs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """The batch MinHash+LSH pipeline over any (doc_id, text) frame —
+    see dedup_minhash_lsh for the design narrative. Also the oracle the
+    streaming twin (streaming.pipeline.stream_dedup_minhash) is pinned
+    against in tests."""
     base = shingled_docs(docs)
 
     # Signature via explode + 64-way min agg (identical values to
@@ -293,7 +301,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= 0.35)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 

@@ -232,6 +232,190 @@ def stream_dedup_exact(docs: DataFrame) -> DataFrame:
     ).dropDuplicates(["fingerprint"])
 
 
+def stream_dedup_minhash(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    watermark: str | None = None,
+    retention_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection — the streaming twin of the
+    batch ``operators.dedup.minhash_lsh_pairs`` (tests pin the two to
+    the identical pair set on a multi-batch corpus).
+
+    Shape: per-document 64-slot MinHash signature (pure column
+    expressions, pinned equal to the batch agg-form signature) -> 16
+    LSH band buckets per doc (same band/bucket hashing as batch, so the
+    candidate space is identical) -> ``applyInPandasWithState`` keyed
+    by (band, bucket). Bucket state holds (doc_id, shingle-hash set)
+    for every member; a new arrival is verified against its bucket
+    members with EXACT Jaccard on the hash sets, so emitted pairs carry
+    the same jaccard the batch verify computes (xxhash64 collisions are
+    the only divergence — negligible). Keyed state lives on exactly one
+    executor per bucket; scale-out is the key space, like built-in
+    streaming aggregation.
+
+    A pair colliding in several bands is emitted once per band, always
+    within the micro-batch where the later doc arrives — dedupe at the
+    sink with a per-batch dropDuplicates (a second stateful operator in
+    the same query is what Spark restricts, not the sink).
+
+    State bounding (the watermark knob): pass ``watermark`` (docs must
+    carry an event-time ``ts``) and ``retention_ms`` — a bucket's state
+    is dropped once the watermark passes its newest member's ts +
+    retention. Without it, state is the full signature index by design
+    (dedup state IS the product), same contract as stream_dedup_exact.
+
+    100 TB honesty: member shingle sets are duplicated across the 16
+    band buckets (~16x the signature bytes). That is the price of
+    bucket-local exact verification; the lean variant stores only the
+    64-slot signature per member and emits estimated Jaccard
+    (slot-agreement fraction, stderr ~1/sqrt(64)~0.12) — flip when
+    state size dominates over verification exactness.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from node_gedcom_graph_spark.functions.scalar import tokens
+    from node_gedcom_graph_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_COEFFS,
+        MINHASH_P,
+        SHINGLE_K,
+        shingles_from_tokens,
+    )
+
+    has_ts = watermark is not None
+    if has_ts:
+        docs = docs.withWatermark("ts", watermark)
+        if retention_ms is None:
+            raise ValueError("watermark requires retention_ms")
+    ts_cols = ["ts"] if has_ts else []
+
+    # Staged projections: every higher-order function reads a
+    # materialized attribute, never an inline expression (Spark does not
+    # CSE subexpressions through HOF lambdas).
+    toks = docs.select(
+        "doc_id", *ts_cols, tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= SHINGLE_K)
+    sh_stage = toks.select(
+        "doc_id", *ts_cols, shingles_from_tokens(F.col("toks")).alias("shingles")
+    ).select(
+        "doc_id",
+        *ts_cols,
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    # h = pmod(xxhash64(shingle), P) — identical to the batch pipeline's
+    # hashed-shingle stream, so signatures match slot for slot.
+    hs_stage = sh_stage.select(
+        "doc_id",
+        *ts_cols,
+        "sh",
+        F.transform("sh", lambda x: F.pmod(x, F.lit(MINHASH_P))).alias("hs"),
+    )
+    sig = hs_stage.select(
+        "doc_id",
+        *ts_cols,
+        "sh",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("hs", lambda x: F.pmod(a * x + b, F.lit(MINHASH_P)))
+                )
+                for (a, b) in MINHASH_COEFFS
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        *ts_cols,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", i * LSH_ROWS + r + 1)
+                                for r in range(LSH_ROWS)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *ts_cols, "sh", "bk.band", "bk.bucket")
+
+    out_schema = "doc_a long, doc_b long, jaccard double"
+    state_schema = "ids array<long>, shs array<array<long>>"
+
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield _empty()
+            return
+        if state.exists:
+            ids, shs = state.get
+            members = [(int(i), set(int(v) for v in s)) for i, s in zip(ids, shs)]
+        else:
+            members = []
+        known = {i for i, _ in members}
+        arrivals = []
+        max_ts_ms = None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                arrivals.append((int(row.doc_id), set(int(v) for v in row.sh)))
+                if has_ts and pd.notna(row.ts):
+                    t = int(pd.Timestamp(row.ts).value // 1_000_000)
+                    max_ts_ms = t if max_ts_ms is None else max(max_ts_ms, t)
+        arrivals.sort(key=lambda t: t[0])
+        out = []
+        for doc_id, sset in arrivals:
+            if doc_id in known:
+                continue  # replayed micro-batch: state already has it
+            for other_id, oset in members:
+                inter = len(sset & oset)
+                union = len(sset) + len(oset) - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out.append(
+                        (min(doc_id, other_id), max(doc_id, other_id), j)
+                    )
+            members.append((doc_id, sset))
+            known.add(doc_id)
+        state.update(
+            ([i for i, _ in members], [sorted(s) for _, s in members])
+        )
+        if has_ts and max_ts_ms is not None:
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + retention_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]) if out else _empty()
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if has_ts
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_stream_view_purchase_join(events: DataFrame) -> DataFrame:
     """Stream-stream inner join with watermarks: each purchase matched
     to the same user's view events from the preceding hour.

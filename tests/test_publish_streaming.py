@@ -418,6 +418,135 @@ def test_stream_dedup_exact_matches_batch(spark):
     assert set(got_fps) == want_fps  # every distinct doc survives
 
 
+_SDM_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun near the garden gate"
+)
+
+
+def _write_doc_file(path, rows, mtime=None):
+    """One parquet file per micro-batch (doc_id, text[, ts])."""
+    import pandas as pd
+
+    # micros, not pandas' default nanos: Spark reads TIMESTAMP(NANOS)
+    # as INT64 (the events.parquet gotcha in sources/tables.py)
+    pd.DataFrame(rows).to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def test_stream_dedup_minhash_matches_batch(spark, tmp_path):
+    """Two-batch corpus: the streaming MinHash near-dup pairs (in-batch
+    AND cross-batch) must equal the batch minhash_lsh_pairs result on
+    the union corpus, with identical jaccard values."""
+    from node_gedcom_graph_spark.operators.dedup import minhash_lsh_pairs
+    from node_gedcom_graph_spark.streaming.pipeline import stream_dedup_minhash
+
+    near = _SDM_BASE.replace("afternoon", "morning")
+    far = "completely different content about spark query engines and shuffle plans today"
+    b1 = [
+        {"doc_id": 1, "text": _SDM_BASE},
+        {"doc_id": 2, "text": _SDM_BASE},
+        {"doc_id": 10, "text": far},
+    ]
+    b2 = [{"doc_id": 3, "text": near}]
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_doc_file(str(d / "b1.parquet"), b1, mtime=1_700_000_000)
+    _write_doc_file(str(d / "b2.parquet"), b2, mtime=1_700_000_100)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup_minhash(stream)
+        .writeStream.format("memory")
+        .queryName("sdm_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in spark.sql("SELECT * FROM sdm_pairs").collect()
+    }
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2], "doc_id long, text string"
+    )
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs(union).collect()
+    }
+    assert (1, 2, 1.0) in want  # sanity: corpus really has dup pairs
+    assert len(want) >= 3  # (1,2) in-batch + (1,3),(2,3) cross-batch
+    assert got == want
+
+
+def test_stream_dedup_minhash_watermark_evicts_state(spark, tmp_path):
+    """With a watermark + retention, bucket state older than the
+    retention horizon is dropped: a late identical doc no longer pairs
+    with the evicted one."""
+    import datetime as dt
+
+    from node_gedcom_graph_spark.streaming.pipeline import stream_dedup_minhash
+
+    t0 = dt.datetime(2024, 1, 1)
+    late = t0 + dt.timedelta(hours=10)
+    fara = "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one"
+    farb = "one two three four five six seven eight nine ten eleven twelve"
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_doc_file(
+        str(d / "f1.parquet"),
+        [{"doc_id": 1, "text": _SDM_BASE, "ts": t0}],
+        mtime=1_700_000_000,
+    )
+    _write_doc_file(
+        str(d / "f2.parquet"),
+        [{"doc_id": 50, "text": fara, "ts": late}],
+        mtime=1_700_000_100,
+    )
+    _write_doc_file(
+        str(d / "f3.parquet"),
+        [{"doc_id": 51, "text": farb, "ts": late}],
+        mtime=1_700_000_200,
+    )
+    _write_doc_file(
+        str(d / "f4.parquet"),
+        [{"doc_id": 2, "text": _SDM_BASE, "ts": late}],
+        mtime=1_700_000_300,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup_minhash(
+            stream, watermark="1 hour", retention_ms=3_600_000
+        )
+        .writeStream.format("memory")
+        .queryName("sdm_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("SELECT * FROM sdm_evict").collect()
+    }
+    # doc 1's buckets timed out (watermark passed t0 + 1h retention)
+    # before doc 2 arrived -> the identical pair must NOT be emitted.
+    assert (1, 2) not in pairs
+    assert pairs == set()
+
+
 def test_observed_counts_match_direct_counts(spark):
     from node_gedcom_graph_spark.gedcom.extract import extract_graph
     from node_gedcom_graph_spark.gedcom.fixtures import DEMO_GEDCOM
