@@ -49,6 +49,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         relational_ext,
+        relational_tpch,
         similarity,
         textstats,
     )
