@@ -212,6 +212,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- n-gram containment
+
+
+@register(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_inner, i.doc_outer,
+           CAST(i.n_common AS DOUBLE) / sa.n AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_inner
+    WHERE CAST(i.n_common AS DOUBLE) / sa.n >= 0.5
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |sh(inner) ∩ sh(outer)| /
+    |sh(inner)| >= 0.5 — catches sub-document duplication (quote
+    farms, page-in-page mirrors) that symmetric Jaccard misses when the
+    outer doc is much larger (J = |∩|/|∪| dilutes with the big doc's
+    size; containment doesn't). Broder's "containment" companion to
+    resemblance (SEQUENCES '97).
+
+    Scale: identical inverted-index shape to dedup_ngram_jaccard — the
+    shuffle key is the shingle, only co-shingled ordered pairs are
+    materialized, and the divisor join is against the (doc_id, n) size
+    table, broadcastable at any corpus size where doc COUNT (not text
+    bytes) fits a broadcast; above that it's a key-partitioned join on
+    doc_inner. At 100 TB the LSH pre-filter bounds the candidate space
+    first (same flip as the Jaccard baseline).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = shingled_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_inner"),
+            F.col("b.doc_id").alias("doc_outer"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_inner"), F.col("n").alias("na"))
+    cont = F.col("n_common").cast("double") / F.col("na")
+    return (
+        inter.join(sa, "doc_inner")
+        .select("doc_inner", "doc_outer", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )
+
+
 # --------------------------------------------------------- MinHash+LSH
 
 

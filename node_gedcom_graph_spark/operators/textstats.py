@@ -431,3 +431,114 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(digest < threshold).select(
         "doc_id", "source", F.col("w").alias("keep_prob")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules).
+# ---------------------------------------------------------------------------
+
+
+def _grams(toks: Column, k: int) -> Column:
+    """ALL word k-grams (non-distinct, order-preserving) — repetition
+    metrics need occurrence counts, unlike the dedup shingles which are
+    distinct sets. Same HOF-lambda rule: `toks` must be a materialized
+    attribute (no CSE through lambdas)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
+    ), g AS (
+      SELECT doc_id, 1 AS k, unnest(w) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS k,
+             unnest(list_transform(range(len(w) - 1),
+                                   i -> w[i+1] || ' ' || w[i+2])) AS gram
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 3 AS k,
+             unnest(list_transform(range(len(w) - 2),
+                                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+      FROM toks
+    ), c AS (
+      SELECT doc_id, k, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3
+    ), pk AS (
+      SELECT doc_id, k,
+             SUM(cnt) AS n, MAX(cnt) AS top,
+             SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+      FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN k = 1 THEN n END) AS BIGINT) AS n_words,
+           CAST(MAX(CASE WHEN k = 1 THEN top END) AS DOUBLE)
+             / MAX(CASE WHEN k = 1 THEN n END) AS top_word_frac,
+           CAST(MAX(CASE WHEN k = 1 THEN dup END) AS DOUBLE)
+             / MAX(CASE WHEN k = 1 THEN n END) AS dup_word_frac,
+           CAST(MAX(CASE WHEN k = 2 THEN top END) AS DOUBLE)
+             / MAX(CASE WHEN k = 2 THEN n END) AS top_bigram_frac,
+           CAST(MAX(CASE WHEN k = 3 THEN dup END) AS DOUBLE)
+             / MAX(CASE WHEN k = 3 THEN n END) AS dup_trigram_frac
+    FROM pk GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-unigram
+    fraction, duplicated-word fraction, top-bigram fraction, and
+    duplicated-trigram fraction (Rae et al. 2021 §A1.1 uses these to
+    drop boilerplate/spam before pretraining).
+
+    Scale: ONE pass over the corpus — unigrams/bigrams/trigrams are
+    emitted together as (k, gram) pairs from a single projection, so
+    there is a single shuffle keyed (doc_id, k, gram) with map-side
+    partial counts, then a (doc_id, k) rollup and a conditional-agg
+    pivot to one row per doc (pivot values are static — no
+    distinct-values pre-job). Every metric is an int/int double
+    division — bit-equal to the oracle. Gram explosion is ~3x token
+    count in rows but the shuffle rows are (id, tinyint, short string)
+    — bytes, not text blobs.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    t = F.col("toks")
+
+    # NB: the tag lambda must be single-arg — pyspark gives a 2-arg
+    # HOF lambda the (element, index) calling convention, so a
+    # `lambda s, k=k:` default silently binds k to the array INDEX.
+    def _tagger(k: int):
+        return lambda s: F.struct(F.lit(k).alias("k"), s.alias("gram"))
+
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                *[F.transform(_grams(t, k), _tagger(k)) for k in (1, 2, 3)]
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.k").alias("k"), F.col("g.gram").alias("gram"))
+    counts = g.groupBy("doc_id", "k", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_k = counts.groupBy("doc_id", "k").agg(
+        F.sum("cnt").alias("n"),
+        F.max("cnt").alias("top"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup"),
+    )
+
+    def _of(k: int, col: str) -> Column:
+        return F.max(F.when(F.col("k") == k, F.col(col)))
+
+    return per_k.groupBy("doc_id").agg(
+        _of(1, "n").cast("bigint").alias("n_words"),
+        (_of(1, "top").cast("double") / _of(1, "n")).alias("top_word_frac"),
+        (_of(1, "dup").cast("double") / _of(1, "n")).alias("dup_word_frac"),
+        (_of(2, "top").cast("double") / _of(2, "n")).alias("top_bigram_frac"),
+        (_of(3, "dup").cast("double") / _of(3, "n")).alias("dup_trigram_frac"),
+    )
