@@ -1,0 +1,226 @@
+"""Distributed graph analytics over a DERIVED graph — the part
+co-purchase graph (parts sharing an order, co-occurrence weight >= 2) —
+complementing the GEDCOM family-graph traversals in ``graph/queries.py``
+(reference scope: the reference emits node/edge CSVs for Neo4j to
+analyze, cf. /root/reference/lib/neo4j.js; here the analytics run
+IN-ENGINE as dataflow).
+
+Both queries are deliberately oracle-checkable: triangle participation
+is orientation-invariant (the Spark side uses degree-ordered
+orientation — the scalable physical strategy — while the DuckDB oracle
+uses naive id-ordering; identical output proves the rewrite sound), and
+PageRank is unrolled to a fixed 3 iterations with per-edge
+contributions cast to DECIMAL(28,14) before the sum, making every
+aggregate order-independent and bit-equal across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.sources.tables import load_table
+
+_EDGES_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) co-purchase edges with weight >= 2.
+
+    Scale: the per-order pair fan-out is bounded by lines-per-order
+    (~C(7,2) = 21 pairs max per order here), so pair generation is
+    linear in the fact table, shuffled once on l_orderkey (distinct)
+    and once on the pair for the weight count.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), participation AS (
+      SELECT a AS p FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT p AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM participation GROUP BY p
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    ("frequently bought together" cliques of three).
+
+    Scale: DEGREE-ORIENTED node-iterator join (Schank & Wagner 2005;
+    the MapReduce form is Suri & Vassilvitskii WWW'11) — each
+    undirected edge is oriented from its lexicographically smaller
+    (degree, id) endpoint, so every wedge is generated at its
+    lowest-degree apex and the two-hop join size is bounded by
+    sum(d_out^2) with d_out = O(sqrt(m)) — the skew-killer for
+    power-law graphs where a hub's d^2 would otherwise dominate. The
+    DuckDB oracle uses the naive id-ordered join instead; triangle
+    PARTICIPATION is orientation-invariant, so identical output
+    verifies the rewrite. Three shuffles total (wedge join on apex,
+    closing-edge join on the (v,w) pair, participation count).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("deg_b"))
+    ed = edges.join(da, "pa").join(db, "pb")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # Wedge at apex u: (u->v, u->w) with (deg,id)-rank(v) < rank(w);
+    # the closing edge, if present, is oriented v->w by construction.
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+            | (
+                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    participation = (
+        tri.select(F.col("u").alias("p"))
+        .unionAll(tri.select(F.col("v").alias("p")))
+        .unionAll(tri.select(F.col("w").alias("p")))
+    )
+    return participation.groupBy(F.col("p").alias("p_partkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT s.dst AS p,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * CAST(SUM(CAST(r.r / s.d AS DECIMAL(28,14))) AS DOUBLE)
+               AS r
+      FROM sym s JOIN {prev} r ON r.p = s.src
+      GROUP BY s.dst
+    )"""
+
+
+@register(
+    "copurchase_pagerank_3iter",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM edges
+    ),
+    degs AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM degs),
+    sym2 AS (SELECT s.src, s.dst, g.d FROM sym s JOIN degs g ON g.src = s.src),
+    r0 AS (SELECT src AS p, 1.0 / (SELECT n FROM nn) AS r FROM degs),
+    {_pr_iter_sql('r0', 'r1').replace('sym s', 'sym2 s').lstrip()},
+    {_pr_iter_sql('r1', 'r2').replace('sym s', 'sym2 s').lstrip()},
+    {_pr_iter_sql('r2', 'r3').replace('sym s', 'sym2 s').lstrip()}
+    SELECT p AS p_partkey, r AS pagerank FROM r3
+    """,
+)
+def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85), unrolled to exactly 3 synchronous
+    iterations over the symmetrized co-purchase graph — the iterative-
+    algorithm-as-dataflow pattern: a fixed-depth loop builds one static
+    DAG, no driver-side convergence loop in the data plane.
+
+    Determinism: per-edge contributions (r/deg, an IEEE double) are
+    cast to DECIMAL(28,14) BEFORE the per-node sum, so the aggregate is
+    order-independent under any shuffle/AQE plan and matches the DuckDB
+    oracle bit-for-bit at 6dp; the damping mix is the identical double
+    expression on both sides. No dangling mass: every node in the edge
+    list has degree >= 1 by construction (documented divergence from
+    dangling-aware formulations).
+
+    Scale: the edge list joined with degrees is built ONCE and reused
+    across iterations; each iteration is one hash join (ranks are
+    node-sized — broadcastable when nodes << edges) plus one shuffle on
+    dst with map-side partial decimal sums. For unbounded iteration
+    counts you'd checkpoint lineage every ~10 rounds (same pattern as
+    the HashMin connected-components in graph/queries.py).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    degs = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    sym2 = sym.join(degs, "src")
+    nn = F.broadcast(degs.agg(F.count(F.lit(1)).alias("n")))
+    ranks = degs.crossJoin(nn).select(
+        F.col("src").alias("p"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        ranks = (
+            sym2.join(ranks, sym2.src == ranks.p)
+            .select(
+                "dst", (F.col("r") / F.col("d")).cast("decimal(28,14)").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(nn)
+            .select(
+                F.col("dst").alias("p"),
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.col("sc").cast("double")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("p").alias("p_partkey"), F.col("r").alias("pagerank"))
