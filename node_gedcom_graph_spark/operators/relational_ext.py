@@ -722,3 +722,107 @@ def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).cast("double").alias("ffill_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (rank-position percentile cutoffs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), cuts AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT)
+                      THEN l_extendedprice END) AS p01,
+             MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                      THEN l_extendedprice END) AS p99
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           c.p01, c.p99,
+           CAST(SUM(CASE WHEN l.l_extendedprice < c.p01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN l.l_extendedprice > c.p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_hi,
+           CAST(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, c.p01), c.p99)
+                              AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS winsor_mean
+    FROM lineitem l
+    JOIN cuts c ON c.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag, c.p01, c.p99
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean price per return flag: clip to the exact
+    [p01, p99] rank positions, then average — the robust-statistics
+    pre-step before fitting anything to heavy-tailed price data.
+
+    Percentile semantics: the cutoff is THE VALUE AT ROW ceil(q*n) of
+    the ordered group — a rank-position definition both engines compute
+    identically (the value at a rank depends only on the value multiset,
+    so row_number ties among equal values don't matter), unlike
+    interpolating percentile_cont whose float blend differs per engine.
+
+    Scale: the exact-percentile pass is one window sort per group —
+    inherently a per-group global sort; that IS the cost of exactness
+    (the at-scale screening variant is approx_percentile_prices'
+    mergeable KLL-style sketch, registered separately). The clip pass
+    re-reads the fact and joins the 3-row cutoff table as a broadcast;
+    both aggregations are map-side-partial hash aggs, and the winsor
+    mean goes through exact DECIMAL so any shuffle order yields the
+    oracle's bits.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = W.partitionBy("l_returnflag")
+    ranked = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    cut_at = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            F.col("l_extendedprice"),
+        )
+    )
+    cuts = ranked.groupBy("l_returnflag").agg(
+        cut_at(0.01).alias("p01"), cut_at(0.99).alias("p99")
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        lineitem.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("p01"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("p99"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            (F.sum(clipped.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("winsor_mean"),
+        )
+        .select(
+            "l_returnflag", "n_lines", "p01", "p99",
+            "n_clipped_lo", "n_clipped_hi", "winsor_mean",
+        )
+    )
