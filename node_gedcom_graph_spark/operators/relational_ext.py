@@ -826,3 +826,67 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped_lo", "n_clipped_hi", "winsor_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (product-analytics staple).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY ord
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes a
+    click that precedes a purchase — each stage's timestamp must be
+    STRICTLY after the previous stage's first occurrence (the classic
+    ordered-funnel semantics, not mere event-set membership).
+
+    Scale: three grouped MIN aggregations, each keyed user_id — one
+    shuffle key throughout, so the per-stage joins land on co-partitioned
+    exchanges that AQE reuses; each stage's survivor set only shrinks.
+    The event-type filters push to the scan (only 3 of the types are
+    read). Timestamp MINs are exact — no float anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(
+                prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
+                (F.col("user_id") == F.col("pu")) & (F.col("ts") > F.col("pt")),
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    rows = None
+    for ord_, stage, df in ((1, "view", v), (2, "view>click", c), (3, "view>click>purchase", p)):
+        one = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(ord_).alias("ord"), F.lit(stage).alias("stage"), "n_users"
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows.orderBy("ord").select("stage", "n_users")

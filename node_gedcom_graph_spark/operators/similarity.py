@@ -349,3 +349,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+# ------------------------------------------------- centroid assignment
+
+
+@register(
+    "embedding_centroid_assign",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS c_nm
+      FROM embeddings WHERE vec_id % 83 = 0
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             CAST(list_dot_product(e.embedding, c.c_emb) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))
+                  * c.c_nm) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CAST(list_dot_product(e.embedding, c.c_emb) AS DOUBLE)
+                        / (sqrt(CAST(list_dot_product(e.embedding, e.embedding)
+                                     AS DOUBLE)) * c.c_nm) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(cos AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+             AS mean_cos
+    FROM scored WHERE rn = 1 GROUP BY cid
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means ASSIGNMENT step against deterministic centroids
+    (every 83rd vector): nearest centroid by cosine, tie-broken by
+    centroid id, with cluster sizes and mean assigned cosine — the
+    E-step primitive the IVF index (ann_ivf_topk) iterates, isolated
+    here in oracle-checkable form (hash-picked centroids instead of
+    trained ones, so both engines see identical floats end-to-end).
+
+    Scale: centroids are dimension-sized -> broadcast; the corpus
+    streams through one projection per centroid batch (no shuffle until
+    the k-row final agg). The argmax is a hash-agg max over
+    (cos, -cid) structs — no per-vector window sort. Per-row cosines
+    use the same sequential-f32 accumulation DuckDB's list_dot_product
+    does (dot_f32), and the cluster mean goes through DECIMAL(28,14) so
+    the aggregate is order-independent and bit-equal to the oracle.
+    """
+    from node_gedcom_graph_spark.operators.dedup import dot_f32
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cent = F.broadcast(
+        _normed(emb.filter(F.col("vec_id") % 83 == 0)).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nm").alias("c_nm"),
+        )
+    )
+    n = _normed(emb)
+    cos = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
+        F.col("nm") * F.col("c_nm")
+    )
+    best = (
+        n.crossJoin(cent)
+        .select("vec_id", F.struct(cos.alias("cos"), (-F.col("cid")).alias("ncid")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            (-F.col("s.ncid")).alias("cid"), F.col("s.cos").alias("cos")
+        )
+    )
+    return best.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        (
+            F.sum(F.col("cos").cast("decimal(28,14)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cos"),
+    )
