@@ -45,3 +45,50 @@ def test_q3_pushes_all_three_predicates(spark):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThan(l_shipdate" in plan
+
+
+def test_tpch_deep_scans_prune_and_push(spark):
+    from node_gedcom_graph_spark.operators.relational_tpch import (
+        small_quantity_part_revenue,
+        waiting_supplier_orders,
+    )
+
+    plan = _plan(small_quantity_part_revenue(spark, SF_DIR))
+    # The brand filter must reach the part scan (no full-dim read)...
+    assert "In(p_brand, [Brand#1,Brand#2])" in plan
+    # ...and lineitem reads only partkey/quantity/extendedprice.
+    assert (
+        "struct<l_partkey:bigint,l_quantity:double,l_extendedprice:double>" in plan
+    )
+
+    plan = _plan(waiting_supplier_orders(spark, SF_DIR))
+    # Supplier dim is broadcast, never shuffled.
+    assert "BroadcastHashJoin" in plan
+    # The EXISTS/NOT EXISTS probes plan as semi/anti joins, not
+    # materialized subqueries.
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_repetition_stats_single_gram_shuffle(spark):
+    """The 1/2/3-gram metrics must come from ONE pass: a single explode
+    feeding a single (doc_id, k, gram) exchange — not one scan+shuffle
+    per gram size."""
+    from node_gedcom_graph_spark.operators.textstats import text_repetition_stats
+
+    plan = _plan(text_repetition_stats(spark, SF_DIR))
+    assert plan.count("Generate explode") == 1
+    # Exchanges: gram counts, (doc_id, k) rollup, final doc_id pivot.
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    """The corpus side must stream: centroids broadcast into a nested
+    loop, argmax as hash-agg (no per-vector window sort)."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        embedding_centroid_assign,
+    )
+
+    plan = _plan(embedding_centroid_assign(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
