@@ -542,3 +542,68 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_of(2, "top").cast("double") / _of(2, "n")).alias("top_bigram_frac"),
         (_of(3, "dup").cast("double") / _of(3, "n")).alias("dup_trigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture weighting (data-mixing prep).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(p.n_tokens AS DOUBLE) / t.t AS actual_share,
+           LEAST((1.0 / t.k) / (CAST(p.n_tokens AS DOUBLE) / t.t), 5.0)
+             AS sample_weight
+    FROM per_src p CROSS JOIN tot t
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus toward a
+    uniform token share across sources (the static-reweighting step of
+    data-mixing pipelines; weights capped at 5x to bound upsampling
+    repeats, the usual practice when a domain is tiny).
+
+    Scale: one grouped agg over the corpus (token counts are computed
+    at the scan projection — the text column never shuffles; only
+    (source, counts) rows do), then a 1-row total broadcast-crossed
+    back. Shares and weights are int/int double divisions — bit-equal
+    to the oracle. Downstream, sample_weight feeds the deterministic
+    hash-filter sampler (sample_quality_weighted) — weight >= 1 means
+    keep-all + (weight-1) repeat probability, <1 means thinning.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_src = docs.select(
+        "source", F.size(tokens(F.col("text"))).alias("ntok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+    )
+    tot = F.broadcast(
+        per_src.agg(
+            F.sum("n_tokens").cast("bigint").alias("t"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    return per_src.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("actual_share"),
+        F.least((F.lit(1.0) / F.col("k")) / share, F.lit(5.0)).alias(
+            "sample_weight"
+        ),
+    )
