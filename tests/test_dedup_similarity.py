@@ -220,13 +220,18 @@ def test_asof_join_semantics(spark):
     import node_gedcom_graph_spark.operators.relational as R
     import node_gedcom_graph_spark.sources.tables as T
 
+    # Import every operator module BEFORE patching: all_queries() imports
+    # lazily, and a module first imported inside the patch window would
+    # capture the patched lambda in its own `from tables import
+    # load_table` binding forever (bit test_plan_pushdown once).
+    qs = all_queries()
     orig = T.load_table
     try:
         T.load_table = lambda s, d, name: events  # noqa: E731
         R.load_table = T.load_table
         out = {
             r.purchase_id: (r.view_id)
-            for r in all_queries()["asof_last_view_before_purchase"](spark, "x").collect()
+            for r in qs["asof_last_view_before_purchase"](spark, "x").collect()
         }
     finally:
         T.load_table = orig

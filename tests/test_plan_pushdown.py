@@ -92,3 +92,25 @@ def test_centroid_assign_broadcasts_centroids(spark):
     plan = _plan(embedding_centroid_assign(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_copurchase_graph_reuses_cached_edges(spark):
+    """The co-purchase edge list feeds many plan branches (degrees,
+    orientation, wedge + closing joins, 3 PageRank iterations). Without
+    a materialization point each branch re-derives the whole
+    pair-generation subtree — the triangle plan measured 90 parquet
+    scans before caching. Pin: the cache is used, the raw lineitem
+    scan appears at most twice (cache-fill subtree rendering), and the
+    participation/symmetrize fan-outs are single-pass explodes, not
+    unionAll re-evaluations."""
+    from node_gedcom_graph_spark.operators.graphalgo import (
+        copurchase_pagerank_3iter,
+        copurchase_triangles,
+    )
+
+    plan = _plan(copurchase_triangles(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Generate explode") >= 2  # deg + participation
+    plan = _plan(copurchase_pagerank_3iter(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "Generate inline" in plan  # single-pass symmetrize
