@@ -47,6 +47,7 @@ def _load_all() -> None:
     from node_gedcom_graph_spark.operators import (  # noqa: F401
         dedup,
         graphalgo,
+        llmprep,
         multimodal,
         relational,
         relational_ext,
