@@ -37,10 +37,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(base)
     )
-    if dict(raw.dtypes).get("ts") in ("bigint", "long"):
-        # TIMESTAMP (session-TZ=UTC), not NTZ: watermarks require an
-        # event-time column of TIMESTAMP type.
+    # Watermarks require an event-time column of TIMESTAMP type (the
+    # batch loader keeps NTZ for DuckDB parity; under the UTC session
+    # timezone the cast is a pure reinterpretation — same instants).
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
