@@ -52,6 +52,7 @@ def _load_all() -> None:
         relational,
         relational_ext,
         relational_tpch,
+        relational_tpch2,
         similarity,
         textstats,
     )

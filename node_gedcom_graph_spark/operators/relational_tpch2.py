@@ -1,0 +1,281 @@
+"""Fourth relational batch — remaining classic decision-support shapes:
+correlated-MIN supplier selection (TPC-H Q2), aggregate-view + global-MAX
+scalar subquery (Q15), rolling-window anomaly detection over event time,
+and higher-order array-function aggregation — each re-expressed on the
+driver's star schema (no partsupp table, so the part↔supplier bridge is
+lineitem; the operator SHAPES are the point, mirroring the reference's
+filter→route→aggregate composition, cf. /root/reference/lib/csv_writer.js).
+
+Determinism policy (same as relational.py): money/quantity sums go
+through DECIMAL(18,2) where they feed comparisons; sliding-window
+moments are short frames (<=20 rows) whose float error is orders of
+magnitude below the oracle hash's 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.sources.tables import load_table
+
+
+def _dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: per-group correlated MIN, joined back with tie preservation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH pl AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size = 1
+    ), mins AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM pl GROUP BY l_partkey
+    )
+    SELECT DISTINCT p.p_partkey, p.p_name, m.min_price, s.s_name, n.n_name
+    FROM pl
+    JOIN mins m ON m.l_partkey = pl.l_partkey
+                AND pl.l_extendedprice = m.min_price
+    JOIN supplier s ON s.s_suppkey = pl.l_suppkey
+    JOIN part p ON p.p_partkey = pl.l_partkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part (size-1 subset), the supplier(s)
+    offering its minimum observed price — a correlated scalar-MIN
+    subquery joined back with ties preserved. (This schema has no
+    partsupp, so lineitem is the part↔supplier bridge.)
+
+    Scale: the correlated MIN is decorrelated into a per-part aggregate
+    joined back — both the aggregate and the join-back shuffle on
+    l_partkey, so AQE reuses one exchange. The p_size filter rides a
+    broadcast join with the part dimension and prunes the fact BEFORE
+    its shuffle. MIN of double is order-independent; the equality
+    join-back on the exact min keeps all tied suppliers (no arbitrary
+    row_number pick). supplier/nation/part dims broadcast.
+    """
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    small = part.filter(F.col("p_size") == 1).select("p_partkey", "p_name")
+    pl = lineitem.join(
+        F.broadcast(small.select("p_partkey")),
+        lineitem.l_partkey == small.p_partkey,
+    ).select("l_partkey", "l_suppkey", "l_extendedprice")
+    mins = (
+        pl.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        pl.join(
+            mins,
+            (pl.l_partkey == mins.m_partkey)
+            & (pl.l_extendedprice == mins.min_price),
+        )
+        .drop("m_partkey")
+        .join(F.broadcast(supplier), pl.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(small), pl.l_partkey == small.p_partkey)
+        .select("p_partkey", "p_name", "min_price", "s_name", "n_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: aggregate view + global-MAX scalar subquery (ties preserved).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum total revenue —
+    an aggregate view probed by a global-MAX scalar subquery, preserving
+    ties exactly (a LIMIT 1 or row_number pick would break them).
+
+    Scale: revenue aggregates once on l_suppkey (map-side partials);
+    the MAX is a one-row aggregate of the ALREADY-aggregated view (one
+    row per supplier, not per lineitem) broadcast back as a join
+    condition — the view is reused, not recomputed, via an equality
+    join rather than a recompute-per-row correlated predicate. The
+    exact DECIMAL revenue makes the equality well-defined on both
+    engines (double summation order could otherwise split ties).
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    revenue = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == top.max_revenue)
+        .join(F.broadcast(supplier), revenue.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-frame anomaly detection (trailing z-score over event time).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             AVG(value) OVER win AS mu,
+             STDDEV_SAMP(value) OVER win AS sd,
+             COUNT(*) OVER win AS n_prev
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           CAST((value - mu) / sd AS DOUBLE) AS zscore
+    FROM w
+    WHERE n_prev >= 10 AND sd > 0.000001 AND abs(value - mu) > 3 * sd
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection: each event compared against
+    the mean/stddev of its user's previous <=20 events (strictly before
+    the current row — no self-leakage), flagging |z| > 3 once at least
+    10 prior observations exist.
+
+    Scale: one shuffle on user_id + per-partition sort on (ts,
+    event_id); the frame is a bounded trailing ROWS window, so state per
+    row is 20 values regardless of partition length. The sd > 1e-6
+    guard makes the filter boundary well-conditioned (frames are <=20
+    rows, so cross-engine float drift is ~1e-12 — far inside the
+    6-dp oracle rounding).
+    """
+    events = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    flagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n_prev"),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_prev") >= 10)
+            & (F.col("sd") > 0.000001)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            ((F.col("value") - F.col("mu")) / F.col("sd"))
+            .cast("double")
+            .alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over grouped collections.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_funcs_order_quantities",
+    oracle="""
+    WITH qarr AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qs) AS n_items,
+           qs[-1] AS max_qty,
+           qs[1] AS min_qty,
+           CAST(qs[-1] - qs[1] AS DOUBLE) AS qty_range,
+           qs[(len(qs) + 1) // 2] AS median_lo_qty,
+           CAST(list_sum(list_slice(list_reverse_sort(qs), 1, 3))
+                AS DOUBLE) AS top3_qty_sum
+    FROM qarr
+    """,
+)
+def array_funcs_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function surface: per-order quantity vectors
+    built with collect_list, canonicalized with sort_array, then probed
+    with element_at / slice / reverse / aggregate (lambda fold) — the
+    Spark analog of the reference's per-record children[] walks
+    (/root/reference/lib/csv_writer.js:128-157), lifted onto grouped
+    arrays.
+
+    Scale: one shuffle on l_orderkey; per-order arrays are bounded by
+    lines-per-order (~4-7 in this schema), so collect_list state is
+    O(group size), not O(partition). sort_array canonicalizes the
+    shuffle-dependent collect order, making every derived scalar
+    order-independent. All lambdas run in codegen (higher-order
+    expressions, not UDFs). Quantities are integral doubles, so the
+    3-element fold is float-exact on both engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qarr = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qs")
+    )
+    n = F.size("qs")
+    top3 = F.aggregate(
+        F.slice(F.reverse(F.col("qs")), 1, 3),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return qarr.select(
+        "l_orderkey",
+        n.alias("n_items"),
+        F.element_at("qs", -1).alias("max_qty"),
+        F.element_at("qs", 1).alias("min_qty"),
+        (F.element_at("qs", -1) - F.element_at("qs", 1))
+        .cast("double")
+        .alias("qty_range"),
+        F.element_at("qs", ((n + 1) / 2).cast("int")).alias("median_lo_qty"),
+        top3.cast("double").alias("top3_qty_sum"),
+    )

@@ -607,3 +607,138 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_weight"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (corpus-trained perplexity proxy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           AVG(-ln(CAST(v.cnt AS DOUBLE) / n)) AS avg_nll
+    FROM toks t
+    JOIN vocab v ON v.tok = t.tok
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM
+    trained on the corpus itself — the classic cheap perplexity proxy
+    for quality filtering (documents full of rare tokens score high,
+    boilerplate scores low).
+
+    Scale: two aggregations and one join, all on the token key: (1)
+    vocab counts hash-aggregate with map-side partials (state = distinct
+    tokens per partition, not token instances); (2) the corpus total is
+    a one-row agg over the ALREADY-aggregated vocab; (3) the score join
+    re-shuffles tokens against vocab — Zipf-skewed keys are exactly what
+    AQE skew-join splitting is for, and Catalyst broadcasts vocab
+    outright when it fits (it usually does: vocab is distinct tokens,
+    millions of rows, not corpus-sized). The final per-doc AVG shuffles
+    on doc_id. -ln(cnt/n) is the same int/int double division + natural
+    log on both engines; per-doc sums are ~1e2-1e3 tokens, so float
+    drift is far inside the 6-dp oracle rounding (same precedent as
+    tfidf_top_source_terms).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = F.broadcast(
+        vocab.agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
+    nll = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(nll).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (shared exact-duplicate fingerprints).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_overlap",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+    FROM fp a
+    JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of sources, how
+    many normalized-exact-duplicate fingerprints they share — the
+    contamination audit run before mixing corpora (which crawl dumps
+    duplicate which, does the benchmark source leak into training
+    sources).
+
+    Scale: instead of the oracle's fp self-join (which shuffles the
+    fingerprint table twice and can quadratically explode on a hot
+    fingerprint), group once on fingerprint, collect the DISTINCT
+    source set (bounded by the number of sources — single digits — not
+    by copies), and expand each set's O(k^2) pairs with a higher-order
+    comprehension in codegen. One shuffle on the 16-byte fingerprint +
+    one on the (source_a, source_b) pair key; document text never
+    shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    fps = docs.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp"), "source"
+    ).distinct()
+    sets = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("srcs"),
+                    (i + 2).cast("int"),
+                    F.greatest(F.size("srcs") - i - 1, F.lit(0)).cast("int"),
+                ),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
