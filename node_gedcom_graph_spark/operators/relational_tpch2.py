@@ -124,13 +124,16 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregate view probed by a global-MAX scalar subquery, preserving
     ties exactly (a LIMIT 1 or row_number pick would break them).
 
-    Scale: revenue aggregates once on l_suppkey (map-side partials);
-    the MAX is a one-row aggregate of the ALREADY-aggregated view (one
-    row per supplier, not per lineitem) broadcast back as a join
-    condition — the view is reused, not recomputed, via an equality
-    join rather than a recompute-per-row correlated predicate. The
-    exact DECIMAL revenue makes the equality well-defined on both
-    engines (double summation order could otherwise split ties).
+    Scale: revenue aggregates once on l_suppkey (map-side partials) and
+    is CACHED — the view feeds two plan branches (the MAX probe and the
+    join-back), and without the materialization point each branch
+    re-scans and re-shuffles the whole fact (the pushed isnotnull
+    filter differs between branches, so ReuseExchange cannot merge
+    them; verified in the executed plan). Cached state is one row per
+    supplier, not per lineitem. The MAX is then a one-row aggregate
+    broadcast back as an equality join condition. The exact DECIMAL
+    revenue makes the equality well-defined on both engines (double
+    summation order could otherwise split ties).
     """
     supplier = load_table(spark, sf_dir, "supplier")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -140,6 +143,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         lineitem.groupBy("l_suppkey")
         .agg(F.sum(rev).cast("double").alias("total_revenue"))
+        .cache()
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (

@@ -126,3 +126,32 @@ def test_rank_windows_bounds(spark):
     for r in rows:
         per_seg.setdefault(r.c_mktsegment, set()).add(r.poorest_custkey)
     assert all(len(v) == 1 for v in per_seg.values())
+
+
+def test_cross_source_overlap_counts_shared_fingerprints(spark, tmp_path):
+    """Semantic pin on synthetic data: 3 sources where A∩B share two
+    normalized-identical texts, A∩C share one (via punctuation/case
+    variants), B∩C share none."""
+    import pandas as pd
+
+    from node_gedcom_graph_spark.operators.textstats import cross_source_overlap
+
+    rows = [
+        (1, "alpha beta", "en", "A", 10),
+        (2, "Alpha,  BETA!", "en", "B", 13),   # normalizes equal to 1
+        (3, "gamma delta", "en", "A", 11),
+        (4, "gamma delta", "en", "B", 11),
+        (5, "epsilon zeta", "en", "A", 12),
+        (6, "epsilon-zeta", "en", "C", 12),    # normalizes equal to 5
+        (7, "only in b", "en", "B", 9),
+        (8, "only in c", "en", "C", 9),
+        (9, "alpha beta", "en", "A", 10),      # dup within A: no pair
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in cross_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got == {("A", "B"): 2, ("A", "C"): 1}
