@@ -138,6 +138,12 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += timings[name]
 
+    # Two warm iterations: the GEDCOM stack's generated classes are the
+    # largest in the suite and compete with the 9 preceding queries for
+    # the fixed 100-entry codegen cache — after one warm run the second
+    # iteration still pays partial recompilation (observed 16s -> 4.3s
+    # -> 2.5s convergence), so a single warm under-reports steady state.
+    bench_gedcom_pipeline(spark)
     bench_gedcom_pipeline(spark)
     best = float("inf")
     for _ in range(2):

@@ -69,6 +69,17 @@ def get_spark(
                 "spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
             )
+    # Static conf (builder-time only — cannot go in ENGINE_CONFS, which
+    # is also applied to externally-created sessions via spark.conf.set):
+    # the whole-stage-codegen class cache holds 100 entries by default.
+    # This engine's largest plans (the GEDCOM window/pivot stack, the
+    # 64-min MinHash aggregate) generate classes that a mixed workload
+    # evicts between runs, re-paying ~1-2 s of janino compilation per
+    # query — observed directly in bench.py as a 2x swing on the GEDCOM
+    # pipeline when it runs after nine other queries. A production
+    # engine serving many concurrent query shapes wants this cache sized
+    # to its working set, not to a 100-entry default.
+    builder = builder.config("spark.sql.codegen.cache.maxEntries", "2000")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
