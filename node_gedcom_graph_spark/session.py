@@ -25,6 +25,11 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas-UDF / toPandas transfers.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow-batched UDTF evaluation: without it Python UDTFs fall back
+    # to row-at-a-time pickle transfer (BatchEvalPythonUDTF); with it
+    # the plan shows ArrowEvalPythonUDTF (same semantics, columnar
+    # transfer) — the only Python-UDTF surface is sentence splitting.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Let Python data sources (sources/gedcom_datasource.py) absorb
     # filters via pushFilters — off by default in Spark 4.1.
     "spark.sql.python.filterPushdown.enabled": "true",
