@@ -244,3 +244,92 @@ def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("p").alias("p_partkey"), F.col("r").alias("pagerank"))
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT src AS p, label FROM (
+        SELECT s.src, l.label,
+               ROW_NUMBER() OVER (PARTITION BY s.src
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM sym s JOIN {prev} l ON l.p = s.dst
+        GROUP BY s.src, l.label
+      ) t WHERE rn = 1
+    )"""
+
+
+@register(
+    "copurchase_label_propagation_3iter",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS p, src AS label FROM sym),
+    {_lpa_iter_sql('l0', 'l1').lstrip()},
+    {_lpa_iter_sql('l1', 'l2').lstrip()},
+    {_lpa_iter_sql('l2', 'l3').lstrip()}
+    SELECT p AS p_partkey, label AS community FROM l3
+    """,
+)
+def copurchase_label_propagation_3iter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label propagation (3 unrolled iterations, min-label
+    tie-break) over the symmetrized co-purchase graph — community
+    detection as fixed-depth dataflow, same discipline as the PageRank
+    unroll: no driver-side convergence loop, one static DAG.
+
+    Determinism: each node's next label = most frequent neighbor label,
+    ties to the SMALLEST label — a total order, so synchronous updates
+    are reproducible on any engine (async/random-order LPA is not).
+
+    Physical divergence, pinned by the oracle: DuckDB ranks candidate
+    labels with a row_number window; the engine computes the same argmax
+    as a single MIN(struct(-count, label)) hash aggregate — one
+    map-side-combinable agg instead of a per-node sort, the strategy
+    that survives high-degree (skewed) nodes. Identical output proves
+    the rewrite sound.
+
+    Scale: per iteration — one hash join against node-sized labels
+    (broadcastable when nodes << edges), one (src, label) count with
+    map-side partials, one MIN-struct agg on src. The symmetrized edge
+    list is built once (cached); labels never exceed one row per node.
+    Unbounded-iteration variants would checkpoint lineage every ~10
+    rounds (see graph/queries.py connected components).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        )
+    ).persist()
+    labels = sym.select(F.col("src").alias("p")).distinct().select(
+        "p", F.col("p").alias("label")
+    )
+    for _ in range(3):
+        counted = (
+            sym.join(labels, sym.dst == labels.p)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                    )
+                ).alias("best")
+            )
+            .select(F.col("src").alias("p"), F.col("best.lb").alias("label"))
+        )
+    return labels.select(
+        F.col("p").alias("p_partkey"), F.col("label").alias("community")
+    )
