@@ -392,3 +392,49 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_redacted_docs"),
         F.sum(F.length("lowered") - F.length("redacted")).alias("chars_delta"),
     )
+
+
+@register(
+    "events_next_event_training_pairs",
+    oracle="""
+    SELECT * FROM (
+      SELECT user_id, event_id, ts,
+             LAG(event_type, 2) OVER w AS prev2_type,
+             LAG(event_type, 1) OVER w AS prev1_type,
+             event_type AS cur_type,
+             LEAD(event_type, 1) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE next_type IS NOT NULL
+    """,
+)
+def events_next_event_training_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-model training-pair generation: each event becomes one
+    example with a trailing context window (previous two event types,
+    NULL-padded at sequence starts) and the NEXT event type as the
+    label — the classic next-token-style dataset build over behavioral
+    logs.
+
+    Scale: one shuffle on user_id + one per-partition sort serves all
+    four offsets (CollapseWindow folds the three LAGs and the LEAD into
+    a single Window exec over one frame spec); no self-joins, no
+    per-example materialization of the context beyond fixed columns.
+    Deterministic: (ts, event_id) is a total order per user.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("event_type", 2).over(w).alias("prev2_type"),
+            F.lag("event_type", 1).over(w).alias("prev1_type"),
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )

@@ -426,3 +426,92 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_cos"),
     )
+
+
+@register(
+    "knn_label_purity",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM n WHERE vec_id % 4 = 0
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             n.vec_id AS neighbor_id, n.label AS n_label,
+             CAST(list_dot_product(q.embedding, n.embedding) AS DOUBLE)
+               / (q.nm * n.nm) AS cosine
+      FROM q JOIN n ON n.vec_id <> q.vec_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      ) t WHERE rnk <= 10
+    ), per_q AS (
+      SELECT query_id, q_label,
+             SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / 10.0
+               AS purity
+      FROM topk GROUP BY query_id, q_label
+    )
+    SELECT q_label AS label,
+           COUNT(*) AS n_queries,
+           AVG(purity) AS avg_purity
+    FROM per_q
+    GROUP BY q_label
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval: for a deterministic 25% query sample, the
+    fraction of each query's top-10 cosine neighbors sharing its label,
+    averaged per label — the kNN-classification-consistency check run
+    on an embedding table before training on it (label noise and
+    cluster bleed show up as low purity).
+
+    Scale: queries are an explicit deterministic sample (vec_id % 4),
+    broadcast against the streaming corpus — the same
+    broadcast + WindowGroupLimit partial-top-k shape as ann_topk_cosine,
+    with labels carried through the scan. Evaluating EVERY vector
+    would make the broadcast corpus-sized; at that point the SRP-LSH
+    bucket join (ann_lsh_topk) is the self-join path. Cosines use the
+    sequential float32 fold (dot_f32) that matches DuckDB's
+    list_dot_product bit-for-bit, so the rank boundary cannot flip
+    between engines; the purity fractions are small int/10.0 divisions.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _normed(load_table(spark, sf_dir, "embeddings")).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    q = F.broadcast(
+        n.filter(F.col("vec_id") % 4 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nm").alias("q_nm"),
+        )
+    )
+    cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.col("q_nm") * F.col("nm")
+    )
+    scored = n.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    per_q = topk.groupBy("query_id", "q_label").agg(
+        (
+            F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+            / F.lit(10.0)
+        ).alias("purity")
+    )
+    return per_q.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("purity").alias("avg_purity"),
+    )
