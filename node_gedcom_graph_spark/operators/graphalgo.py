@@ -333,3 +333,75 @@ def copurchase_label_propagation_3iter(
     return labels.select(
         F.col("p").alias("p_partkey"), F.col("label").alias("community")
     )
+
+
+@register(
+    "copurchase_bfs_2hop",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM edges
+    ),
+    seeds AS (SELECT DISTINCT src FROM sym WHERE src % 500 = 0),
+    h1 AS (
+      SELECT DISTINCT s.src AS seed, y.dst AS node
+      FROM seeds s JOIN sym y ON y.src = s.src
+    ),
+    h2 AS (
+      SELECT DISTINCT h.seed, y.dst AS node
+      FROM h1 h JOIN sym y ON y.src = h.node
+    )
+    SELECT seed, node, MIN(dist) AS dist FROM (
+      SELECT seed, node, 1 AS dist FROM h1
+      UNION ALL
+      SELECT seed, node, 2 AS dist FROM h2
+    ) t
+    WHERE node <> seed
+    GROUP BY seed, node
+    """,
+)
+def copurchase_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability with hop distance: every node within
+    2 hops of a deterministic seed set (part keys ≡ 0 mod 500), with
+    the minimum distance — the frontier-expansion BFS pattern from the
+    GEDCOM ancestor traversal (graph/queries.py) run on a DATA-scale
+    derived graph instead of the demo fixture.
+
+    Scale: per hop, one hash join of the frontier against the cached
+    symmetrized edge list, shuffled on the join key; frontiers are
+    distinct-reduced per hop so re-reached nodes don't re-expand
+    (without it hop-k fan-out multiplies by average degree each round).
+    The MIN(dist) fold collapses multi-path reachability exactly like
+    the oracle's UNION + GROUP BY. Deeper traversals iterate the same
+    join with lineage checkpoints every ~10 hops.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        )
+    ).persist()
+    seeds = sym.filter(F.col("src") % 500 == 0).select("src").distinct()
+    h1 = (
+        seeds.join(sym, "src")
+        .select(F.col("src").alias("seed"), F.col("dst").alias("node"))
+        .distinct()
+    )
+    h2 = (
+        h1.join(sym, h1.node == sym.src)
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+    )
+    reached = h1.select("seed", "node", F.lit(1).alias("dist")).unionAll(
+        h2.select("seed", "node", F.lit(2).alias("dist"))
+    )
+    return (
+        reached.filter(F.col("node") != F.col("seed"))
+        .groupBy("seed", "node")
+        .agg(F.min("dist").alias("dist"))
+    )

@@ -84,3 +84,53 @@ def test_connected_components_two_clusters(edges):
     main = {comp[x] for x in ("G1", "G2", "I1", "I2", "I3", "I4", "FG", "F1")}
     other = {comp[x] for x in ("Z1", "FZ")}
     assert len(main) == 1 and len(other) == 1 and main != other
+
+
+def _synth_lineitem(tmp_path, pairs):
+    """Write a minimal lineitem.parquet whose co-purchase graph (weight
+    >= 2 canonical edges) is exactly `pairs` — each pair appears in two
+    distinct orders."""
+    import pandas as pd
+
+    rows = []
+    order = 0
+    for a, b in pairs:
+        for _ in range(2):  # weight-2 threshold
+            rows.append((order, a))
+            rows.append((order, b))
+            order += 1
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_label_propagation_min_tiebreak_converges(spark, tmp_path):
+    """Hand-computed 3-iteration LPA on a triangle + pendant:
+    edges 1-2, 2-3, 1-3, 3-4. Iteration 1 exercises the min-label
+    tie-break (node 1 sees {2,3} one vote each -> takes 2); by
+    iteration 3 every node has converged to community 1."""
+    from node_gedcom_graph_spark.operators.graphalgo import (
+        copurchase_label_propagation_3iter,
+    )
+
+    sf_dir = _synth_lineitem(tmp_path, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {
+        r.p_partkey: r.community
+        for r in copurchase_label_propagation_3iter(spark, sf_dir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_2hop_min_distance(spark, tmp_path):
+    """Path 500-1-2-3 seeded at 500 (the mod-500 seed rule): node 1 at
+    distance 1, node 2 at distance 2, node 3 unreached within 2 hops,
+    and the seed itself excluded."""
+    from node_gedcom_graph_spark.operators.graphalgo import copurchase_bfs_2hop
+
+    sf_dir = _synth_lineitem(tmp_path, [(500, 1), (1, 2), (2, 3)])
+    got = {
+        (r.seed, r.node): r.dist
+        for r in copurchase_bfs_2hop(spark, sf_dir).collect()
+    }
+    assert got == {(500, 1): 1, (500, 2): 2}
