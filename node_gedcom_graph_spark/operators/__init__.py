@@ -58,3 +58,4 @@ def _load_all() -> None:
     )
     from node_gedcom_graph_spark import gedcom as _gedcom  # noqa: F401
     from node_gedcom_graph_spark import graph as _graph  # noqa: F401
+    from node_gedcom_graph_spark.streaming import pipeline as _streaming  # noqa: F401

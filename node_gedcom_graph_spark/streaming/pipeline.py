@@ -459,3 +459,75 @@ def stream_stream_view_purchase_join(events: DataFrame) -> DataFrame:
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("purchase_id", "p_user", "purchase_ts", "view_id", "view_ts", "amount")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gated streaming query: the tumbling-window aggregation run as an
+# actual Structured Streaming job (availableNow trigger), registered with
+# the SAME DuckDB oracle as its batch twin — streaming correctness is
+# hash-checked, not just rows-only.
+# ---------------------------------------------------------------------------
+
+import uuid as _uuid
+
+from node_gedcom_graph_spark.operators import register as _register
+
+
+@_register(
+    "stream_event_time_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_event_time_tumbling_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tumbling-window counts computed BY A STREAM: readStream over the
+    events table, availableNow trigger (drain-and-stop), complete-mode
+    memory sink, result returned as a batch DataFrame. Shares the batch
+    twin's oracle (event_time_tumbling_hourly), so the streaming
+    engine's windowed-aggregation state machine is value-hash-checked
+    against DuckDB — most streaming surfaces only get rows-only checks.
+
+    Complete mode is the gate-appropriate choice: no watermark, so zero
+    rows can be dropped by late-data policy and the final state equals
+    the batch aggregate by definition. The PRODUCTION shape for
+    unbounded streams is stream_windowed_event_counts (watermarked,
+    append, bounded state — tested for batch-equality separately);
+    complete+memory is bounded here by the window-count cardinality,
+    not the stream length. Decimal sums keep the aggregate
+    order-independent across micro-batch boundaries.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            # batch parity: session TZ is UTC, so the NTZ cast is a pure
+            # reinterpretation of the same instant.
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    sink = f"stream_tumbling_gate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
