@@ -531,3 +531,44 @@ def stream_event_time_tumbling_hourly(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@_register(
+    "stream_dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def stream_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup group table computed BY A STREAM (stateful grouped
+    aggregation on the md5 fingerprint, availableNow drain, complete-
+    mode memory sink), sharing the batch dedup_exact oracle shape minus
+    n_sources (streaming aggregations don't support COUNT(DISTINCT);
+    the batch query keeps it).
+
+    State is one row per distinct fingerprint — identical layout to the
+    incremental dropDuplicates dedup (stream_dedup_exact), but exposing
+    the group statistics so the oracle can hash-check the streaming
+    aggregation state machine end-to-end. MIN/COUNT are
+    order-independent, so micro-batch arrival order cannot change the
+    result.
+    """
+    docs = read_documents_stream(spark, sf_dir)
+    agg = docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    sink = f"stream_dedup_gate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
