@@ -144,3 +144,32 @@ def test_real_resize_is_explicitly_stubbed(spark):
         resize_images(docs, 8, 8, fake=False)
     with pytest.raises(NotImplementedError):
         sample_video_frames(docs, fake=False)
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """The 100 TB layout claim in sources/tables.py: a date-partitioned
+    dataset read with a date predicate must prune at the DIRECTORY
+    level (PartitionFilters), not scan-and-filter. Pin both the plan
+    (non-empty PartitionFilters, empty PushedFilters for the partition
+    column) and the row counts."""
+    from pyspark.sql import functions as F
+
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # The partition predicate must NOT appear as a data filter — it is
+    # resolved against directory names before any file opens.
+    assert "PushedFilters: []" in plan
+    expected = events.filter(F.to_date("ts") == "2024-01-02").count()
+    assert expected > 0
+    assert one_day.count() == expected
