@@ -157,10 +157,29 @@ def test_fake_feature_extraction_deterministic(spark):
     assert len(r.features) == 8
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        extract_image_features(df, fake=False)
+def test_real_decode_ppm_golden_and_compressed_stub(spark):
+    """The REAL decode path: a hand-built 2x2 P6 payload decodes to its
+    known statistics; compressed payloads still refuse loudly (no codec
+    libs in this container)."""
+    import numpy as np
+
+    from node_gedcom_graph_spark.operators.multimodal import encode_ppm
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_ppm(img)))], "doc_id long, payload binary"
+    )
+    [row] = extract_image_features(df, fake=False).collect()
+    assert (row.width, row.height, row.channels) == (2, 2, 3)
+    # R channel pixels are [0, 3, 6, 9] -> mean 4.5/255.
+    assert abs(row.features[0] - 4.5 / 255.0) < 1e-12
+    # gray mean = overall mean = 5.5/255.
+    assert abs(row.features[6] - 5.5 / 255.0) < 1e-12
+    bad = spark.createDataFrame(
+        [(2, b"\xff\xd8\xff!")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="netpbm"):
+        extract_image_features(bad, fake=False).collect()
 
 
 def test_ivf_recall_vs_exact(spark):

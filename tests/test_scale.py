@@ -133,15 +133,29 @@ def test_frame_sample_shape(spark):
     assert len(by_doc[2]) == 1  # 11 frames -> one sample at idx 0
 
 
-def test_real_resize_is_explicitly_stubbed(spark):
+def test_real_resize_ppm_nearest_neighbor(spark):
+    """The REAL resize path: 4x4 P6 downsampled to 2x2 must gather
+    exactly rows/cols {0, 2} (nearest-neighbor index math), roundtripped
+    through the native encoder. Video frame sampling stays stubbed
+    (compressed codecs absent)."""
+    import numpy as np
+
     from node_gedcom_graph_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
         resize_images,
         sample_video_frames,
     )
 
-    docs = spark.createDataFrame([(1, b"z")], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        resize_images(docs, 8, 8, fake=False)
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    docs = spark.createDataFrame(
+        [(1, bytes(encode_ppm(img)))], "doc_id long, payload binary"
+    )
+    [row] = resize_images(docs, 2, 2, fake=False).collect()
+    assert (decode_ppm(bytes(row.payload)) == img[[0, 2]][:, [0, 2]]).all()
+    bad = spark.createDataFrame([(1, b"zz")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="netpbm"):
+        resize_images(bad, 2, 2, fake=False).collect()
     with pytest.raises(NotImplementedError):
         sample_video_frames(docs, fake=False)
 
