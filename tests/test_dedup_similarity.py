@@ -360,3 +360,22 @@ def test_approx_percentile_close_to_exact(spark):
     for flag, ex in exact.items():
         for a, e in zip(approx[flag], ex):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_wav_codec_roundtrip_golden():
+    """The REAL audio codec: a hand-built 4-sample WAV roundtrips
+    exactly (encode -> decode), and the chunk walk rejects non-RIFF."""
+    import numpy as np
+    import pytest as _pytest
+
+    from node_gedcom_graph_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    v = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+    samples, sr, n_ch = decode_wav(encode_wav(v, 8000))
+    assert sr == 8000 and n_ch == 1
+    assert (samples == v).all()
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
