@@ -12,11 +12,15 @@ Codec status, honestly split by format:
 - **PCM WAV (RIFF) decodes FOR REAL** — chunk walk + int16 raster in
   :func:`decode_wav` / :func:`encode_wav`, feeding real signal
   statistics (RMS / mean-abs / peak).
-- **Compressed codecs (JPEG/PNG/video) are stubbed**: the container has
-  no codec libs, so those payloads raise ``NotImplementedError`` under
-  ``fake=False``; ``fake=True`` substitutes a deterministic md5-derived
-  stand-in. Everything Spark-side (binary columns, sniffing, the
-  mapInPandas batch shape) is identical between the two paths.
+- **Y4M (YUV4MPEG2) video parses FOR REAL** — header + FRAME markers +
+  raw YUV planes in :func:`decode_y4m` / :func:`encode_y4m`; frame
+  sampling under ``fake=False`` emits actual sampled plane rasters.
+- **Compressed codecs (JPEG/PNG/H.26x/audio codecs) are stubbed**: the
+  container has no codec libs, so those payloads raise
+  ``NotImplementedError`` under ``fake=False``; ``fake=True``
+  substitutes a deterministic md5-derived stand-in. Everything
+  Spark-side (binary columns, sniffing, the mapInPandas batch shape) is
+  identical between the two paths.
 
 The driver tables carry no binary column, so payloads are derived from
 documents.text (utf-8 encode) or synthesized PPMs — the plumbing is
@@ -330,22 +334,47 @@ def sample_video_frames(
     fake: bool = True,
 ) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled
-    frame (doc_id, frame_idx, ts_ms, frame binary). The fake decoder
-    derives a deterministic frame count from the payload length and
-    synthesizes frame bytes from (payload md5, frame_idx); a real
-    implementation swaps the inner loop for pyav/ffmpeg iteration. The
-    explode-shaped output (rows >> inputs) is the part that matters for
-    Spark: downstream repartitioning treats frames, not videos, as the
-    unit of work.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "real frame sampling requires a video codec not present in "
-            "this container; swap the synthesis loop for pyav and set "
-            "fake=False"
-        )
+    frame (doc_id, frame_idx, ts_ms, frame binary).
 
+    ``fake=False``: REAL frame sampling for Y4M (YUV4MPEG2) payloads —
+    the codec-free video container — via :func:`decode_y4m`; frame
+    bytes are the raw sampled YUV planes, timestamps come from the
+    header frame rate. Compressed containers raise NotImplementedError.
+    ``fake=True``: deterministic md5-derived stand-in frames. The
+    explode-shaped output (rows >> inputs) is the part that matters for
+    Spark either way: downstream repartitioning treats frames, not
+    videos, as the unit of work.
+    """
     out_schema = f"{id_col} long, frame_idx int, ts_ms long, frame binary"
+
+    if not fake:
+
+        def _real_batch(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                ids, idxs, tss, frames = [], [], [], []
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                    payload = bytes(payload)
+                    if not payload.startswith(b"YUV4MPEG2"):
+                        raise NotImplementedError(
+                            "only Y4M samples natively; compressed video "
+                            "needs a codec (pyav/ffmpeg) not present in "
+                            "this container"
+                        )
+                    fr, _w, _h, (fn, fd) = decode_y4m(payload)
+                    for j, f_idx in enumerate(range(0, len(fr), every_n)):
+                        if j >= max_frames:
+                            break
+                        ids.append(doc_id)
+                        idxs.append(f_idx)
+                        tss.append(f_idx * 1000 * fd // fn)
+                        frames.append(fr[f_idx].tobytes())
+                yield pd.DataFrame(
+                    {id_col: ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+                )
+
+        return df.select(id_col, payload_col).mapInPandas(_real_batch, out_schema)
 
     def _batch(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -522,6 +551,58 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return hdr + data
 
 
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 (.y4m) stream — the codec-free video container
+    (plain-text header, then ``FRAME`` markers with raw YUV planes).
+    C444 only (one full plane per channel). Returns (frames, w, h,
+    (fps_num, fps_den)) with each frame a (3, h, w) uint8 array."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fn, fd = 30, 1
+    csp = b"444"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fn, fd = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C":
+            csp = tok[1:]
+    if csp != b"444":
+        raise ValueError("only C444 (full planes) supported")
+    frame_size = w * h * 3
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        raster = payload[fnl + 1 : fnl + 1 + frame_size]
+        frames.append(
+            np.frombuffer(raster, dtype=np.uint8).reshape(3, h, w)
+        )
+        pos = fnl + 1 + frame_size
+    return frames, w, h, (fn, fd)
+
+
+def encode_y4m(frames, fps_num: int = 30, fps_den: int = 1) -> bytes:
+    """Encode (3, h, w) uint8 frames as a C444 YUV4MPEG2 stream."""
+    import numpy as np
+
+    h, w = frames[0].shape[1:]
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (w, h, fps_num, fps_den)
+    )
+    for fr in frames:
+        out += b"FRAME\n"
+        out += np.ascontiguousarray(fr, dtype=np.uint8).tobytes()
+    return bytes(out)
+
+
 def synth_wav_payloads(
     df: DataFrame, id_col: str = "doc_id", sr: int = 8000, n: int = 4000
 ) -> DataFrame:
@@ -617,3 +698,95 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return wavs.mapInPandas(_decode, schema)
+
+
+def synth_y4m_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 20
+) -> DataFrame:
+    """Synthesize a deterministic 8x6 C444 Y4M clip per id: each frame's
+    Y/U/V planes are solid values given by a closed-form function of
+    (id, frame_idx), so real frame sampling is analytically checkable."""
+
+    def _batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                frames = [
+                    np.stack(
+                        [
+                            np.full((6, 8), (7 * d + 13 * i) % 256, np.uint8),
+                            np.full((6, 8), (11 * d + 17 * i) % 256, np.uint8),
+                            np.full((6, 8), (19 * d + 23 * i) % 256, np.uint8),
+                        ]
+                    )
+                    for i in range(n_frames)
+                ]
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(_batch, f"{id_col} long, payload binary")
+
+
+@register(
+    "multimodal_y4m_frame_stats",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(g.i * 5 AS INT) AS frame_idx,
+           CAST((g.i * 5 * 1000) // 30 AS BIGINT) AS ts_ms,
+           CAST((7 * d.doc_id + 13 * g.i * 5) % 256 AS DOUBLE) AS y_mean,
+           CAST((11 * d.doc_id + 17 * g.i * 5) % 256 AS DOUBLE) AS u_mean,
+           CAST((19 * d.doc_id + 23 * g.i * 5) % 256 AS DOUBLE) AS v_mean
+    FROM documents d, generate_series(0, 3) AS g(i)
+    WHERE d.doc_id % 10 = 7
+    """,
+)
+def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, hash-checked: synthesize a 20-frame
+    Y4M clip per sampled id, sample every 5th frame with the native
+    YUV4MPEG2 parser (actual header, FRAME markers, plane rasters), and
+    report per-plane means of the sampled frames. The oracle regenerates
+    the plane constants analytically — all-integer math, so the
+    comparison is exact, not merely within float rounding.
+
+    Scale: same Arrow-batched two-stage pipeline as the PPM/WAV
+    queries; the frame explode makes downstream work per-frame, which
+    is the property that matters when clips are long and workers must
+    rebalance on frames.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 10 == 7
+    )
+    frames = sample_video_frames(
+        synth_y4m_payloads(docs), every_n=5, max_frames=8, fake=False
+    )
+    schema = (
+        "doc_id long, frame_idx int, ts_ms long, "
+        "y_mean double, u_mean double, v_mean double"
+    )
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "ts_ms", "y_mean", "u_mean", "v_mean",
+            )}
+            for doc_id, f_idx, ts, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["ts_ms"], pdf["frame"]
+            ):
+                planes = np.frombuffer(bytes(frame), np.uint8).reshape(3, 6, 8)
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f_idx)
+                rows["ts_ms"].append(ts)
+                rows["y_mean"].append(float(planes[0].mean()))
+                rows["u_mean"].append(float(planes[1].mean()))
+                rows["v_mean"].append(float(planes[2].mean()))
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(_stats, schema)

@@ -156,8 +156,9 @@ def test_real_resize_ppm_nearest_neighbor(spark):
     bad = spark.createDataFrame([(1, b"zz")], "doc_id long, payload binary")
     with pytest.raises(Exception, match="netpbm"):
         resize_images(bad, 2, 2, fake=False).collect()
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(docs, fake=False)
+    # a PPM payload is not a video container: the real sampler refuses.
+    with pytest.raises(Exception, match="Y4M"):
+        sample_video_frames(docs, fake=False).collect()
 
 
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
@@ -187,3 +188,35 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     expected = events.filter(F.to_date("ts") == "2024-01-02").count()
     assert expected > 0
     assert one_day.count() == expected
+
+
+def test_y4m_codec_roundtrip_and_real_sampling(spark):
+    """The REAL video parser: a 3-frame hand-built Y4M roundtrips
+    through encode/decode, and fake=False sampling emits the actual
+    plane rasters of every sampled frame with rate-derived timestamps."""
+    import numpy as np
+
+    from node_gedcom_graph_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    frames = [
+        np.full((3, 2, 4), v, dtype=np.uint8) for v in (10, 20, 30)
+    ]
+    payload = encode_y4m(frames, fps_num=10, fps_den=1)
+    back, w, h, (fn, fd) = decode_y4m(payload)
+    assert (w, h, fn, fd) == (4, 2, 10, 1)
+    assert all((a == b).all() for a, b in zip(back, frames))
+
+    docs = spark.createDataFrame(
+        [(1, bytes(payload))], "doc_id long, payload binary"
+    )
+    got = {
+        r.frame_idx: (r.ts_ms, bytes(r.frame))
+        for r in sample_video_frames(docs, every_n=2, fake=False).collect()
+    }
+    assert set(got) == {0, 2}
+    assert got[0][0] == 0 and got[2][0] == 200  # 10 fps -> 100 ms/frame
+    assert got[2][1] == frames[2].tobytes()
