@@ -283,3 +283,58 @@ def array_funcs_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("qs", ((n + 1) / 2).cast("int")).alias("median_lo_qty"),
         top3.cast("double").alias("top3_qty_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-boundary window primitives: first/last/nth value + ratio-to-report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_order_positions",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER wfull AS last_price,
+           NTH_VALUE(o_totalprice, 3) OVER wfull AS third_price,
+           CAST(o_totalprice AS DOUBLE)
+             / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE) AS price_share
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_order_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary window primitives in one pass: each order with its
+    customer's first / last / third order price (FIRST_VALUE on the
+    default running frame; LAST_VALUE and NTH_VALUE on the full
+    partition frame — the classic frame-spec trap the defaults get
+    wrong) plus the order's share of the customer's lifetime spend
+    (ratio-to-report).
+
+    Scale: one shuffle on o_custkey serves every column; Catalyst plans
+    the two frame specs as two Window execs over the same sort, no
+    re-exchange. The ratio denominator is an exact DECIMAL partition
+    sum, so the share is order-independent under any shuffle plan.
+    (ts, key) ordering is a total order — no peer ambiguity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wpart = W.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(wfull).alias("third_price"),
+        (
+            F.col("o_totalprice").cast("double")
+            / F.sum(_dec("o_totalprice")).over(wpart).cast("double")
+        ).alias("price_share"),
+    )
