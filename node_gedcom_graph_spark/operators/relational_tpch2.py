@@ -338,3 +338,104 @@ def window_order_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(_dec("o_totalprice")).over(wpart).cast("double")
         ).alias("price_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (distributed, one aggregation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_order_values",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INT) AS bin,
+           CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INT) * 50000.0
+             AS bin_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram (10 bins of 50k, open-ended top bin) —
+    the one-pass distributed histogram: bin assignment is a scan-local
+    floor division, then a 10-group hash aggregate with map-side
+    partials. No sort, no per-bin scans; floor(x / step) is the same
+    IEEE operation on both engines, so bin edges cannot disagree.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast(
+        "int"
+    )
+    return (
+        orders.groupBy(
+            bin_.alias("bin"), (bin_ * 50000.0).alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts (first-touch cohort x activity-week matrix).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-touch week
+    (cohort), counted in each subsequent week they were active — the
+    standard cohort-retention analysis.
+
+    Scale: both the first-touch aggregate and the distinct activity
+    table shuffle on user_id — one key, so the join lands co-partitioned
+    and AQE reuses the exchanges; the final aggregate groups a
+    (cohort, offset) matrix whose cardinality is weeks², not users.
+    COUNT(*) after the distinct reduction replaces a COUNT(DISTINCT)
+    expand over the raw events. Week starts truncate to Monday on both
+    engines; offsets are exact integer day differences / 7.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+        )
+        .distinct()
+    )
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
