@@ -742,3 +742,66 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenization counts (GPT-2 pattern family).
+# ---------------------------------------------------------------------------
+
+# Lookahead-free variant of the GPT-2 pre-tokenizer split: a leading
+# space binds to the following word/number/punct run, whitespace runs
+# stand alone. (The real GPT-2 regex adds contraction splits and a
+# \s+(?!\S) lookahead; RE2 — the DuckDB oracle engine — has no
+# lookahead, so the shared subset is used on BOTH engines. The point is
+# a realistic sub-word-ready segmentation, not tokenizer parity.)
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+@register(
+    "text_bpe_pretoken_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS tok
+      FROM documents
+    )
+    SELECT doc_id, source,
+           COUNT(*) AS n_pretokens,
+           COUNT(DISTINCT tok) AS n_distinct,
+           SUM(CASE WHEN tok LIKE ' %' THEN 1 ELSE 0 END)
+             AS n_space_prefixed,
+           SUM(length(tok)) AS total_chars
+    FROM toks
+    GROUP BY doc_id, source
+    """,
+)
+def text_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer (the GPT-2 split
+    family: space-prefixed word / number / punctuation runs, standalone
+    whitespace) — the segmentation a byte-pair encoder consumes, so
+    n_pretokens is the realistic pre-merge sequence length used for
+    token-budget estimates (vs the plain alnum tokens of
+    text_token_stats).
+
+    Scale: one scan; the regex split is a per-row codegen'd
+    regexp_extract_all; the per-doc aggregate shuffles (doc_id, token)
+    only for the distinct count. The pattern is restricted to the
+    Java-regex/RE2 shared subset (no lookahead), so both engines
+    segment identically.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    return toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_pretokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.when(F.col("tok").startswith(" "), 1).otherwise(0)).alias(
+            "n_space_prefixed"
+        ),
+        F.sum(F.length("tok")).alias("total_chars"),
+    )
