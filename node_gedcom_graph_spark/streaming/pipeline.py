@@ -572,3 +572,23 @@ def stream_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_dedup_events_within_watermark(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-stream dedup with TIME-BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per business key
+    among arrivals within the watermark delay of each other, and evicts
+    key state once the watermark passes — so, unlike the unbounded
+    ``dropDuplicates`` dedup (stream_dedup_exact, where state is the
+    product), memory is bounded by keys-per-window regardless of stream
+    length. The contract is exactly the at-least-once-source dedup
+    guarantee: duplicates from retries/replays arrive close together,
+    and a key legitimately recurring much later is a NEW observation.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

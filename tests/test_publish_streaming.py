@@ -561,3 +561,72 @@ def test_observed_counts_match_direct_counts(spark):
     assert m["n_property_rows"] == g.nodes_long.count()
     assert m["n_edges"] == g.edges.count()
     assert m["n_records_approx"] >= 1
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: a duplicate key
+    arriving within the delay is dropped; the same key recurring after
+    its state was evicted (watermark far past) is emitted again."""
+    import datetime as dt
+
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        stream_dedup_events_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    d = tmp_path / "events"
+    d.mkdir()
+    _write_doc_file(
+        str(d / "f1.parquet"),
+        [
+            {"user_id": 1, "event_type": "click", "ts": t0},
+            {"user_id": 1, "event_type": "click",
+             "ts": t0 + dt.timedelta(minutes=20)},  # dup within delay
+        ],
+        mtime=1_700_000_000,
+    )
+    _write_doc_file(
+        str(d / "f2.parquet"),
+        [{"user_id": 2, "event_type": "view",
+          "ts": t0 + dt.timedelta(hours=5)}],  # advances watermark far
+        mtime=1_700_000_100,
+    )
+    # state cleanup runs at batch COMPLETION with the lagged watermark,
+    # so an extra batch is needed between the watermark advance and the
+    # recurrence for the (1, click) state to actually be evicted.
+    _write_doc_file(
+        str(d / "f2b.parquet"),
+        [{"user_id": 3, "event_type": "view",
+          "ts": t0 + dt.timedelta(hours=5, minutes=1)}],
+        mtime=1_700_000_150,
+    )
+    _write_doc_file(
+        str(d / "f3.parquet"),
+        [{"user_id": 1, "event_type": "click",
+          "ts": t0 + dt.timedelta(hours=5, minutes=5)}],  # state evicted
+        mtime=1_700_000_200,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup_events_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sdw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.sql("SELECT * FROM sdw ORDER BY ts").collect()
+    ]
+    keys = [(u, e) for u, e, _ in got]
+    # in-delay duplicate collapsed to one row...
+    assert keys.count((1, "click")) == 2  # first arrival + post-eviction recurrence
+    assert len(got) == 4
+    # ...and the within-delay copy (t0+20min) is the one that vanished.
+    assert t0 + dt.timedelta(minutes=20) not in [t for _, _, t in got]
