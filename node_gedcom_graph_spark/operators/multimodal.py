@@ -620,7 +620,7 @@ def synth_wav_payloads(
             for doc_id in pdf[id_col]:
                 f = 200.0 + (int(doc_id) % 20) * 50.0
                 v = np.floor(
-                    30000.0 * np.sin(2.0 * np.pi * f * i / 8000.0) + 0.5
+                    30000.0 * np.sin(2.0 * np.pi * f * i / float(sr)) + 0.5
                 ).astype(np.int16)
                 payloads.append(encode_wav(v, sr))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})

@@ -480,8 +480,15 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines; the purity fractions are small int/10.0 divisions.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = _normed(load_table(spark, sf_dir, "embeddings")).join(
-        emb.select("vec_id", "label"), "vec_id"
+    # one scan, label carried through the projection — no self-join to
+    # re-attach it.
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(
+            dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
+        ).alias("nm"),
     )
     q = F.broadcast(
         n.filter(F.col("vec_id") % 4 == 0).select(

@@ -754,7 +754,12 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # \s+(?!\S) lookahead; RE2 — the DuckDB oracle engine — has no
 # lookahead, so the shared subset is used on BOTH engines. The point is
 # a realistic sub-word-ready segmentation, not tokenizer parity.)
-BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# Whitespace is spelled as an explicit class, not \s: Java's \s
+# includes vertical tab (\x0B), RE2's does not — the one character
+# where the engines' shorthands diverge.
+BPE_PRETOKEN_RE = (
+    r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\f\r]+|[ \t\n\f\r]+"
+)
 
 
 @register(

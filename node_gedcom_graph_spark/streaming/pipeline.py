@@ -468,8 +468,6 @@ def stream_stream_view_purchase_join(events: DataFrame) -> DataFrame:
 # hash-checked, not just rows-only.
 # ---------------------------------------------------------------------------
 
-import uuid as _uuid
-
 from node_gedcom_graph_spark.operators import register as _register
 
 
@@ -521,7 +519,10 @@ def stream_event_time_tumbling_hourly(
             "total_value",
         )
     )
-    sink = f"stream_tumbling_gate_{_uuid.uuid4().hex[:8]}"
+    # fixed sink name: the memory sink createOrReplaces the temp view,
+    # so repeat invocations reuse one driver-side table instead of
+    # accumulating a uuid-named copy per run.
+    sink = "stream_tumbling_gate"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
@@ -562,7 +563,7 @@ def stream_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
-    sink = f"stream_dedup_gate_{_uuid.uuid4().hex[:8]}"
+    sink = "stream_dedup_gate"  # fixed name: see stream_tumbling_gate
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)

@@ -153,6 +153,16 @@ PATTERNS = (
 )
 
 
+# Queries whose callable RUNS a streaming job and returns its memory
+# sink: the "plan" of the returned DataFrame is just a sink-table scan,
+# so auditing it is vacuous — and executing the stream per audit run is
+# wasted work. Their streaming plans are covered by the batch twins
+# (same logical aggregation) and the streaming tests.
+SKIP_STREAMING_SINK_QUERIES = frozenset(
+    {"stream_event_time_tumbling_hourly", "stream_dedup_exact_groups"}
+)
+
+
 def audit(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, list[str]]:
     """Return {query: [unallowed findings]} for every registered query."""
     from node_gedcom_graph_spark.operators import all_queries
@@ -166,6 +176,8 @@ def audit(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, list[str]]:
     )
     failures: dict[str, list[str]] = {}
     for name, fn in sorted(all_queries().items()):
+        if name in SKIP_STREAMING_SINK_QUERIES:
+            continue
         try:
             plan = (
                 fn(spark, sf_dir)
