@@ -45,53 +45,11 @@ HEADLINE = (
 
 N_SYNTH_INDI = 50_000  # synthesized GEDCOM individuals for the ETL bench
 
-
 def synth_gedcom_lines(spark):
-    """Generate (line_no, level, xref, tag, value) for N_SYNTH_INDI
-    individuals + families entirely Spark-side (7 lines per individual),
-    mirroring a ~N*250B GEDCOM file."""
-    base = spark.range(N_SYNTH_INDI).select(F.col("id"))
-    lines = base.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("off"), F.lit(0).alias("level"),
-                         F.concat(F.lit("I"), F.col("id")).alias("xref"),
-                         F.lit("INDI").alias("tag"), F.lit("").alias("value")),
-                F.struct(F.lit(1).alias("off"), F.lit(1).alias("level"),
-                         F.lit(None).cast("string").alias("xref"),
-                         F.lit("NAME").alias("tag"),
-                         F.concat(F.lit("Given"), F.col("id"), F.lit(" /Fam"),
-                                  (F.col("id") % 1000), F.lit("/")).alias("value")),
-                F.struct(F.lit(2).alias("off"), F.lit(1).alias("level"),
-                         F.lit(None).cast("string").alias("xref"),
-                         F.lit("SEX").alias("tag"),
-                         F.when(F.col("id") % 2 == 0, "M").otherwise("F").alias("value")),
-                F.struct(F.lit(3).alias("off"), F.lit(1).alias("level"),
-                         F.lit(None).cast("string").alias("xref"),
-                         F.lit("BIRT").alias("tag"), F.lit("").alias("value")),
-                F.struct(F.lit(4).alias("off"), F.lit(2).alias("level"),
-                         F.lit(None).cast("string").alias("xref"),
-                         F.lit("DATE").alias("tag"),
-                         F.concat(F.lit("1 JAN "), F.lit(1900) + F.col("id") % 100).alias("value")),
-                F.struct(F.lit(5).alias("off"), F.lit(2).alias("level"),
-                         F.lit(None).cast("string").alias("xref"),
-                         F.lit("PLAC").alias("tag"),
-                         F.when(F.col("id") % 50 == 0, "SLAKE").otherwise("Springfield").alias("value")),
-                F.struct(F.lit(6).alias("off"), F.lit(1).alias("level"),
-                         F.lit(None).cast("string").alias("xref"),
-                         F.lit("FAMS").alias("tag"),
-                         F.concat(F.lit("@F"), F.col("id") % 10000, F.lit("@")).alias("value")),
-            )
-        ).alias("s"),
-        (F.col("id") * 7).alias("base_no"),
-    ).select(
-        (F.col("base_no") + F.col("s.off")).alias("line_no"),
-        F.col("s.level").alias("level"),
-        F.col("s.xref").alias("xref"),
-        F.col("s.tag").alias("tag"),
-        F.col("s.value").alias("value"),
-    )
-    return lines.withColumn("record_seq", (F.col("line_no") / 7 + 1).cast("long"))
+    from node_gedcom_graph_spark.gedcom.fixtures import synth_gedcom_lines as _gen
+    return _gen(spark, N_SYNTH_INDI)
+
+
 
 
 def bench_gedcom_pipeline(spark) -> None:

@@ -9,6 +9,7 @@ check routed through the same hash gate as the relational queries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.gedcom.extract import GedcomGraph, extract_graph
 from node_gedcom_graph_spark.gedcom.fixtures import DEMO_GEDCOM
@@ -202,3 +203,60 @@ def gedcom_source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("record_id", "root_tag", "n_lines")
     )
+
+
+@register(
+    "gedcom_synth_extract_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('node', 'Individual/Birth Date',   5000, 100),
+      ('node', 'Individual/Birth Place',  5000, 2),
+      ('node', 'Individual/Gedcom Id:ID', 5000, 5000),
+      ('node', 'Individual/Given Name',   5000, 5000),
+      ('node', 'Individual/Name',         5000, 5000),
+      ('node', 'Individual/Sex',          5000, 2),
+      ('node', 'Individual/Surname',      5000, 1000),
+      ('edge', 'Spouse in Family',        5000, 5000)
+    ) t(entity, key, n_values, n_distinct)
+    """,
+)
+def gedcom_synth_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL extraction pipeline gated at data scale: 5,000 synthetic
+    individuals (35,000 lines, generated Spark-side with closed-form
+    value distributions — fixtures.synth_gedcom_lines) run through
+    extract_graph, then aggregate per-key value/distinct counts are
+    hash-checked against the HAND-COMPUTED oracle: unique names and
+    untrimmed given names (5000), surnames id%1000 (1000), 2 sexes, 100
+    birth years, 2 birth places (Springfield vs the decoded SLAKE
+    temple — exercising the conditional PLAC decode at scale), and the
+    id%10000 family pointer fan-in. The demo-fixture queries pin the
+    per-row semantics; this pins that the windows/explodes/joins
+    preserve them across a shuffled, multi-partition run.
+
+    Scale: extraction as in bench.py (one record_seq shuffle, collapsed
+    window stack); the stats are two grouped aggregates over the long
+    table — map-side partials, distinct counts keyed by (key, value).
+    """
+    from node_gedcom_graph_spark.gedcom.extract import extract_graph
+    from node_gedcom_graph_spark.gedcom.fixtures import synth_gedcom_lines
+
+    g = extract_graph(synth_gedcom_lines(spark, 5000), max_depth=2, persist=True)
+    nodes = (
+        g.nodes_long.groupBy(
+            F.concat(F.col("label"), F.lit("/"), F.col("flat_key")).alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_values"),
+            F.countDistinct("value").cast("int").alias("n_distinct"),
+        )
+        .select(F.lit("node").alias("entity"), "key", "n_values", "n_distinct")
+    )
+    edges = (
+        g.edges.groupBy(F.col("rel_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_values"),
+            F.countDistinct("dst").cast("int").alias("n_distinct"),
+        )
+        .select(F.lit("edge").alias("entity"), "key", "n_values", "n_distinct")
+    )
+    return nodes.unionAll(edges)
