@@ -260,3 +260,63 @@ def gedcom_synth_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("edge").alias("entity"), "key", "n_values", "n_distinct")
     )
     return nodes.unionAll(edges)
+
+
+@register(
+    "gedcom_synth_family_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('node',  'Family/Gedcom Id:ID',    1000, 1000),
+      ('node',  'Family/Marriage Date',   1000, 80),
+      ('node',  'Family/Marriage Temple', 1000, 8),
+      ('edge',  'Husband',                1000, 1000),
+      ('edge',  'Wife',                   1000, 1000),
+      ('edge',  'Child',                  1000, 1000),
+      ('audit', 'missing_temple_codes',   7,    7)
+    ) t(entity, key, n_values, n_distinct)
+    """,
+)
+def gedcom_synth_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family-record twin of gedcom_synth_extract_stats: 1,000 synthetic
+    FAM records gate pointer HOISTING (HUSB/WIFE/CHIL pointers anchor to
+    the FAM root — op 8's subtle semantic) and the TEMP decode with
+    miss-tracking (op 10) at data scale. Hand-computed oracle: distinct
+    spouse/child pointer fan-outs (1000 each — children cover exactly
+    the odd individual ids), 80 marriage years, 8 temple values (1
+    decoded SLAKE + 7 unknown XX codes), and the missing-temple audit
+    set of exactly those 7 codes.
+    """
+    from node_gedcom_graph_spark.gedcom.extract import extract_graph
+    from node_gedcom_graph_spark.gedcom.fixtures import synth_gedcom_fam_lines
+
+    g = extract_graph(
+        synth_gedcom_fam_lines(spark, 1000), max_depth=2, persist=True
+    )
+    nodes = (
+        g.nodes_long.groupBy(
+            F.concat(F.col("label"), F.lit("/"), F.col("flat_key")).alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_values"),
+            F.countDistinct("value").cast("int").alias("n_distinct"),
+        )
+        .select(F.lit("node").alias("entity"), "key", "n_values", "n_distinct")
+    )
+    edges = (
+        g.edges.groupBy(F.col("rel_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_values"),
+            F.countDistinct("dst").cast("int").alias("n_distinct"),
+        )
+        .select(F.lit("edge").alias("entity"), "key", "n_values", "n_distinct")
+    )
+    audit = g.missing_temple_codes.agg(
+        F.count(F.lit(1)).cast("int").alias("n_values"),
+        F.countDistinct("code").cast("int").alias("n_distinct"),
+    ).select(
+        F.lit("audit").alias("entity"),
+        F.lit("missing_temple_codes").alias("key"),
+        "n_values",
+        "n_distinct",
+    )
+    return nodes.unionAll(edges).unionAll(audit)
