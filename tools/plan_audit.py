@@ -143,6 +143,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "tfidf_top_source_terms": {
         "SinglePartition": "one-row n_sources scalar (broadcast back)"
     },
+    "gedcom_synth_family_stats": {
+        "SinglePartition": "one-row missing-temple audit aggregate"
+    },
 }
 
 PATTERNS = (
