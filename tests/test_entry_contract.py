@@ -1,0 +1,55 @@
+"""Driver-contract invariants for __spark_entry__: every query has an
+oracle or a documented rows-only status, oracle column aliasing is
+consistent, and the coverage rotation (which decides what the driver's
+truncated gate sees each round) behaves as documented."""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as ent  # noqa: E402
+
+
+def test_rotation_puts_ungated_queries_first(tmp_path, monkeypatch):
+    """The driver gates only the first N dict entries; queries absent
+    from the LATEST CORRECTNESS_r*.json must sort before covered ones,
+    preserving registry order within each group."""
+    (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps({"b": {}}))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({"a": {}, "c": {}})
+    )
+    monkeypatch.setattr(ent, "_REPO_DIR", str(tmp_path))
+    assert ent._coverage_rotation(["a", "b", "c", "d"]) == ["b", "d", "a", "c"]
+    # r10 sorts numerically after r2 (not lexicographically).
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"d": {}}))
+    assert ent._coverage_rotation(["a", "b", "c", "d"]) == ["a", "b", "c", "d"]
+
+
+def test_rotation_without_history_is_identity(tmp_path, monkeypatch):
+    monkeypatch.setattr(ent, "_REPO_DIR", str(tmp_path))
+    assert ent._coverage_rotation(["x", "y"]) == ["x", "y"]
+
+
+def test_rotation_survives_corrupt_file(tmp_path, monkeypatch):
+    (tmp_path / "CORRECTNESS_r1.json").write_text("{not json")
+    monkeypatch.setattr(ent, "_REPO_DIR", str(tmp_path))
+    assert ent._coverage_rotation(["x", "y"]) == ["x", "y"]
+
+
+def test_every_query_name_is_rotated_not_dropped():
+    """Rotation must be a permutation — a dropped name would silently
+    remove a query from the driver gate forever."""
+    from node_gedcom_graph_spark.operators import all_queries
+
+    names = list(all_queries())
+    assert sorted(ent.queries().keys()) == sorted(names)
+
+
+def test_oracles_reference_registered_queries_only():
+    from node_gedcom_graph_spark.operators import all_oracles, all_queries
+
+    q, o = set(all_queries()), set(all_oracles())
+    assert o <= q, f"orphan oracles: {o - q}"
