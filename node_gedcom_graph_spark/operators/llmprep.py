@@ -438,3 +438,122 @@ def events_next_event_training_pairs(
         )
         .filter(F.col("next_type").isNotNull())
     )
+
+
+@register(
+    "vocab_coverage_oov",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM counts
+      ) t WHERE rnk <= 500
+    )
+    SELECT CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.cnt ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(SUM(c.cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.cnt ELSE 0 END)
+                AS DOUBLE) / SUM(c.cnt) AS coverage,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_types
+    FROM counts c LEFT JOIN vocab v ON v.tok = c.tok
+    """,
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage analysis: what fraction of corpus token
+    OCCURRENCES a top-500 frequency-ranked vocabulary covers, and how
+    many distinct types fall out-of-vocabulary — the coverage/OOV audit
+    run when sizing a tokenizer vocabulary.
+
+    Scale: token counts aggregate once (map-side partials over the
+    explode); the top-k runs over the ALREADY-aggregated type table
+    (distinct tokens, not occurrences) as orderBy+limit — planned as
+    TakeOrderedAndProject (per-partition partial top-k, no global sort
+    or single-partition window) — and the tiny vocab broadcasts back
+    for the coverage join. Ties at the rank boundary break on the token
+    string (a total order), so the vocab set is engine-identical. The
+    coverage ratio is an exact int/int double division.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from node_gedcom_graph_spark.functions.scalar import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(500)
+        .select(F.col("tok").alias("vtok"))
+    )
+    joined = counts.join(
+        F.broadcast(vocab), counts.tok == vocab.vtok, "left"
+    )
+    in_vocab = F.when(F.col("vtok").isNotNull(), F.col("cnt")).otherwise(0)
+    return joined.agg(
+        F.sum(in_vocab).cast("bigint").alias("covered_tokens"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        (F.sum(in_vocab).cast("double") / F.sum("cnt")).alias("coverage"),
+        F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("oov_types"),
+    )
+
+
+@register(
+    "length_bucket_batching",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(LEAST(FLOOR(n_tok / 64.0), 7) AS INT) AS bucket,
+           CAST(LEAST(FLOOR(n_tok / 64.0), 7) AS INT) * 64 + 64
+             AS pad_to,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(LEAST(FLOOR(n_tok / 64.0), 7) * 64 + 64 - n_tok)
+                AS BIGINT) AS padding_tokens
+    FROM lens
+    GROUP BY 1, 2
+    """,
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: documents grouped into 64-token
+    buckets (open-ended top bucket padded to 512) with the padding waste
+    each bucket incurs — the audit behind dynamic batching, where
+    same-length grouping replaces pad-to-global-max and the
+    padding_tokens column is exactly the compute saved.
+
+    Scale: token lengths are a scan-local expression; the plan is one
+    8-group hash aggregate with map-side partials — no sort, no
+    per-bucket scans. floor-division bucket edges are engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from node_gedcom_graph_spark.functions.scalar import tokens
+
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = F.least(F.floor(n_tok / 64.0), F.lit(7)).cast("int")
+    pad_to = bucket * 64 + 64
+    return (
+        docs.select(
+            bucket.alias("bucket"),
+            pad_to.alias("pad_to"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("bucket", "pad_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            F.sum(F.col("pad_to") - F.col("n_tok"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+        )
+    )

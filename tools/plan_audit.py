@@ -146,6 +146,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "gedcom_synth_family_stats": {
         "SinglePartition": "one-row missing-temple audit aggregate"
     },
+    "vocab_coverage_oov": {
+        "SinglePartition": "one-row coverage summary result"
+    },
 }
 
 PATTERNS = (
