@@ -18,6 +18,27 @@ from node_gedcom_graph_spark.operators import register
 
 
 _DEMO_GRAPH_CACHE: dict[int, GedcomGraph] = {}
+_SYNTH_GRAPH_CACHE: dict[tuple[int, str, int], GedcomGraph] = {}
+
+
+def _synth_graph(spark: SparkSession, kind: str, n: int) -> GedcomGraph:
+    """Synthetic-scale extraction, built once per (session, generator,
+    n): repeated registry sweeps (driver gate, plan audit, bench) would
+    otherwise persist a fresh enriched frame per invocation — the same
+    unbounded-accumulation hazard the Q15 revenue cache avoids."""
+    from node_gedcom_graph_spark.gedcom.fixtures import (
+        synth_gedcom_fam_lines,
+        synth_gedcom_lines,
+    )
+
+    key = (id(spark._jsparkSession), kind, n)
+    cached = _SYNTH_GRAPH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    gen = synth_gedcom_lines if kind == "indi" else synth_gedcom_fam_lines
+    g = extract_graph(gen(spark, n), max_depth=2, persist=True)
+    _SYNTH_GRAPH_CACHE[key] = g
+    return g
 
 
 def _demo_graph(spark: SparkSession) -> GedcomGraph:
@@ -237,10 +258,7 @@ def gedcom_synth_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window stack); the stats are two grouped aggregates over the long
     table — map-side partials, distinct counts keyed by (key, value).
     """
-    from node_gedcom_graph_spark.gedcom.extract import extract_graph
-    from node_gedcom_graph_spark.gedcom.fixtures import synth_gedcom_lines
-
-    g = extract_graph(synth_gedcom_lines(spark, 5000), max_depth=2, persist=True)
+    g = _synth_graph(spark, "indi", 5000)
     nodes = (
         g.nodes_long.groupBy(
             F.concat(F.col("label"), F.lit("/"), F.col("flat_key")).alias("key")
@@ -286,12 +304,7 @@ def gedcom_synth_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded SLAKE + 7 unknown XX codes), and the missing-temple audit
     set of exactly those 7 codes.
     """
-    from node_gedcom_graph_spark.gedcom.extract import extract_graph
-    from node_gedcom_graph_spark.gedcom.fixtures import synth_gedcom_fam_lines
-
-    g = extract_graph(
-        synth_gedcom_fam_lines(spark, 1000), max_depth=2, persist=True
-    )
+    g = _synth_graph(spark, "fam", 1000)
     nodes = (
         g.nodes_long.groupBy(
             F.concat(F.col("label"), F.lit("/"), F.col("flat_key")).alias("key")
