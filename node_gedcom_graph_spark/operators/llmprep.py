@@ -153,7 +153,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split, source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT key) AS n_groups,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned
     GROUP BY split, source
     """,
@@ -360,9 +360,10 @@ def _oracle_redact(expr: str) -> str:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN redacted <> lower(text) THEN 1 ELSE 0 END)
-             AS n_redacted_docs,
-           SUM(length(lower(text)) - length(redacted)) AS chars_delta
+           CAST(SUM(CASE WHEN redacted <> lower(text) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_redacted_docs,
+           CAST(SUM(length(lower(text)) - length(redacted)) AS BIGINT)
+             AS chars_delta
     FROM red
     GROUP BY source
     """,

@@ -41,10 +41,11 @@ def _sql_list(lang: str) -> str:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+             AS BIGINT) AS total_tokens,
            CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
              / COUNT(*) AS avg_tokens,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     """,
@@ -281,7 +282,7 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs_kept,
-           SUM(n_tokens) AS token_budget
+           CAST(SUM(n_tokens) AS BIGINT) AS token_budget
     FROM f GROUP BY source
     """,
 )
@@ -334,9 +335,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), pos AS (
       SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_off
       FROM toks
     )
     SELECT doc_id, source, n_tokens,
@@ -773,9 +775,9 @@ BPE_PRETOKEN_RE = (
     SELECT doc_id, source,
            COUNT(*) AS n_pretokens,
            COUNT(DISTINCT tok) AS n_distinct,
-           SUM(CASE WHEN tok LIKE ' %' THEN 1 ELSE 0 END)
-             AS n_space_prefixed,
-           SUM(length(tok)) AS total_chars
+           CAST(SUM(CASE WHEN tok LIKE ' %' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_space_prefixed,
+           CAST(SUM(length(tok)) AS BIGINT) AS total_chars
     FROM toks
     GROUP BY doc_id, source
     """,
