@@ -281,9 +281,12 @@ def tfidf_top_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode → (source, token) partial-agg shuffle; the df side
     re-aggregates the already-tiny (source, token) counts; n_sources is
-    a broadcast scalar. Per-source top-5 is a WindowGroupLimit
-    (running-rank early-exit), not a full per-partition sort of all
-    terms.
+    a broadcast scalar. The tf⋈df join is left UNHINTED — df is
+    vocabulary-cardinality (10⁸+ rows at web scale), so Catalyst's
+    size-based choice (broadcast when small, sort-merge on the token
+    key when not) is the safe default; both sides share the token
+    shuffle key. Per-source top-5 is a WindowGroupLimit (running-rank
+    early-exit), not a full per-partition sort of all terms.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     tok = docs.select(
@@ -293,7 +296,7 @@ def tfidf_top_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_s = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_sources"))
     ns = F.broadcast(tf.agg(F.countDistinct("source").alias("n_sources")))
     scored = (
-        tf.join(F.broadcast(df_s), "token")
+        tf.join(df_s, "token")
         .crossJoin(ns)
         .select(
             "source",

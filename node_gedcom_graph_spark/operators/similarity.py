@@ -23,6 +23,18 @@ from node_gedcom_graph_spark.sources.tables import load_table
 
 EMBEDDING_DIM = 64
 
+# Fixed number of centroids for the oracle-checkable k-means E-step —
+# the broadcast side of embedding_centroid_assign is exactly this many
+# rows at any corpus size.
+CENTROID_K = 16
+
+# Hard cap on the broadcast query sample in knn_label_purity. Same
+# TakeOrderedAndProject bounding pattern as IVF_TRAIN_CAP: below the cap
+# (every test SF) the limit doesn't bind and the sample is exactly the
+# deterministic vec_id % 4 set the oracle describes; above it, the
+# broadcast stays O(cap * dim) instead of growing with the corpus.
+KNN_QUERY_CAP = 100_000
+
 # Fixed random hyperplanes for sign-random-projection LSH, seeded so
 # signatures are reproducible everywhere.
 _rng = random.Random(7)
@@ -354,13 +366,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- centroid assignment
 
 
+def _fixed_centroids(emb: DataFrame, k: int = CENTROID_K) -> DataFrame:
+    """The k corpus vectors with the smallest (md5(vec_id), vec_id)
+    rank, normed, as the deterministic fixed-size centroid set for the
+    oracle-checkable E-step. orderBy+limit plans as
+    TakeOrderedAndProject, so the selection is O(k) everywhere; md5 of
+    the decimal string of vec_id is engine-agnostic (Spark and DuckDB
+    produce the same hex)."""
+    return _normed(
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(k)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nm").alias("c_nm"),
+    )
+
+
 @register(
     "embedding_centroid_assign",
     oracle="""
     WITH cent AS (
       SELECT vec_id AS cid, embedding AS c_emb,
              sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS c_nm
-      FROM embeddings WHERE vec_id % 83 = 0
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
     ), scored AS (
       SELECT e.vec_id, c.cid,
              CAST(list_dot_product(e.embedding, c.c_emb) AS DOUBLE)
@@ -382,30 +412,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means ASSIGNMENT step against deterministic centroids
-    (every 83rd vector): nearest centroid by cosine, tie-broken by
-    centroid id, with cluster sizes and mean assigned cosine — the
-    E-step primitive the IVF index (ann_ivf_topk) iterates, isolated
-    here in oracle-checkable form (hash-picked centroids instead of
-    trained ones, so both engines see identical floats end-to-end).
+    (the CENTROID_K=16 vectors with the smallest md5(vec_id) rank):
+    nearest centroid by cosine, tie-broken by centroid id, with cluster
+    sizes and mean assigned cosine — the E-step primitive the IVF index
+    (ann_ivf_topk) iterates, isolated here in oracle-checkable form
+    (hash-picked centroids instead of trained ones, so both engines see
+    identical floats end-to-end).
 
-    Scale: centroids are dimension-sized -> broadcast; the corpus
-    streams through one projection per centroid batch (no shuffle until
-    the k-row final agg). The argmax is a hash-agg max over
-    (cos, -cid) structs — no per-vector window sort. Per-row cosines
-    use the same sequential-f32 accumulation DuckDB's list_dot_product
-    does (dot_f32), and the cluster mean goes through DECIMAL(28,14) so
-    the aggregate is order-independent and bit-equal to the oracle.
+    Scale: the centroid side is FIXED-K — `orderBy(md5(vec_id)).limit(16)`
+    plans as TakeOrderedAndProject (per-partition heads, driver merges
+    k rows), so the broadcast is 16 rows at ANY corpus size (the round-2
+    `% 83` selection grew linearly with the corpus). md5 of the decimal
+    string of vec_id is computed identically by Spark and DuckDB, so the
+    selection is engine-agnostic. The corpus streams through one
+    projection per centroid (no shuffle until the k-row final agg). The
+    argmax is a hash-agg max over (cos, -cid) structs — no per-vector
+    window sort. Per-row cosines use the same sequential-f32
+    accumulation DuckDB's list_dot_product does (dot_f32), and the
+    cluster mean goes through DECIMAL(28,14) so the aggregate is
+    order-independent and bit-equal to the oracle.
     """
     from node_gedcom_graph_spark.operators.dedup import dot_f32
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cent = F.broadcast(
-        _normed(emb.filter(F.col("vec_id") % 83 == 0)).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nm").alias("c_nm"),
-        )
-    )
+    cent = F.broadcast(_fixed_centroids(emb))
     n = _normed(emb)
     cos = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
         F.col("nm") * F.col("c_nm")
@@ -425,6 +455,26 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cos").cast("decimal(28,14)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_cos"),
+    )
+
+
+def _knn_query_sample(n: DataFrame, cap: int = KNN_QUERY_CAP) -> DataFrame:
+    """Deterministic bounded query sample for knn_label_purity: the
+    vec_id % 4 set, hash-rank-limited to `cap` rows so the broadcast
+    side is O(cap) at any corpus size (TakeOrderedAndProject — each
+    partition keeps at most cap rows, the driver merges the heads).
+    Below the cap the limit doesn't bind and the sample is exactly the
+    modulo set the DuckDB oracle describes."""
+    return (
+        n.filter(F.col("vec_id") % 4 == 0)
+        .orderBy(F.xxhash64("vec_id", F.lit(23)), "vec_id")
+        .limit(cap)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nm").alias("q_nm"),
+        )
     )
 
 
@@ -469,8 +519,13 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on an embedding table before training on it (label noise and
     cluster bleed show up as low purity).
 
-    Scale: queries are an explicit deterministic sample (vec_id % 4),
-    broadcast against the streaming corpus — the same
+    Scale: queries are a deterministic sample (vec_id % 4) HARD-CAPPED
+    at KNN_QUERY_CAP rows via hash-rank orderBy+limit — the limit plans
+    as TakeOrderedAndProject (per-partition heads, driver merges cap
+    rows), so the broadcast is O(cap * dim) at ANY corpus size instead
+    of growing linearly with it. Below the cap (every test SF) the
+    limit doesn't bind and the sample is exactly the vec_id % 4 set the
+    oracle describes. The probe is the same
     broadcast + WindowGroupLimit partial-top-k shape as ann_topk_cosine,
     with labels carried through the scan. Evaluating EVERY vector
     would make the broadcast corpus-sized; at that point the SRP-LSH
@@ -490,14 +545,7 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
         ).alias("nm"),
     )
-    q = F.broadcast(
-        n.filter(F.col("vec_id") % 4 == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nm").alias("q_nm"),
-        )
-    )
+    q = F.broadcast(_knn_query_sample(n))
     cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
         F.col("q_nm") * F.col("nm")
     )

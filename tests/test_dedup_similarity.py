@@ -379,3 +379,55 @@ def test_wav_codec_roundtrip_golden():
     assert (samples == v).all()
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"nope")
+
+
+def test_knn_query_sample_is_capped_and_exact_below_cap(spark):
+    """knn_label_purity's broadcast side must be bounded: with a small
+    cap the sample is exactly cap rows (TakeOrderedAndProject in the
+    plan — per-partition heads, no corpus-sized broadcast), and below
+    the cap it equals the plain vec_id % 4 set the oracle describes."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        KNN_QUERY_CAP,
+        _knn_query_sample,
+        _normed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.select(
+        "vec_id", "label", "embedding",
+        F.lit(1.0).alias("nm"),
+    )
+    capped = _knn_query_sample(n, cap=7)
+    assert capped.count() == 7
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # determinism across invocations
+    a = [r.query_id for r in capped.collect()]
+    b = [r.query_id for r in _knn_query_sample(n, cap=7).collect()]
+    assert a == b
+    # below the cap: exactly the modulo set (limit does not bind)
+    full = {r.query_id for r in _knn_query_sample(n, cap=KNN_QUERY_CAP).collect()}
+    plain = {
+        r.vec_id for r in emb.filter(F.col("vec_id") % 4 == 0).select("vec_id").collect()
+    }
+    assert full == plain
+
+
+def test_fixed_centroids_are_k_rows_any_corpus(spark):
+    """embedding_centroid_assign's broadcast side is fixed-k: exactly
+    CENTROID_K rows via TakeOrderedAndProject, deterministic, and
+    invariant to corpus repartitioning."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        CENTROID_K,
+        _fixed_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = _fixed_centroids(emb)
+    rows = cent.collect()
+    assert len(rows) == CENTROID_K
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # same selection regardless of physical layout
+    again = _fixed_centroids(emb.repartition(13)).collect()
+    assert sorted(r.cid for r in rows) == sorted(r.cid for r in again)
