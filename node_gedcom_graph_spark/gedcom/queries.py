@@ -17,8 +17,18 @@ from node_gedcom_graph_spark.gedcom.parser import assign_records, lines_from_str
 from node_gedcom_graph_spark.operators import register
 
 
-_DEMO_GRAPH_CACHE: dict[int, GedcomGraph] = {}
-_SYNTH_GRAPH_CACHE: dict[tuple[int, str, int], GedcomGraph] = {}
+_DEMO_GRAPH_CACHE: dict[str, GedcomGraph] = {}
+_SYNTH_GRAPH_CACHE: dict[tuple[str, str, int], GedcomGraph] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable cache key for a live session: the SparkContext's
+    applicationId. id(spark._jsparkSession) is unsafe — CPython reuses
+    ids, so a stopped-then-recreated session could alias a stale graph
+    whose persisted RDDs belong to the dead context. applicationId is
+    fresh per context, and sessions sharing a context can safely share
+    the persisted frames."""
+    return spark.sparkContext.applicationId
 
 
 def _synth_graph(spark: SparkSession, kind: str, n: int) -> GedcomGraph:
@@ -31,7 +41,7 @@ def _synth_graph(spark: SparkSession, kind: str, n: int) -> GedcomGraph:
         synth_gedcom_lines,
     )
 
-    key = (id(spark._jsparkSession), kind, n)
+    key = (_session_key(spark), kind, n)
     cached = _SYNTH_GRAPH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -47,7 +57,7 @@ def _demo_graph(spark: SparkSession) -> GedcomGraph:
     enriched frame is persisted (extract_graph(persist=True)) so each
     output materializes from the cached per-line frame instead of
     re-running parse + windows."""
-    key = id(spark._jsparkSession)
+    key = _session_key(spark)
     cached = _DEMO_GRAPH_CACHE.get(key)
     if cached is not None:
         return cached

@@ -71,10 +71,21 @@ def decode_ppm(payload: bytes):
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         vals.append(int(payload[start:pos]))
-    pos += 1  # exactly one whitespace byte separates header from raster
+    # Exactly one whitespace byte separates header from raster (P6
+    # spec). Validate it IS whitespace, and that the remaining bytes are
+    # exactly w*h*3 — a \r\n pair or trailing comment after maxval would
+    # otherwise shift the raster offset and decode silently wrong pixels.
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM: expected single whitespace after maxval")
+    pos += 1
     w, h, maxval = vals
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    if len(payload) - pos != w * h * 3:
+        raise ValueError(
+            f"PPM raster size mismatch: header says {w}x{h}x3="
+            f"{w * h * 3} bytes, payload has {len(payload) - pos}"
+        )
     return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
         h, w, 3
     )

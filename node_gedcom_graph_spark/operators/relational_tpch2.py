@@ -173,7 +173,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts, value,
            CAST((value - mu) / sd AS DOUBLE) AS zscore
     FROM w
-    WHERE n_prev >= 10 AND sd > 0.000001 AND abs(value - mu) > 3 * sd
+    WHERE n_prev >= 10 AND sd > 0.000001
+      AND round(abs(value - mu) - 3 * sd, 9) > 0
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,10 +185,13 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id + per-partition sort on (ts,
     event_id); the frame is a bounded trailing ROWS window, so state per
-    row is 20 values regardless of partition length. The sd > 1e-6
-    guard makes the filter boundary well-conditioned (frames are <=20
-    rows, so cross-engine float drift is ~1e-12 — far inside the
-    6-dp oracle rounding).
+    row is 20 values regardless of partition length. Row MEMBERSHIP is
+    gated on a QUANTIZED boundary — round(|value-mu| - 3*sd, 9) > 0 on
+    both engines — because windowed sums accumulate in different orders
+    on Spark vs DuckDB: a row within ~1 ulp of the 3-sigma line would
+    otherwise flip in/out of the result set (value rounding absorbs
+    drift in VALUES, not in membership). Drift on <=20-row frames is
+    ~1e-12, far below the 1e-9 quantum.
     """
     events = load_table(spark, sf_dir, "events")
     win = (
@@ -208,7 +212,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(
             (F.col("n_prev") >= 10)
             & (F.col("sd") > 0.000001)
-            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+            & (F.round(F.abs(F.col("value") - F.col("mu")) - 3 * F.col("sd"), 9) > 0)
         )
         .select(
             "event_id",
