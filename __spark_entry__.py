@@ -34,15 +34,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_rotation(names: list[str]) -> list[str]:
-    """Order queries so ones NOT covered by the most recent driver gate
-    run first.
+    """Order queries so the least-driver-covered ones run first.
 
     The driver's correctness gate checks the first N entries of this
-    dict (round 1 gated exactly the first 50 of 89). Rotating
-    not-yet-gated queries to the front guarantees every registered
-    query gets driver-recorded coverage within two rounds, whatever N
-    is. Deterministic: depends only on committed CORRECTNESS_r*.json
-    files; within each group the registry order is preserved."""
+    dict (rounds 1-2 gated exactly the first 50). Three tiers:
+    1. never gated in ANY committed CORRECTNESS_r*.json — must reach
+       the gate before anything repeats, or a query could starve
+       forever (a last-run-only rotation lets round-(k-1) leftovers
+       crowd them out);
+    2. gated in some prior round but not the latest one (stalest next);
+    3. gated in the latest run.
+    Deterministic: depends only on committed CORRECTNESS_r*.json files;
+    within each tier the registry order is preserved."""
     import glob
     import json
     import re
@@ -51,16 +54,22 @@ def _coverage_rotation(names: list[str]) -> list[str]:
         glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
-    if not runs:
-        return names
-    try:
-        with open(runs[-1]) as fh:
-            covered = set(json.load(fh))
-    except (OSError, ValueError):
-        return names
-    return [n for n in names if n not in covered] + [
-        n for n in names if n in covered
-    ]
+    ever: set[str] = set()
+    latest: set[str] = set()
+    for i, path in enumerate(runs):
+        try:
+            with open(path) as fh:
+                covered = set(json.load(fh))
+        except (OSError, ValueError):
+            continue
+        ever |= covered
+        if i == len(runs) - 1:
+            latest = covered
+    return (
+        [n for n in names if n not in ever]
+        + [n for n in names if n in ever and n not in latest]
+        + [n for n in names if n in latest]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -14,15 +14,17 @@ import __spark_entry__ as ent  # noqa: E402
 
 
 def test_rotation_puts_ungated_queries_first(tmp_path, monkeypatch):
-    """The driver gates only the first N dict entries; queries absent
-    from the LATEST CORRECTNESS_r*.json must sort before covered ones,
-    preserving registry order within each group."""
+    """The driver gates only the first N dict entries; queries NEVER
+    gated in any round must sort first (they'd otherwise starve behind
+    last-round leftovers), then stale-covered ones, then the latest
+    run's set — registry order preserved within each tier."""
     (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps({"b": {}}))
     (tmp_path / "CORRECTNESS_r2.json").write_text(
         json.dumps({"a": {}, "c": {}})
     )
     monkeypatch.setattr(ent, "_REPO_DIR", str(tmp_path))
-    assert ent._coverage_rotation(["a", "b", "c", "d"]) == ["b", "d", "a", "c"]
+    # d never gated -> first; b gated only in r1 -> stale tier; a,c latest
+    assert ent._coverage_rotation(["a", "b", "c", "d"]) == ["d", "b", "a", "c"]
     # r10 sorts numerically after r2 (not lexicographically).
     (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"d": {}}))
     assert ent._coverage_rotation(["a", "b", "c", "d"]) == ["a", "b", "c", "d"]
