@@ -150,6 +150,13 @@ def stream_user_stats_stateful(events: DataFrame) -> DataFrame:
     framework shuffles by key, so state for a user lives on exactly one
     executor — the 100 TB path is horizontal partitioning of the key
     space, identical to built-in streaming aggregation state.
+
+    The running total is kept as INTEGER CENTS (half-away-from-zero per
+    row, the same rounding as a CAST to DECIMAL(18,2) on Spark or
+    DuckDB) so the emitted double is bit-identical to
+    ``CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)`` regardless of
+    micro-batch arrival order — float accumulation would drift with
+    batch boundaries and break the oracle hash gate.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -171,29 +178,33 @@ def stream_user_stats_stateful(events: DataFrame) -> DataFrame:
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            StructField("total_cents", LongType()),
             StructField("last_us", LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        n, total_cents, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            v = pdf["value"].fillna(0.0).to_numpy()
+            # per-row half-away-from-zero cents == CAST(v AS DECIMAL(18,2))
+            cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+            total_cents += int(cents.sum())
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
                 last_us = max(last_us, int(batch_max.value // 1000))
-        state.update((n, total, last_us))
+        state.update((n, total_cents, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
+                "total_value": [total_cents / 100.0],
                 "last_ts": [pd.Timestamp(last_us * 1000)],
             }
         )
@@ -592,4 +603,111 @@ def stream_dedup_events_within_watermark(
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
+    )
+
+
+@_register(
+    "stream_user_stats_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_stats_stateful_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState per-user aggregator run as an ACTUAL
+    streaming job (availableNow drain, update-mode memory sink) and
+    hash-checked against the batch SQL aggregate — graduating the custom
+    stateful operator from batch-equality-pinned to oracle-gated.
+
+    Update mode emits one row per user per micro-batch that touched the
+    user; the final state per user is the row with the highest running
+    n_events (strictly increasing), selected with one MAX(struct) hash
+    agg — no window sort. Totals are exact because the operator's state
+    accumulates integer cents (see stream_user_stats_stateful); arrival
+    order and batch boundaries cannot change any output bit.
+    """
+    events = read_events_stream(spark, sf_dir)
+    sink = "stream_user_stats_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        stream_user_stats_stateful(events)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "total_value", "last_ts")).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            # batch parity: UTC session, so the NTZ cast reinterprets the
+            # same instant.
+            F.col("s.last_ts").cast("timestamp_ntz").alias("last_ts"),
+        )
+    )
+
+
+@_register(
+    "stream_view_purchase_hour_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS p_user,
+           p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.value AS amount
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND v.event_type = 'view'
+     AND v.ts < p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_view_purchase_hour_join_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermarked stream-stream join run as an ACTUAL streaming job
+    (availableNow drain, append-mode memory sink) and hash-checked
+    against the equivalent batch time-range join — graduating it from
+    batch-equality-pinned to oracle-gated.
+
+    Inner-join results are emitted as soon as both sides match, so the
+    drained sink holds every matched pair; the watermark only bounds
+    buffered state (and the drain arrives in one file-source batch, so
+    no row can be late relative to a prior batch's watermark). Event
+    timestamps carry no sub-microsecond component in this dataset, so
+    the µs-truncated streaming timestamps compare identically to
+    DuckDB's on the range boundaries.
+    """
+    events = read_events_stream(spark, sf_dir)
+    sink = "stream_ss_join_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        stream_stream_view_purchase_join(events)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "purchase_id",
+        "p_user",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "amount",
     )
