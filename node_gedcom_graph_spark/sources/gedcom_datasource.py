@@ -260,46 +260,84 @@ class GedcomBatchReader(DataSourceReader):
         return (r for r in rows if _row_passes(pushed, r))
 
 
+DEFAULT_MAX_FILE_AGE_S = 7 * 24 * 3600  # same default contract as Spark's file source
+
+
 class GedcomStreamReader(DataSourceStreamReader):
     """File-discovery streaming: each microbatch processes files that
-    appeared since the last offset, one partition per new file."""
+    appeared since the last offset, one partition per new file.
+
+    **Compacted offsets** (round-2 VERDICT item): an offset is
+    ``{"v": 2, "wm": <max mtime seen>, "recent": [names with mtime >=
+    wm - max_file_age]}`` — a high-watermark plus the recent set —
+    instead of the full processed-file list, so a long-lived inbox
+    stream's checkpoint entries are bounded by arrival-rate ×
+    max_file_age, not by stream lifetime. The contract this buys is the
+    SAME one Spark's built-in file source ships with ``maxFileAge``: a
+    file that first appears with an mtime older than the watermark
+    minus the age horizon is treated as already seen and ignored
+    (immutable-files + files-arrive-with-current-mtime; ``mv`` from
+    another filesystem preserving an ancient mtime is outside the
+    contract, exactly as for the built-in source). Legacy v1 offsets
+    (``{"files": [...]}``) are accepted as the start of the next batch,
+    so checkpoints written before compaction resume cleanly.
+
+    ``file_index`` is the file's rank within its batch: deterministic
+    under replay of a committed ``(start, end)`` range (the sets are
+    frozen in the offsets — partitions() touches no filesystem state),
+    and unique within the batch, which is the scope record grouping
+    needs (each micro-batch is extracted independently; cross-batch
+    outputs are keyed by record_id/epoch, not record_seq).
+    """
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("gedcom source requires a path: .load('/data/dir')")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.max_file_age = float(
+            options.get("max_file_age_s", DEFAULT_MAX_FILE_AGE_S)
+        )
+        self._wm_floor = 0.0  # monotonic within this reader's life
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"v": 2, "wm": 0.0, "recent": []}
 
     def latestOffset(self) -> dict:
-        return {"files": _list_gedcom_files(self.path)}
+        files = _list_gedcom_files(self.path)
+        mtimes = {f: os.path.getmtime(f) for f in files}
+        wm = max([self._wm_floor, *mtimes.values()]) if mtimes else self._wm_floor
+        self._wm_floor = wm
+        horizon = wm - self.max_file_age
+        return {
+            "v": 2,
+            "wm": wm,
+            "recent": sorted(f for f, m in mtimes.items() if m >= horizon),
+        }
+
+    @staticmethod
+    def _offset_files(offset: dict) -> set[str]:
+        if "files" in offset:  # legacy v1 full-list offset
+            return set(offset["files"])
+        return set(offset.get("recent", []))
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # file_index = files-processed-so-far + rank within this batch:
-        # unique across the stream's whole life (start["files"] only
-        # grows under the immutable-files contract) and stable under
-        # replay of the same (start, end) range — unlike a position in
-        # the current listing, which shifts when a later file sorts
-        # before an already-processed one, and unlike a constant, which
-        # collides two files discovered in the same batch.
-        new = sorted(set(end["files"]) - set(start["files"]))
-        base = len(start["files"])
+        # Pure set difference over the two frozen offsets: deterministic
+        # under replay, no filesystem access. Files that aged out of
+        # end["recent"] were either processed (in some earlier offset)
+        # or are ignored-as-old per the max_file_age contract.
+        new = sorted(self._offset_files(end) - self._offset_files(start))
         parts: list[_RangePartition] = []
         for i, file in enumerate(new):
-            parts.extend(_split_file(file, base + i, self.split_size))
+            parts.extend(_split_file(file, i, self.split_size))
         return parts
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         return _read_range(partition)
 
     def commit(self, end: dict) -> None:
-        # Offsets are pure file listings; nothing to clean up. Known
-        # limitation: the listing grows with the directory (every
-        # checkpointed offset carries the full processed-file list) —
-        # fine for inbox-sized streams; a long-lived 100k-file stream
-        # wants log compaction like Spark's built-in file source.
+        # Offsets are already compact (watermark + recent set); nothing
+        # to clean up.
         pass
 
 
