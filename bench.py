@@ -29,6 +29,42 @@ from node_gedcom_graph_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat.
+
+    This host is a VM; observed steal spikes swing identical plans
+    2-5x wall-clock. Recording the delta across the bench makes a
+    noise-polluted run visible in the artifact instead of silently
+    mis-attributing host contention to the engine.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])  # cpu  user nice system idle iowait irq softirq steal
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _timed_best(run, max_iters: int = 4, agree: float = 1.6) -> float:
+    """Min wall-clock over adaptive iterations.
+
+    Runs 2 timed iterations; while the two best disagree by more than
+    ``agree``x (a steal/GC spike polluted one), runs up to ``max_iters``
+    total. Min-of-agreeing-pair is the steady-state estimator; a single
+    bad draw no longer lands in the artifact.
+    """
+    times: list[float] = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        run()
+        times.append(time.monotonic() - t0)
+    while len(times) < max_iters and sorted(times)[1] / max(sorted(times)[0], 1e-9) > agree:
+        t0 = time.monotonic()
+        run()
+        times.append(time.monotonic() - t0)
+    return min(times)
+
 # Headline set: the reference-pipeline shape, core relational ops, and
 # the scale-path LLM-pipeline operators.
 HEADLINE = (
@@ -81,19 +117,19 @@ def main() -> None:
     # evicts the large generated classes (the 64-min MinHash aggregate,
     # the GEDCOM window stack) before their timed runs, re-measuring
     # ~2s of janino compilation that a sustained deployment never pays.
-    # Two timed iterations, min taken: a single-shot timing is exposed
-    # to GC pauses and host noise (observed 2-5x swings on identical
-    # plans); the min of two is the standard steady-state estimator.
+    # Timing is adaptive min-of-N (_timed_best): a single-shot timing is
+    # exposed to GC pauses and hypervisor steal (observed 2-5x swings on
+    # identical plans on this VM); extra iterations run only while the
+    # two best disagree by >1.6x.
+    steal0 = _steal_jiffies()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
+        def run(name=name):
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+
+        run()  # warm
+        timings[name] = round(_timed_best(run), 3)
         total += timings[name]
 
     # Two warm iterations: the GEDCOM stack's generated classes are the
@@ -108,13 +144,11 @@ def main() -> None:
     bench_gedcom_pipeline(spark)
     cold = round(time.monotonic() - t0, 3)
     bench_gedcom_pipeline(spark)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.monotonic()
-        bench_gedcom_pipeline(spark)
-        best = min(best, time.monotonic() - t0)
-    timings["gedcom_pipeline_synth50k"] = round(best, 3)
+    timings["gedcom_pipeline_synth50k"] = round(
+        _timed_best(lambda: bench_gedcom_pipeline(spark), max_iters=5), 3
+    )
     total += timings["gedcom_pipeline_synth50k"]
+    steal_s = round((_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -126,6 +160,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "gedcom_pipeline_synth50k_cold": cold,
+                "host_steal_s": steal_s,
                 "sf": sf,
             }
         )
