@@ -53,6 +53,7 @@ def _load_all() -> None:
         relational_ext,
         relational_tpch,
         relational_tpch2,
+        relational_tpch3,
         similarity,
         textstats,
     )

@@ -52,6 +52,15 @@ ALLOW: dict[str, dict[str, str]] = {
     "small_quantity_part_revenue": {
         "SinglePartition": "one-row Q17 aggregate result"
     },
+    "forecast_revenue_change": {
+        "SinglePartition": "one-row Q6 scalar aggregate result"
+    },
+    "promo_revenue_share": {
+        "SinglePartition": "one-row Q14 share aggregate result"
+    },
+    "disjunctive_brand_quantity_revenue": {
+        "SinglePartition": "one-row Q19 aggregate result"
+    },
     "top_revenue_suppliers": {
         "SinglePartition": "one-row MAX scalar subquery branch"
     },
