@@ -48,6 +48,7 @@ def _load_all() -> None:
         dedup,
         graphalgo,
         llmprep,
+        llmprep2,
         multimodal,
         relational,
         relational_ext,

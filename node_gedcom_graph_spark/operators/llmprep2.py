@@ -1,0 +1,256 @@
+"""Second LLM-data-pipeline batch: corpus hygiene and embedding-space
+diagnostics a training-data pipeline runs alongside dedup/split —
+charset profiling (mojibake/binary-junk detection), deterministic
+output sharding, cosine radius search (the dedup-threshold twin of
+top-k ANN), and per-dimension embedding statistics (the diagnostic that
+catches dead/exploding dimensions before PCA/quantization).
+
+All four are pure DataFrame compositions — no UDFs — and every one is
+DuckDB-oracle-gated. Determinism: ratios are computed per-row with
+integral regex counts (identical on Java regex and RE2 for the pure
+ASCII classes used), aggregated as exact-decimal sums where they feed
+the hash; the shard assignment is md5-based (the split_train_valid_test
+idiom — engine-agnostic, RNG-free, stable under repartitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.operators.dedup import dot_f32
+from node_gedcom_graph_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Charset / printability profile per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_charset_stats",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             length(text) AS n,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+             length(regexp_replace(text, '[ -~]', '', 'g')) AS n_nonascii
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(n_digit AS BIGINT)) AS BIGINT) AS digit_chars,
+           CAST(SUM(CAST(n_space AS BIGINT)) AS BIGINT) AS space_chars,
+           CAST(SUM(CAST(n_nonascii AS BIGINT)) AS BIGINT) AS nonascii_chars,
+           CAST(CAST(SUM(CAST(n_nonascii AS BIGINT)) AS DOUBLE)
+                / CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) AS DOUBLE)
+             AS nonascii_ratio
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset profile per source: digit / space / non-printable-ASCII
+    character totals and the non-ASCII ratio — the cheap first-pass
+    filter that catches mojibake, binary junk, and wrong-language
+    contamination before any tokenizer runs.
+
+    Scale: per-doc counts are regexp_replace+length column expressions
+    (whole-stage codegen, one pass over the text); the aggregate is
+    integral (BIGINT sums — exact on both engines), shuffling one row
+    per source per partition after map-side combine. The character
+    classes are pure ASCII ranges, semantically identical under Java
+    regex (Spark) and RE2 (DuckDB).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("bigint")
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint")
+    n_space = F.length(F.regexp_replace("text", "[^ ]", "")).cast("bigint")
+    n_nonascii = F.length(F.regexp_replace("text", "[ -~]", "")).cast("bigint")
+    return (
+        docs.select(
+            "source",
+            n.alias("n"),
+            n_digit.alias("n_digit"),
+            n_space.alias("n_space"),
+            n_nonascii.alias("n_nonascii"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_chars"),
+            F.sum("n_digit").alias("digit_chars"),
+            F.sum("n_space").alias("space_chars"),
+            F.sum("n_nonascii").alias("nonascii_chars"),
+            (F.sum("n_nonascii").cast("double") / F.sum("n").cast("double"))
+            .cast("double")
+            .alias("nonascii_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic output sharding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_shard_assign",
+    oracle="""
+    WITH sharded AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 16 AS INTEGER) AS shard,
+             source, n_chars
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM sharded
+    GROUP BY shard
+    """,
+)
+def dataset_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way output-shard assignment by md5(doc_id) with
+    per-shard size accounting — the write-side partitioner for training
+    shards. md5 (not Spark's xxhash/DuckDB's hash) keeps the assignment
+    engine-agnostic and re-run-stable, so shard membership is part of
+    the data contract, not an engine artifact; the balance check (shard
+    totals within a few % of each other) is the skew audit a petabyte
+    writer runs before committing output layout.
+
+    Scale: shard assignment is a scan-local expression; one shuffle of
+    16 keys after map-side combine. The same expression feeds
+    DataFrameWriter.partitionBy for the real fan-out write (op 18's
+    partitioned-sink pattern, publish/neo4j_csv.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 16
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard"), "source", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine radius (range) search.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_range_search_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM n WHERE vec_id < 8
+    )
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           CAST(list_dot_product(q.embedding, n.embedding) AS DOUBLE)
+             / (q.nm * n.nm) AS cosine
+    FROM q JOIN n ON n.vec_id <> q.vec_id
+    WHERE CAST(list_dot_product(q.embedding, n.embedding) AS DOUBLE)
+            / (q.nm * n.nm) >= 0.25
+    """,
+)
+def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: ALL neighbors within cosine >= 0.25 of each query
+    vector (vec_id < 8) — the threshold twin of top-k ANN and the exact
+    primitive under embedding near-dedup (every candidate above the
+    dup threshold, not just the k best).
+
+    Scale: the bounded query set broadcasts; the corpus streams through
+    one scan with no shuffle at all — the filter replaces top-k's
+    per-query window, so output size is the only cost driver. The f32
+    fold (dot_f32) matches DuckDB's FLOAT[] list_dot_product
+    bit-for-bit, making the >= threshold well-defined on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    nm = F.sqrt(dot_f32(F.col("embedding"), F.col("embedding")).cast("double"))
+    q_nm = F.sqrt(dot_f32(F.col("q_emb"), F.col("q_emb")).cast("double"))
+    cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (q_nm * nm)
+    return (
+        emb.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_variance_topk",
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, COUNT(*) AS n,
+             AVG(v) AS mean_v,
+             VAR_SAMP(v) AS var_v
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n, mean_v, var_v
+    FROM stats
+    ORDER BY var_v DESC, dim
+    LIMIT 8
+    """,
+)
+def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8 highest-variance embedding dimensions with their means —
+    the per-dimension moment pass that drives dead-dimension pruning,
+    PCA preconditioning, and the int8 quantizer's scale choice
+    (embedding_quantize_int8 uses exactly these moments).
+
+    Scale: posexplode fans each vector into (dim, value) rows — dim
+    cardinality is the vector width (64), so the aggregate's shuffle
+    carries 64 rows per partition after map-side combine no matter the
+    corpus size; the top-8 is a TakeOrderedAndProject over 64 rows.
+    Mean/variance accumulate in double on both engines; values are
+    O(0.1) with ~1e-12 accumulated error, far below the oracle hash's
+    6-dp rounding, and the dim tiebreak pins the cut.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        F.col("dim").cast("int").alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("mean_v"),
+            F.var_samp("v").alias("var_v"),
+        )
+        .orderBy(F.desc("var_v"), F.asc("dim"))
+        .limit(8)
+    )
