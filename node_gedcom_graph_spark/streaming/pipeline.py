@@ -711,3 +711,76 @@ def stream_view_purchase_hour_join_gate(
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         "amount",
     )
+
+
+@_register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) computed BY
+    A STREAM: ``F.session_window`` merges an event's [ts, ts+30min)
+    window into the user's open session whenever they overlap, exactly
+    the gap-and-island sessionization the batch twin
+    (sessionize_user_events) computes with LAG + running sum — so the
+    streaming session-merge state machine is value-hash-checked against
+    a DuckDB islands oracle, not just row-counted.
+
+    Complete mode is the gate-appropriate choice (same argument as
+    stream_event_time_tumbling_hourly): no watermark means no
+    late-data drops, and the drained final state equals the batch
+    sessionization by definition. The PRODUCTION shape for unbounded
+    streams adds ``withWatermark`` so closed sessions evict; state is
+    then one open session per active user, not per event.
+
+    Scale: session_window aggregation shuffles once on user_id; window
+    merging is per-key and incremental (sorted-merge within the state
+    store), so a billion-user stream partitions cleanly by user hash.
+    MIN/MAX/COUNT are arrival-order-independent, which is what makes
+    the micro-batch boundary invisible in the result.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            # batch parity: UTC session TZ makes the NTZ cast a pure
+            # reinterpretation (same instants as DuckDB's TIMESTAMP).
+            F.col("session_window.start")
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    sink = "stream_session_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
