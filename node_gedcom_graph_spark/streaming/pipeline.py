@@ -719,7 +719,7 @@ def stream_view_purchase_hour_join_gate(
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -744,7 +744,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap-and-island sessionization the batch twin
     (sessionize_user_events) computes with LAG + running sum — so the
     streaming session-merge state machine is value-hash-checked against
-    a DuckDB islands oracle, not just row-counted.
+    a DuckDB islands oracle, not just row-counted. The boundary
+    convention is merge-at-exactly-gap (an event landing exactly 30:00
+    after the last one EXTENDS the session; the islands oracle breaks
+    strictly at > 30 min) — pinned by
+    tests/test_tpch3.py::test_session_window_gap_boundary.
 
     Complete mode is the gate-appropriate choice (same argument as
     stream_event_time_tumbling_hourly): no watermark means no
