@@ -405,3 +405,79 @@ def copurchase_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seed", "node")
         .agg(F.min("dist").alias("dist"))
     )
+
+
+@register(
+    "copurchase_jaccard_similar_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), cnt AS (
+      SELECT l_partkey, COUNT(*) AS n_orders FROM op GROUP BY 1
+    )
+    SELECT p.pa, p.pb, p.w,
+           CAST(CAST(p.w AS DOUBLE)
+                / CAST(ca.n_orders + cb.n_orders - p.w AS DOUBLE)
+             AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.pa
+    JOIN cnt cb ON cb.l_partkey = p.pb
+    ORDER BY jaccard DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def copurchase_jaccard_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-similar part pairs by Jaccard over their order sets
+    ("customers who bought X bought Y") — a set-similarity join with
+    candidate pruning: ONLY pairs that actually co-occur in >= 2 orders
+    are ever scored, so the join's output scales with true collisions,
+    never |parts|^2 (the same scale argument as the MinHash banded
+    join, here exact because co-occurrence itself is the candidate
+    generator).
+
+    Scale: pair generation fans out per order (bounded by
+    lines-per-order choose 2), shuffling once on l_orderkey (distinct)
+    and once on the pair; per-part order counts reuse the same distinct
+    scan; the two count joins shuffle on partkey. The final top-50 is a
+    TakeOrderedAndProject. Jaccard is an exact integer ratio evaluated
+    in double — bit-identical on both engines — and the (pa, pb)
+    tiebreak pins the cut deterministically.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("nb"))
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .select(
+            "pa",
+            "pb",
+            "w",
+            (
+                F.col("w").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("w")).cast("double")
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("pa"), F.asc("pb"))
+        .limit(50)
+    )
