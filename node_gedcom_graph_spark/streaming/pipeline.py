@@ -788,3 +788,57 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@_register(
+    "stream_static_enrich_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM joined to the static
+    customer dimension (market segment), aggregated per segment — the
+    canonical production shape for enriching a firehose with reference
+    data, value-hash-checked against the equivalent batch join.
+
+    Scale: a stream-static inner join needs NO stream-side state at all
+    — each micro-batch joins against the static side independently
+    (Spark re-plans the static side per batch, picking broadcast while
+    the dim fits; at 100 TB-of-stream the static side is the ONLY
+    memory cost, and a shuffled stream-static join remains stateless).
+    The segment aggregate runs in complete mode (bounded by segment
+    cardinality); decimal sums keep micro-batch arrival order out of
+    the result.
+    """
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = "stream_static_enrich_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
