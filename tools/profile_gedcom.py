@@ -82,13 +82,26 @@ def main() -> None:
             one_iteration(spark, 50_000) for _ in range(n_iters)
         ],
     }
+    out["host_steal_jiffies_note"] = (
+        "hypervisor steal (col 8, /proc/stat) recorded per sweep point; "
+        "a nonzero delta means wall-clock includes host contention"
+    )
     sweep = {}
-    for n in (500_000, 2_000_000):
+    for n in (500_000, 2_000_000, 5_000_000):
+        def _steal() -> int:
+            try:
+                with open("/proc/stat") as fh:
+                    return int(fh.readline().split()[8])
+            except (OSError, IndexError, ValueError):
+                return 0
+
         one_iteration(spark, n)  # warm
+        s0 = _steal()
         best = min(one_iteration(spark, n)["total_s"] for _ in range(2))
         sweep[str(n)] = {
             "best_warm_s": best,
             "krec_per_s": round(n / best / 1000, 1),
+            "steal_jiffies": _steal() - s0,
         }
     out["scaling_sweep"] = sweep
     print(json.dumps(out, indent=1))
