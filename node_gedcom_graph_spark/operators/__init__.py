@@ -56,6 +56,7 @@ def _load_all() -> None:
         relational_tpch2,
         relational_tpch3,
         similarity,
+        sql_surface,
         textstats,
     )
     from node_gedcom_graph_spark import gedcom as _gedcom  # noqa: F401
