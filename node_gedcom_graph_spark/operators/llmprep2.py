@@ -254,3 +254,63 @@ def embedding_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("var_v"), F.asc("dim"))
         .limit(8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal join: text stats per embedding-space label.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_text_stats_by_label",
+    oracle="""
+    SELECT e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(length(d.text)
+                         - length(replace(d.text, ' ', '')) + 1) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_words,
+           CAST(SUM(CAST(sqrt(CAST(list_dot_product(e.embedding, e.embedding)
+                                   AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_norm
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY e.label
+    """,
+)
+def doc_text_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text-side statistics grouped by the
+    embedding-side cluster label — the diagnostic that tells you
+    whether an embedding cluster is picking up a length/source artifact
+    instead of semantics (a classic curation failure mode).
+
+    Scale: documents⋈embeddings is an equi-join of two co-keyed tables
+    — at 100 TB both sides are bucketed/partitioned by id, so the join
+    is co-located (operators/scale.py write_bucketed makes it
+    Exchange-free); the aggregate shuffles |labels| rows per
+    partition. Word counts are integral (space-counting, identical on
+    both engines); vector norms fold in f32 (dot_f32 = DuckDB's
+    list_dot_product bit-for-bit), then quantize to DECIMAL(18,6)
+    BEFORE the sum so aggregation order cannot move the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    ).cast("bigint")
+    norm = F.sqrt(
+        dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
+    ).cast("decimal(18,6)")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("label", "n_chars", words.alias("words"), norm.alias("nm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("words").cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_words"),
+            F.sum("nm").cast("double").alias("total_norm"),
+        )
+    )
