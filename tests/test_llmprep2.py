@@ -1,0 +1,74 @@
+"""Differential tests for operators/llmprep2: the Spark column
+expressions vs independent pure-Python reimplementations on the same
+rows (the §5.3 strategy — an oracle that shares no code with the
+engine), plus shard-balance and broadcast-bound checks."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.operators.llmprep2 import (
+    ann_range_search_cosine,
+    dataset_shard_assign,
+    text_charset_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_charset(text: str):
+    n = len(text)
+    n_digit = sum(c.isdigit() and c.isascii() for c in text)
+    n_space = text.count(" ")
+    n_nonascii = sum(not (" " <= c <= "~") for c in text)
+    return n, n_digit, n_space, n_nonascii
+
+
+def test_charset_stats_match_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = docs.select("source", "text").collect()
+    expected = {}
+    for r in rows:
+        if not r.text:
+            continue
+        n, d, s, na = _py_charset(r.text)
+        agg = expected.setdefault(r.source, [0, 0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += n
+        agg[2] += d
+        agg[3] += s
+        agg[4] += na
+    got = {
+        r.source: [r.n_docs, r.total_chars, r.digit_chars, r.space_chars, r.nonascii_chars]
+        for r in text_charset_stats(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def _py_shard(doc_id: int, n_shards: int = 16) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % n_shards
+
+
+def test_shard_assign_matches_pure_python_md5(spark):
+    res = {r.shard: r.n_docs for r in dataset_shard_assign(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = {}
+    for r in docs.select("doc_id").collect():
+        s = _py_shard(r.doc_id)
+        expected[s] = expected.get(s, 0) + 1
+    assert res == expected
+    # balance audit: md5 sharding should spread within a loose factor
+    assert max(res.values()) <= 4 * max(1, min(res.values()))
+
+
+def test_range_search_broadcast_side_is_bounded(spark):
+    """The broadcast side must be the fixed query set (vec_id < 8), not
+    anything corpus-linear."""
+    plan = ann_range_search_cosine(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+    # symmetric guarantee: every returned pair's cosine clears the bound
+    rows = ann_range_search_cosine(spark, SF_DIR).collect()
+    assert all(r.cosine >= 0.25 for r in rows)
+    assert all(r.query_id < 8 for r in rows)
