@@ -58,6 +58,7 @@ def _load_all() -> None:
         similarity,
         sql_surface,
         textstats,
+        timeseries,
     )
     from node_gedcom_graph_spark import gedcom as _gedcom  # noqa: F401
     from node_gedcom_graph_spark import graph as _graph  # noqa: F401

@@ -570,3 +570,124 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.avg("purity").alias("avg_purity"),
     )
+
+
+# ------------------------------------------------- SemDedup: cluster-then-prune
+
+# Intra-cluster near-duplicate threshold (same cosine bar as
+# dedup_embedding_cosine, so the two surfaces are comparable).
+SEMDEDUP_COSINE_T = 0.45
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS c_nm
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(list_dot_product(n.embedding, c.c_emb) AS DOUBLE)
+                          / (n.nm * c.c_nm) DESC,
+                          c.cid ASC) AS rn
+        FROM n CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ), pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE CAST(list_dot_product(na.embedding, nb.embedding) AS DOUBLE)
+              / (na.nm * nb.nm) >= 0.45
+    )
+    SELECT assign.vec_id, assign.cid,
+           CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS pruned
+    FROM assign LEFT JOIN pruned p ON p.vec_id = assign.vec_id
+    """,
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic pruning (Abbas et al. 2023): assign every
+    embedding to its nearest fixed centroid, then — WITHIN each cluster
+    only — mark as pruned any vector that has a same-cluster neighbor
+    with cosine >= 0.45 and a smaller vec_id (the deterministic
+    keep-the-smallest-id policy). Output is the full per-vector
+    verdict table (vec_id, cluster, pruned 0/1), value-hash-gated.
+
+    Scale: this is the practical fix for brute-force semantic dedup —
+    the quadratic comparison is confined to cluster buckets, so cost is
+    sum(|cluster|^2), not corpus^2, and the cluster id is the shuffle
+    key for the self-join (an equi-join, never a CartesianProduct; the
+    16-way key is enough at gate scale, and AQE skew-split handles hot
+    clusters). Production sizing picks k proportional to corpus size
+    (cluster cap ~ sqrt budget) — k is pinned to CENTROID_K=16 here so
+    the centroid set stays oracle-expressible (hash-ranked limit; see
+    _fixed_centroids). Assignment reuses the bit-parity cosine fold
+    (dot_f32 == DuckDB list_dot_product), so both the argmax AND the
+    0.45 threshold compare identical doubles — set membership cannot
+    drift. The argmax is the MIN/MAX-struct hash agg, no per-vector
+    window sort; centroids broadcast (16 rows at any corpus size).
+    """
+    from node_gedcom_graph_spark.operators.dedup import dot_f32
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    n = _normed(emb)
+    cent = F.broadcast(_fixed_centroids(emb))
+    cos_c = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
+        F.col("nm") * F.col("c_nm")
+    )
+    assign = (
+        n.crossJoin(cent)
+        .select(
+            "vec_id",
+            F.struct(
+                cos_c.alias("cos"), (-F.col("cid")).alias("ncid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", (-F.col("s.ncid")).alias("cid"))
+    )
+    mem = assign.join(n, "vec_id")
+    a = mem.select(
+        F.col("cid").alias("a_cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nm").alias("a_nm"),
+    )
+    b = mem.select(
+        F.col("cid").alias("b_cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nm").alias("b_nm"),
+    )
+    pair_cos = dot_f32(F.col("a_emb"), F.col("b_emb")).cast("double") / (
+        F.col("a_nm") * F.col("b_nm")
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a_cid") == F.col("b_cid"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(pair_cos >= SEMDEDUP_COSINE_T)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    return assign.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("pruned"),
+    )

@@ -1,0 +1,321 @@
+"""Time-series rollups and sketch-style exact algorithms: the
+hypertable-rollup (continuous aggregate) idiom — raw events -> hourly
+mergeable partials -> daily rollup MERGED FROM THE PARTIALS, never
+rescanning raw — plus a two-phase exact heavy-hitters operator
+(Misra-Gries candidate pass, then exact verification restricted to the
+candidate set) and a per-source token-distribution divergence audit
+(KL / entropy vs the corpus mixture).
+
+All three are 100 TB shapes the reference's single-pass ETL cannot
+express (the reference has no aggregation beyond two distinct sets —
+SURVEY.md §2 op 17, `lib/csv_writer.js:12-13`): the rollup is what its
+stage-timer observability (op 25) would feed at fleet scale; heavy
+hitters is the bounded-state version of its unbounded `_unused_tags`
+accumulator idea.
+
+Determinism notes:
+- rollup sums go through DECIMAL so hourly->daily merge order cannot
+  change the result; MIN/MAX/COUNT are order-independent natively.
+- heavy-hitter membership uses INTEGER cross-multiplication
+  (``cnt * K > total``), never a float threshold, so the result SET is
+  identical on both engines regardless of division rounding.
+- KL/entropy sums are ~vocab-size terms of O(0.1) doubles; cross-engine
+  ln() ULP drift is orders of magnitude inside the oracle's 6-dp float
+  tolerance (same precedent as text_unigram_logprob).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.functions.scalar import tokens
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup: hourly continuous-aggregate partials merged to daily.
+# ---------------------------------------------------------------------------
+
+
+def hourly_partials(events: DataFrame) -> DataFrame:
+    """The materialized hourly layer of a hypertable continuous
+    aggregate: per (event_type, hour) mergeable partial state —
+    count, decimal sum, min, max. Every column is re-aggregable, so
+    coarser resolutions (day/week/month) derive from THIS table
+    without touching raw events again."""
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "hypertable_rollup_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS bucket_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level hypertable rollup: daily per-event-type statistics
+    computed by MERGING the hourly continuous-aggregate partials
+    (``hourly_partials``), not by re-aggregating raw events — the
+    TimescaleDB/Druid rollup idiom. The oracle aggregates raw events
+    directly; value-hash equality proves the partial->merge path is
+    lossless (the defining property of a mergeable aggregate).
+
+    Scale: the raw table is touched exactly once (hourly groupBy with
+    map-side partial aggregation — the shuffle carries one row per
+    (type, hour) per partition, not events). The daily merge shuffles
+    only the hourly layer: |types| x |hours| rows regardless of event
+    volume — at 100 TB of events that second stage is a few thousand
+    rows. Decimal sums make hourly->daily addition order-independent,
+    so micro-partial merge order (which differs between engines and
+    between runs under AQE) cannot move the hash. AVG is derived from
+    the merged (sum, count) pair — the standard trick that keeps mean
+    re-aggregable when plain AVG of AVGs is not.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = hourly_partials(events)
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.to_date("bucket_hour").alias("bucket_day"),
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "bucket_day",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+            (F.col("sum_dec").cast("double") / F.col("n_events"))
+            .cast("double")
+            .alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase exact heavy hitters: Misra-Gries candidates + exact verify.
+# ---------------------------------------------------------------------------
+
+# Phase-2 threshold: report tokens with frequency > total / HH_K.
+HH_K = 100
+# Phase-1 Misra-Gries capacity. Superset guarantee: an item with global
+# count > N/HH_K has, in at least one partition (pigeonhole), local
+# count > n_p/HH_K; Misra-Gries with capacity c undercounts by at most
+# n_p/(c+1), so with c+1 > HH_K the item's local estimate stays
+# positive and it survives into the candidate set. 128 > 100-1.
+HH_CAPACITY = 128
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries summary over the ``token`` column.
+
+    Batch-merge formulation (Agarwal et al., "Mergeable Summaries"):
+    add each Arrow batch's exact counts into the running summary; when
+    the summary exceeds capacity, subtract the (capacity+1)-th largest
+    count from everything and drop the non-positives. Total subtracted
+    weight is <= n_p/(capacity+1), which is exactly the classic MG
+    undercount bound. Emits the surviving candidate tokens once, at
+    partition end — O(capacity) rows per partition."""
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        for tok, c in pdf["token"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+        if len(counts) > HH_CAPACITY:
+            offset = sorted(counts.values(), reverse=True)[HH_CAPACITY]
+            counts = {t: c - offset for t, c in counts.items() if c > offset}
+    yield pd.DataFrame({"token": list(counts.keys())})
+
+
+@register(
+    "heavy_hitters_two_phase",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           n_total,
+           CAST(CAST(COUNT(*) AS DOUBLE) / n_total AS DOUBLE) AS share
+    FROM toks CROSS JOIN tot
+    GROUP BY token, n_total
+    HAVING COUNT(*) * {HH_K} > n_total
+    """,
+)
+def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy-hitters (tokens with frequency > N/100) via the
+    classic two-phase scheme: (1) a per-partition Misra-Gries summary
+    (capacity 128, ``mapInPandas``/Arrow) whose union is a GUARANTEED
+    superset of every true heavy hitter; (2) an exact count restricted
+    to that candidate set, filtered with integer cross-multiplication
+    (``cnt * 100 > total``) so membership never rides on float
+    division. The oracle is the naive full GROUP BY ... HAVING — hash
+    equality proves the pruned two-phase path is exact, not
+    approximate.
+
+    Scale: this is the operator you reach for when the key cardinality
+    (web-scale vocabulary, URL hosts, user agents) dwarfs the heavy
+    set. A plain groupBy must shuffle one row per distinct key per
+    partition — O(vocab x partitions); phase 1 caps the per-partition
+    state and emission at 128 rows, so the shuffle ceiling is
+    O(capacity x partitions) no matter how long the vocabulary tail
+    is, and phase 2's broadcast-semi-join count only shuffles the
+    candidate keys. At THIS fixture's 31-token vocabulary the capacity
+    exceeds the vocabulary, so phase 1 retains everything and the
+    pruning is a no-op — the mechanism (summary, merge, verify) is
+    what the gate exercises; the asymptotics bite when vocab >> 128.
+
+    Reference parity: the bounded-state answer to the reference's
+    unbounded `_unused_tags` distinct-set accumulator
+    (`lib/csv_writer.js:12,134` — SURVEY.md §2 op 17).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    candidates = F.broadcast(
+        toks.mapInPandas(_misra_gries_partition, "token string").distinct()
+    )
+    total = F.broadcast(
+        toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    return (
+        toks.join(candidates, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(total)
+        .filter(F.col("cnt") * HH_K > F.col("n_total"))
+        .select(
+            "token",
+            "cnt",
+            "n_total",
+            (F.col("cnt").cast("double") / F.col("n_total"))
+            .cast("double")
+            .alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture divergence: per-source KL vs the corpus token mixture.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_token_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), sc AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM toks GROUP BY source, token
+    ), st AS (
+      SELECT source, CAST(SUM(s_cnt) AS BIGINT) AS s_total
+      FROM sc GROUP BY source
+    ), gc AS (
+      SELECT token, CAST(SUM(s_cnt) AS BIGINT) AS g_cnt FROM sc GROUP BY token
+    ), gt AS (
+      SELECT CAST(SUM(g_cnt) AS BIGINT) AS g_total FROM gc
+    )
+    SELECT sc.source,
+           st.s_total AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_used,
+           SUM(
+             (CAST(s_cnt AS DOUBLE) / s_total)
+             * ln((CAST(s_cnt AS DOUBLE) / s_total)
+                  / (CAST(g_cnt AS DOUBLE) / g_total))
+           ) AS kl_nats,
+           SUM(
+             -(CAST(s_cnt AS DOUBLE) / s_total)
+             * ln(CAST(s_cnt AS DOUBLE) / s_total)
+           ) AS entropy_nats
+    FROM sc
+    JOIN st ON st.source = sc.source
+    JOIN gc ON gc.token = sc.token
+    CROSS JOIN gt
+    GROUP BY sc.source, st.s_total
+    """,
+)
+def source_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution audit: KL(source ‖ corpus mixture)
+    and source entropy in nats — the drift detector run when mixing
+    crawl slices (a source whose unigram distribution diverges from the
+    blend is over/under-weighted or contaminated; collapsing entropy
+    flags template/boilerplate sources). Complements
+    ``source_mixture_weights`` (which weighs sizes, not content).
+
+    KL(source ‖ mixture) is always finite here: every source token is
+    by construction in the corpus mixture (q > 0 wherever p > 0), so
+    no smoothing constant has to be agreed with the oracle.
+
+    Scale: all reductions happen on ALREADY-AGGREGATED (source, token)
+    counts — raw token instances shuffle exactly once into that first
+    hash aggregate (map-side partials; state per partition is the
+    distinct-pair set, not instances). The global layer re-aggregates
+    the pair counts (vocab-sized), totals are one-row broadcasts, and
+    the final per-source sum is |sources| rows. Float sums span ~vocab
+    terms of O(0.1) magnitude — ln() ULP drift vs DuckDB is ~1e-15,
+    far inside the oracle's 6-dp tolerance (text_unigram_logprob
+    precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    sc = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt")
+    )
+    st = sc.groupBy("source").agg(
+        F.sum("s_cnt").cast("bigint").alias("s_total")
+    )
+    gc = sc.groupBy("token").agg(F.sum("s_cnt").cast("bigint").alias("g_cnt"))
+    gt = F.broadcast(
+        gc.agg(F.sum("g_cnt").cast("bigint").alias("g_total"))
+    )
+    p = F.col("s_cnt").cast("double") / F.col("s_total")
+    q = F.col("g_cnt").cast("double") / F.col("g_total")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "token")
+        .crossJoin(gt)
+        .groupBy("source", F.col("s_total").alias("n_tokens"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_used"),
+            F.sum(p * F.log(p / q)).alias("kl_nats"),
+            F.sum(-p * F.log(p)).alias("entropy_nats"),
+        )
+    )

@@ -158,6 +158,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "vocab_coverage_oov": {
         "SinglePartition": "one-row coverage summary result"
     },
+    "heavy_hitters_two_phase": {
+        "SinglePartition": "one-row corpus-total branch (broadcast back)"
+    },
+    "source_token_kl_divergence": {
+        "SinglePartition": "one-row corpus-total branch (broadcast back)"
+    },
 }
 
 PATTERNS = (
