@@ -842,3 +842,86 @@ def stream_static_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@_register(
+    "stream_hypertable_rollup_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS bucket_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hypertable_rollup_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming half of the hypertable continuous aggregate: the
+    HOURLY partial layer is maintained BY A STREAM (stateful windowed
+    aggregation, availableNow drain, complete-mode memory sink), and
+    the daily resolution is then derived by a batch merge OVER THE SINK
+    — raw events only ever flow through the streaming hourly aggregate,
+    exactly how a continuous aggregate serves coarser resolutions
+    without rescanning the hypertable. Gated against DuckDB computing
+    daily stats directly from raw events: hash equality proves the
+    stream-maintained partials merge losslessly (decimal sums, min/max,
+    counts are all order/batch-boundary independent).
+
+    Scale: streaming state is one row per (event_type, hour) window —
+    bounded by time span, not stream length; the batch merge reads
+    |types| x |hours| rows. The production variant adds a watermark and
+    append mode (see stream_windowed_event_counts) — complete+memory is
+    the gate-appropriate drain (no late-data drops by construction).
+    """
+    events = read_events_stream(spark, sf_dir)
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_hour"),
+            "event_type",
+            "n_events",
+            "sum_dec",
+            "min_value",
+            "max_value",
+        )
+    )
+    sink = "stream_hypertable_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(
+            "event_type",
+            F.to_date("bucket_hour").alias("bucket_day"),
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "bucket_day",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
