@@ -481,3 +481,75 @@ def copurchase_jaccard_similar_parts(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("jaccard"), F.asc("pa"), F.asc("pb"))
         .limit(50)
     )
+
+
+KCORE_K = 4
+
+
+@register(
+    "copurchase_kcore_peel2",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    d0 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY node
+    ), v1 AS (
+      SELECT node FROM d0 WHERE deg >= {{k}}
+    ), e1 AS (
+      SELECT pa, pb FROM edges
+      WHERE pa IN (SELECT node FROM v1) AND pb IN (SELECT node FROM v1)
+    ), d1 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1
+      ) GROUP BY node
+    ), v2 AS (
+      SELECT node FROM d1 WHERE deg >= {{k}}
+    ), e2 AS (
+      SELECT pa, pb FROM e1
+      WHERE pa IN (SELECT node FROM v2) AND pb IN (SELECT node FROM v2)
+    )
+    SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS residual_degree
+    FROM (
+      SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2
+    ) GROUP BY node
+    """.format(k=4),
+)
+def copurchase_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peeling rounds toward the 4-core of the co-purchase graph:
+    drop nodes with degree < 4, re-derive the induced subgraph,
+    repeat once, and report every surviving node with its residual
+    degree. Fixed-depth peeling (like the unrolled PageRank/LPA) keeps
+    the computation a static DAG the oracle can mirror CTE-for-CTE;
+    full k-core is this loop iterated to fixpoint — each round is the
+    same two operators (degree count, two semi-joins).
+
+    Scale: each round is one hash aggregate over the edge endpoints
+    plus two LEFT SEMI joins keyed on the node — no windows, no
+    sorts; data strictly shrinks per round. The edge list is the
+    persisted co-purchase build shared by the other graph queries, so
+    peeling adds no new scan of lineitem.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    def peel(e: DataFrame) -> DataFrame:
+        keep = degrees(e).filter(F.col("deg") >= KCORE_K).select("node")
+        return (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+        )
+
+    e2 = peel(peel(edges))
+    return degrees(e2).select(
+        F.col("node").alias("part_key"),
+        F.col("deg").cast("bigint").alias("residual_degree"),
+    )

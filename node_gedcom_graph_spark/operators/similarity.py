@@ -691,3 +691,223 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("pruned"),
     )
+
+
+# ------------------------------------------------- product quantization
+
+# PQ geometry: 64-dim embeddings split into 4 contiguous 16-dim
+# subspaces; per-subspace codebook = the 16 fixed centroids' slices.
+PQ_M = 4
+PQ_SUBDIM = 16
+
+
+def _subspaced(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Explode a vector table into PQ_M rows, one per contiguous
+    subspace slice (codegen `slice` on the array — no UDF)."""
+    return df.withColumn(
+        "m", F.explode(F.array(*[F.lit(i) for i in range(PQ_M)]))
+    ).withColumn(
+        out_col, F.expr(f"slice({vec_col}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+    )
+
+
+@register(
+    "embedding_pq_assign",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), sub AS (
+      SELECT unnest([0, 1, 2, 3]) AS m
+    ), v AS (
+      SELECT vec_id, m,
+             list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sub_v
+      FROM embeddings CROSS JOIN sub
+    ), cb AS (
+      SELECT m, cid,
+             list_slice(c_emb, m * 16 + 1, m * 16 + 16) AS sub_c
+      FROM cent CROSS JOIN sub
+    ), scored AS (
+      SELECT v.vec_id, v.m, cb.cid,
+             CAST(list_dot_product(sub_v, sub_c) AS DOUBLE) AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.m
+               ORDER BY CAST(list_dot_product(sub_v, sub_c) AS DOUBLE) DESC,
+                        cb.cid ASC) AS rn
+      FROM v JOIN cb ON cb.m = v.m
+    )
+    SELECT vec_id, CAST(m AS BIGINT) AS subspace, cid AS code,
+           dot AS best_dot
+    FROM scored WHERE rn = 1
+    """,
+)
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding step (Jégou et al., the IVF-PQ
+    building block): split every 64-dim embedding into 4 contiguous
+    16-dim subspaces and, per subspace, assign the max-inner-product
+    codeword from a 16-entry codebook (the fixed hash-ranked centroid
+    set's slices — deterministic, so the full code table is
+    oracle-checkable). Output is the long-form code table
+    (vec_id, subspace, code, best_dot): 4 bytes/vector of codes is the
+    memory math that makes billion-scale ANN fit in RAM.
+
+    Scale: the codebook side is PQ_M x 16 = 64 broadcast rows at ANY
+    corpus size; the corpus explodes x4 (slices, codegen `slice` — no
+    UDF) and streams through a broadcast join + MAX-struct argmax hash
+    agg (no window sort). One shuffle, keyed by (vec_id, subspace),
+    carrying 16-float slices — not the full vectors. Inner products
+    reuse the sequential-f32 fold (dot_f32 == DuckDB list_dot_product
+    on identical slices), so argmax and emitted floats are bit-stable
+    across engines.
+    """
+    from node_gedcom_graph_spark.operators.dedup import dot_f32
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    v = _subspaced(emb.select("vec_id", "embedding"), "embedding", "sub_v")
+    cb = F.broadcast(
+        _subspaced(
+            _fixed_centroids(emb).select("cid", "c_emb"), "c_emb", "sub_c"
+        ).select("m", "cid", "sub_c")
+    )
+    dot = dot_f32(F.col("sub_v"), F.col("sub_c")).cast("double")
+    return (
+        v.join(cb, "m")
+        .select(
+            "vec_id",
+            F.col("m").cast("bigint").alias("subspace"),
+            F.struct(
+                dot.alias("dot"), (-F.col("cid")).alias("ncid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "vec_id",
+            "subspace",
+            (-F.col("s.ncid")).alias("code"),
+            F.col("s.dot").alias("best_dot"),
+        )
+    )
+
+
+# ------------------------------------------------- contrastive negative mining
+
+# Hash-ring bucket count. Fixed here so the oracle can reproduce the
+# assignment; production scales B with the corpus (B ~ corpus/c keeps
+# the per-query candidate set at a constant c rows).
+NEG_BUCKETS = 64
+NEG_PER_QUERY = 4
+
+
+def _md5_bucket(col, buckets: int):
+    """First-16-bits-of-md5 bucket — the engine-agnostic hash idiom
+    shared with dataset_shard_assign (md5 of the decimal string is
+    identical on Spark and DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    ).cast("int")
+
+
+@register(
+    "contrastive_negative_pairs",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label
+      FROM embeddings WHERE vec_id % 4 = 0
+    ), slots AS (
+      SELECT unnest([0, 1, 2, 3]) AS j
+    ), corpus AS (
+      SELECT vec_id, label,
+             CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 64 AS INTEGER) AS bucket
+      FROM embeddings
+    ), wanted AS (
+      SELECT query_id, q_label, j,
+             CAST(CAST(('0x' || substr(md5(CAST(query_id * 4 + j AS VARCHAR)),
+                                       1, 4))
+                       AS INTEGER) % 64 AS INTEGER) AS bucket
+      FROM q CROSS JOIN slots
+    ), ranked AS (
+      SELECT w.query_id, w.q_label, w.j, c.vec_id AS neg_id,
+             c.label AS neg_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY w.query_id, w.j
+               ORDER BY md5(CAST(w.query_id AS VARCHAR) || '/'
+                            || CAST(c.vec_id AS VARCHAR)),
+                        c.vec_id) AS rn
+      FROM wanted w
+      JOIN corpus c ON c.bucket = w.bucket
+      WHERE c.label <> w.q_label AND c.vec_id <> w.query_id
+    )
+    SELECT query_id, CAST(j AS BIGINT) AS slot, neg_id, neg_label
+    FROM ranked WHERE rn = 1
+    """,
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training:
+    for every query vector (the vec_id % 4 sample idiom), pick
+    NEG_PER_QUERY pseudo-random different-label negatives via a hash
+    ring — slot j maps to bucket md5(query*4+j) mod B, and the
+    negative is the bucket member with the smallest
+    md5(query || '/' || candidate) rank. Everything is md5-derived, so
+    the pairing is an engine-agnostic, re-run-stable data contract
+    (the property RNG-based sampling can't give), and fully
+    hash-gated.
+
+    Scale: the corpus shuffles ONCE on its bucket id; each (query,
+    slot) joins exactly one bucket — an equi-join, never a cross
+    product — so the intermediate is |queries| x corpus/B rows. B is
+    fixed at 64 for oracle parity; production sets B ~ corpus/c,
+    making the per-slot candidate set a CONSTANT c rows at any corpus
+    size. The per-slot pick is a MIN-struct hash agg (no per-query
+    window sort; the oracle's ROW_NUMBER is the SQL spelling of the
+    same argmin).
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    corpus = emb.select(
+        "vec_id", "label", _md5_bucket(F.col("vec_id"), NEG_BUCKETS).alias("bucket")
+    )
+    wanted = q.withColumn(
+        "j", F.explode(F.array(*[F.lit(i) for i in range(NEG_PER_QUERY)]))
+    ).withColumn(
+        "bucket",
+        _md5_bucket(F.col("query_id") * NEG_PER_QUERY + F.col("j"), NEG_BUCKETS),
+    )
+    rank_key = F.md5(
+        F.concat(
+            F.col("query_id").cast("string"),
+            F.lit("/"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    return (
+        wanted.join(corpus, "bucket")
+        .filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            F.col("j").cast("bigint").alias("slot"),
+            F.struct(
+                rank_key.alias("rk"),
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            ).alias("s"),
+        )
+        .groupBy("query_id", "slot")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "query_id",
+            "slot",
+            F.col("s.neg_id").alias("neg_id"),
+            F.col("s.neg_label").alias("neg_label"),
+        )
+    )

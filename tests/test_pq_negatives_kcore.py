@@ -1,0 +1,132 @@
+"""Pure-Python differential tests (§5.3 strategy) for the PQ encoder,
+hash-ring negative mining, and k-core peeling — independent
+reimplementations sharing no code with the engine."""
+
+import hashlib
+from collections import Counter, defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.operators.graphalgo import (
+    KCORE_K,
+    copurchase_kcore_peel2,
+)
+from node_gedcom_graph_spark.operators.similarity import (
+    NEG_BUCKETS,
+    NEG_PER_QUERY,
+    PQ_M,
+    PQ_SUBDIM,
+    contrastive_negative_pairs,
+    embedding_pq_assign,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _centroids(emb_rows, k=16):
+    ranked = sorted(
+        emb_rows,
+        key=lambda r: (hashlib.md5(str(r.vec_id).encode()).hexdigest(), r.vec_id),
+    )
+    return ranked[:k]
+
+
+def test_pq_assign_matches_numpy(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    cents = _centroids(rows)
+    got = {
+        (r.vec_id, r.subspace): (r.code, r.best_dot)
+        for r in embedding_pq_assign(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(rows) * PQ_M
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+            dots = []
+            for c in cents:
+                cv = np.asarray(c.embedding, dtype=np.float64)
+                dots.append((float(np.dot(v[sl], cv[sl])), c.vec_id))
+            # argmax by (dot desc, cid asc); skip boundary-close pairs
+            # (float32 engine fold vs float64 here)
+            dots.sort(key=lambda t: (-t[0], t[1]))
+            code, dot = got[(r.vec_id, m)]
+            if dots[0][0] - dots[1][0] > 1e-4:
+                assert code == dots[0][1]
+                assert abs(dot - dots[0][0]) < 1e-4
+
+
+def _b(x: int) -> int:
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:4], 16) % NEG_BUCKETS
+
+
+def test_contrastive_negatives_match_pure_python(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    labels = {r.vec_id: r.label for r in rows}
+    buckets = defaultdict(list)
+    for r in rows:
+        buckets[_b(r.vec_id)].append(r.vec_id)
+    expected = {}
+    for r in rows:
+        if r.vec_id % 4 != 0:
+            continue
+        for j in range(NEG_PER_QUERY):
+            cand = [
+                v
+                for v in buckets[_b(r.vec_id * NEG_PER_QUERY + j)]
+                if labels[v] != r.label and v != r.vec_id
+            ]
+            if not cand:
+                continue
+            best = min(
+                cand,
+                key=lambda v: (
+                    hashlib.md5(f"{r.vec_id}/{v}".encode()).hexdigest(),
+                    v,
+                ),
+            )
+            expected[(r.vec_id, j)] = (best, labels[best])
+    got = {
+        (r.query_id, r.slot): (r.neg_id, r.neg_label)
+        for r in contrastive_negative_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_kcore_peel_matches_pure_python(spark):
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_w = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_w[(a, b)] += 1
+    edges = {p for p, w in pair_w.items() if w >= 2}
+
+    def peel(es):
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        return {(a, b) for a, b in es if a in keep and b in keep}
+
+    e2 = peel(peel(edges))
+    deg = Counter()
+    for a, b in e2:
+        deg[a] += 1
+        deg[b] += 1
+    got = {
+        r.part_key: r.residual_degree
+        for r in copurchase_kcore_peel2(spark, SF_DIR).collect()
+    }
+    assert got == dict(deg)
