@@ -812,3 +812,194 @@ def text_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("tok")).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003 local document sketch).
+# ---------------------------------------------------------------------------
+
+WINNOW_KGRAM = 8
+WINNOW_WINDOW = 16
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, length(t) - 8 + 2)) AS p
+      FROM norm WHERE length(t) >= 8
+    ), grams AS (
+      SELECT doc_id, p, md5(substr(t, CAST(p AS INTEGER), 8)) AS h
+      FROM pos
+    ), winnowed AS (
+      SELECT doc_id, p,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          RANGE BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                            RANGE BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(DISTINCT CASE WHEN wn = 16 THEN sel END) AS BIGINT)
+             AS n_fingerprints,
+           MIN(CASE WHEN wn = 16 THEN sel END) AS min_fingerprint
+    FROM winnowed
+    GROUP BY doc_id
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken, the MOSS
+    fingerprint): hash every 8-char k-gram of the normalized text and
+    keep, for each full 16-gram window, the window's minimum hash —
+    the selected set is a position-robust local fingerprint whose
+    density is ~2/(w+1) regardless of document length, the guarantee
+    exact-substring-dedup pipelines rely on. Reported per doc:
+    k-gram count, distinct selected fingerprints, and the smallest
+    fingerprint (the doc's winnow anchor).
+
+    Scale: the k-gram explode is linear in characters and stays
+    codegen (sequence + explode + substring + md5, no UDF); the only
+    per-doc ordering is the winnow window, PARTITIONED BY doc_id — a
+    per-document sort bounded by document length, never a global
+    sort. The aggregate then collapses chars back to one row per doc,
+    so the shuffle out is |docs| rows. Windows are RANGE-framed over
+    the dense 1..n position sequence, identical on both engines;
+    partial trailing windows (wn < 16) are excluded on both sides so
+    the selected set is exactly the full-window winnow.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql import Window as W
+
+    norm = docs.select("doc_id", normalize_text(F.col("text")).alias("t")).filter(
+        F.length("t") >= WINNOW_KGRAM
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - WINNOW_KGRAM + 1)
+        ).alias("p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.expr(f"substring(t, p, {WINNOW_KGRAM})")).alias("h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rangeBetween(W.currentRow, WINNOW_WINDOW - 1)
+    )
+    winnowed = grams.select(
+        "doc_id",
+        F.min("h").over(w).alias("sel"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    full = F.when(F.col("wn") == WINNOW_WINDOW, F.col("sel"))
+    return winnowed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
+        F.countDistinct(full).cast("bigint").alias("n_fingerprints"),
+        F.min(full).alias("min_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring with add-k smoothing.
+# ---------------------------------------------------------------------------
+
+BIGRAM_ALPHA = 0.5
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS p
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+               unnest(range(1, len(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')) + 1))
+                 AS idx
+        FROM documents
+      )
+    ), bi AS (
+      SELECT doc_id, tok AS a,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY p) AS b
+      FROM toks
+    ), bigrams AS (
+      SELECT doc_id, a, b FROM bi WHERE b IS NOT NULL
+    ), cb AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bigrams GROUP BY a, b
+    ), cu AS (
+      SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cb GROUP BY a
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM toks
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           AVG(-ln((c_ab + 0.5) / (c_a + 0.5 * vocab))) AS avg_nll
+    FROM bigrams g
+    JOIN cb ON cb.a = g.a AND cb.b = g.b
+    JOIN cu ON cu.a = g.a
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus-trained
+    BIGRAM model with add-0.5 smoothing — one order deeper than
+    text_unigram_logprob's perplexity proxy: repeated boilerplate
+    transitions score low, incoherent token salads score high even
+    when their unigrams are common. The smoothing term keeps every
+    observed transition finite and is pinned to the same closed form
+    on both engines.
+
+    Scale: bigrams come from one per-doc LEAD window (partitioned by
+    doc_id — no global sort; posexplode preserves intra-doc order
+    without a separate ranking shuffle). Counts aggregate on the
+    bigram key with map-side partials; conditional totals re-aggregate
+    the ALREADY-aggregated bigram table; vocab is a one-row broadcast.
+    The scoring join shuffles bigram instances against the count
+    tables on the same Zipf-skewed keys AQE skew-split handles, and
+    the per-doc AVG spans ~1e2-1e3 terms — ln() ULP drift far inside
+    the 6-dp oracle tolerance (unigram precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "a")
+    )
+    wd = W.partitionBy("doc_id").orderBy("p")
+    bigrams = (
+        toks.select("doc_id", "a", F.lead("a").over(wd).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+    cb = bigrams.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    cu = cb.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    v = F.broadcast(
+        toks.agg(F.countDistinct("a").cast("bigint").alias("vocab"))
+    )
+    nll = -F.log(
+        (F.col("c_ab") + F.lit(BIGRAM_ALPHA))
+        / (F.col("c_a") + F.lit(BIGRAM_ALPHA) * F.col("vocab"))
+    )
+    return (
+        bigrams.join(cb, ["a", "b"])
+        .join(cu, "a")
+        .crossJoin(v)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg(nll).alias("avg_nll"),
+        )
+    )

@@ -164,6 +164,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_token_kl_divergence": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
+    "text_bigram_logprob": {
+        "SinglePartition": "one-row vocab-size branch (broadcast back)"
+    },
 }
 
 PATTERNS = (
