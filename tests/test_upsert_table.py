@@ -1,0 +1,117 @@
+"""Tests for the manifest-based copy-on-write upsert table: CDC replay
+vs a pure-Python dict oracle, bucket-pruned rewrites, crash-safety of
+the pointer swap, and optimistic-concurrency abort."""
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from node_gedcom_graph_spark.publish.upsert_table import (
+    ConcurrentWriteError,
+    _read_pointer,
+    apply_cdc,
+    init_table,
+    read_latest,
+)
+
+N_BUCKETS = 8
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string")
+
+
+def _mk_cdc(spark, ops):
+    # ops: list of (op, seq, k, val)
+    return spark.createDataFrame(ops, "op string, seq bigint, k bigint, val string")
+
+
+def _state(spark, d):
+    return {r.k: r.val for r in read_latest(spark, d).collect()}
+
+
+def test_cdc_replay_matches_dict_oracle(spark, tmp_path):
+    d = str(tmp_path / "t")
+    base = [(i, f"v{i}") for i in range(20)]
+    init_table(spark, d, _mk(spark, base), "k", N_BUCKETS)
+    oracle = {k: v for k, v in base}
+
+    batches = [
+        [("upsert", 1, 3, "a"), ("upsert", 2, 3, "b"), ("delete", 3, 4, None)],
+        [("upsert", 10, 100, "new"), ("delete", 11, 3, None)],
+        [("upsert", 20, 4, "back"), ("upsert", 21, 100, "upd")],
+    ]
+    for ops in batches:
+        apply_cdc(spark, d, _mk_cdc(spark, ops), "k")
+        for op, seq, k, v in sorted(ops, key=lambda t: t[1]):
+            if op == "delete":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = v
+        assert _state(spark, d) == oracle
+
+
+def test_seq_tie_delete_wins(spark, tmp_path):
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(1, "x")]), "k", N_BUCKETS)
+    apply_cdc(
+        spark,
+        d,
+        _mk_cdc(spark, [("upsert", 5, 1, "y"), ("delete", 5, 1, None)]),
+        "k",
+    )
+    assert _state(spark, d) == {}
+
+
+def test_only_affected_buckets_rewritten(spark, tmp_path):
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(i, f"v{i}") for i in range(64)]), "k", N_BUCKETS)
+    v = apply_cdc(
+        spark, d, _mk_cdc(spark, [("upsert", 1, 7, "seven")]), "k"
+    )
+    bucket7 = int(hashlib.md5(b"7").hexdigest()[:4], 16) % N_BUCKETS
+    with open(os.path.join(d, f"manifest_v{v}.json")) as fh:
+        manifest = json.load(fh)
+    moved = [b for b in map(str, range(N_BUCKETS)) if manifest[b] == f"v={v}"]
+    assert moved == [str(bucket7)]
+    # unaffected buckets still resolve to v=0 and remain readable
+    assert _state(spark, d)[13] == "v13"
+
+
+def test_crash_before_pointer_swap_leaves_old_state(spark, tmp_path):
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(1, "x")]), "k", N_BUCKETS)
+    # simulate a crashed apply: a version dir + manifest exist but the
+    # pointer was never swapped
+    os.makedirs(os.path.join(d, "v=99"), exist_ok=True)
+    with open(os.path.join(d, "manifest_v99.json"), "w") as fh:
+        json.dump({"_n_buckets": str(N_BUCKETS)}, fh)
+    assert _read_pointer(d) == 0
+    assert _state(spark, d) == {1: "x"}
+
+
+def test_concurrent_writer_aborts(spark, tmp_path, monkeypatch):
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(1, "x"), (2, "y")]), "k", N_BUCKETS)
+
+    import node_gedcom_graph_spark.publish.upsert_table as ut
+
+    real_read = ut._read_pointer
+    calls = {"n": 0}
+
+    def racy_read(table_dir):
+        calls["n"] += 1
+        v = real_read(table_dir)
+        # second read (the CAS check) sees a moved pointer
+        return v + 1 if calls["n"] == 2 else v
+
+    monkeypatch.setattr(ut, "_read_pointer", racy_read)
+    with pytest.raises(ConcurrentWriteError):
+        ut.apply_cdc(
+            spark, d, _mk_cdc(spark, [("upsert", 1, 1, "z")]), "k"
+        )
+    monkeypatch.setattr(ut, "_read_pointer", real_read)
+    # pointer untouched -> readers still see the pre-abort state
+    assert _state(spark, d) == {1: "x", 2: "y"}
