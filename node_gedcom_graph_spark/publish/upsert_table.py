@@ -104,10 +104,19 @@ def init_table(
     _write_pointer_atomic(table_dir, 0)
 
 
-def read_latest(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_latest(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
     """Resolve the pointer -> manifest -> per-bucket paths. Buckets are
-    read only from the version directory that last rewrote them."""
-    version = _read_pointer(table_dir)
+    read only from the version directory that last rewrote them.
+
+    ``version`` time-travels to an older snapshot: every manifest is
+    immutable once written and old version directories are never
+    rewritten (copy-on-write), so any published version stays readable
+    until a retention sweep removes it — the Delta/Iceberg time-travel
+    contract, for free, from the manifest design."""
+    if version is None:
+        version = _read_pointer(table_dir)
     manifest = _read_manifest(table_dir, version)
     paths = [
         os.path.join(table_dir, vdir, f"_bucket={b}")
