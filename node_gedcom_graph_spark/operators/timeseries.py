@@ -420,3 +420,86 @@ def user_prop_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: linear credit over a trailing touch window.
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_HOURS = 2
+
+
+@register(
+    "attribution_linear_credit",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT event_id AS t_id, user_id, event_type, ts AS t_ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ), attributed AS (
+      SELECT p.p_id, t.t_id, t.event_type,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 2 HOUR
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+           SUM(1.0 / n_touches) AS total_credit
+    FROM attributed
+    GROUP BY event_type
+    """,
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's credit splits
+    equally across the view/click touchpoints in its trailing 2-hour
+    window; report, per touch channel, the touchpoint count, purchases
+    reached, and total fractional credit. The fractional-credit
+    generalization of asof_last_view_before_purchase (last-touch) —
+    the two models bracket what marketing pipelines run.
+
+    Scale: the temporal join is EQUI-keyed on user_id with the time
+    band as a residual predicate — both sides shuffle once on the
+    user, the band prunes inside each user's partition, and fan-out is
+    bounded by touches-per-user-per-2h (activity-bounded, not
+    corpus-bounded). The per-purchase touch count is a window over the
+    joined table partitioned by purchase id, then one hash agg by
+    channel. Credit sums are ~1e3 double terms — inside the 6-dp
+    oracle tolerance; counts and coverage are exact integers.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOURS")
+        )
+    )
+    attributed = joined.withColumn(
+        "n_touches", F.count(F.lit(1)).over(W.partitionBy("p_id"))
+    )
+    return attributed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases_touched"),
+        F.sum(F.lit(1.0) / F.col("n_touches")).alias("total_credit"),
+    )
