@@ -163,3 +163,40 @@ def test_streaming_cdc_foreachbatch_apply(spark, tmp_path):
     expected.pop(4)
     expected[42] = "new"
     assert _state(spark, d) == expected
+
+
+def test_randomized_cdc_replay_matches_dict_oracle(spark, tmp_path):
+    """Seeded random mixed workload: 5 batches x 12 ops over a 30-key
+    space with colliding seqs — the dict oracle applies ops in (seq,
+    delete-wins) order, which is exactly the table's contract."""
+    import random
+
+    rng = random.Random(1234)
+    d = str(tmp_path / "t")
+    base = [(i, f"v{i}") for i in range(15)]
+    init_table(spark, d, _mk(spark, base), "k", N_BUCKETS)
+    oracle = {k: v for k, v in base}
+    seq = 0
+    for _ in range(5):
+        ops = []
+        for _ in range(12):
+            k = rng.randrange(30)
+            seq += rng.choice([0, 1])  # occasional seq collisions
+            if rng.random() < 0.3:
+                ops.append(("delete", seq, k, None))
+            else:
+                ops.append(("upsert", seq, k, f"s{seq}k{k}"))
+        apply_cdc(spark, d, _mk_cdc(spark, ops), "k")
+        # oracle: per key, winner = max (seq, delete-beats-upsert)
+        byk = {}
+        for op, sq, k, v in ops:
+            cur = byk.get(k)
+            cand = (sq, 1 if op == "delete" else 0, op, v)
+            if cur is None or cand[:2] > cur[:2]:
+                byk[k] = cand
+        for k, (_, _, op, v) in byk.items():
+            if op == "delete":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = v
+        assert _state(spark, d) == oracle
