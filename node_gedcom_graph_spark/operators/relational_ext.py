@@ -890,3 +890,96 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = one if rows is None else rows.unionAll(one)
     return rows.orderBy("ord").select("stage", "n_users")
+
+
+# ---------------------------------------------------------------------------
+# Closed-form linear regression from exact decimal partials.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regression_price_vs_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope,
+           (CAST(sy AS DOUBLE)
+            - CAST(sx AS DOUBLE)
+              * ((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) / n
+             AS intercept,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_xy
+    FROM s
+    """,
+)
+def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag ordinary-least-squares fit of extendedprice
+    against quantity — slope, intercept, Pearson correlation — computed
+    CLOSED-FORM from exact DECIMAL co-moment sums (n, Sx, Sy, Sxx,
+    Sxy, Syy) instead of the engines' streaming covar/corr aggregates.
+
+    Why not regr_slope/corr built-ins: their single-pass co-moment
+    updates are numerically fine but accumulate in FLOAT with
+    engine-specific merge trees, so last-ulp drift on 1e5-magnitude
+    prices can leak past a fixed rounding tolerance. The decimal
+    partials are EXACT and order-independent (the same reason the
+    rollup/PageRank sums use decimal), so both engines derive the
+    doubles from identical exact integers and the final expressions
+    are bit-equal. This is also the mergeable form: the six partials
+    re-aggregate to any coarser grouping without rescanning (same
+    contract as hypertable_rollup_daily).
+
+    Scale: one map-side-combined hash aggregate over the fact table —
+    the shuffle carries 6 decimals per (flag, partition); everything
+    after is per-group scalar arithmetic on 3 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,4)")
+    y = F.col("l_extendedprice").cast("decimal(19,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - sx * slope) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_xy"),
+    )
