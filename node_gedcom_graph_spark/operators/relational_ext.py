@@ -983,3 +983,121 @@ def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("corr_xy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto front via sort + running extremum (vs the naive quadratic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_front_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE (d.o_totalprice > o.o_totalprice
+             AND d.o_orderdate >= o.o_orderdate)
+         OR (d.o_totalprice >= o.o_totalprice
+             AND d.o_orderdate > o.o_orderdate)
+    )
+    """,
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto front of orders under (maximize totalprice, maximize
+    recency): an order survives iff no other order is at least as good
+    on both axes and strictly better on one. The ORACLE spells the
+    definition as the naive quadratic NOT EXISTS self-join; the ENGINE
+    uses the classic 2-D skyline rewrite — sort by price descending
+    and keep rows whose date strictly exceeds the running maximum date
+    of all strictly-better-priced rows — O(n log n) instead of O(n^2).
+    Hash equality proves the rewrite implements the definition,
+    including both tie directions.
+
+    Scale — the DISTRIBUTED skyline: the skyline operator is
+    distributive (a globally non-dominated point is non-dominated in
+    its partition), so stage 1 computes each partition's LOCAL front
+    shuffle-free (``mapInPandas``: sort the partition by price desc,
+    one running-max sweep) and only the candidate union — output-
+    bounded, ~front-size x partitions — reaches the stage-2 global
+    windows. The global stage's single-partition sort is therefore
+    over candidates, not the table (the same justification as the
+    one-row aggregate branches in the audit allowlist). The running
+    max over the STRICTLY-better price prefix uses a RANGE frame on
+    integer cents ending 1 below the current price, so equal-price
+    rows never dominate each other through the window; the same-price
+    tie pass RANGE-frames the day axis so exact-duplicate points all
+    survive, exactly as the dominance definition requires.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        # integer cents: RANGE offset -1 below is then exactly "strictly
+        # better priced" (a decimal key would make -1 a whole dollar)
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_key"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).alias("day_key"),
+    )
+
+    def _local_front(batches):
+        import pandas as pd
+
+        part = pd.concat(list(batches), ignore_index=True)
+        if part.empty:
+            yield part
+            return
+        part = part.sort_values(
+            ["price_key", "day_key"], ascending=[False, False]
+        )
+        keep_idx = []
+        best_day = None  # max day over strictly-better-priced rows
+        for price, grp in part.groupby("price_key", sort=False):
+            gmax = int(grp["day_key"].max())
+            if best_day is None or gmax > best_day:
+                keep_idx.extend(grp.index[grp["day_key"] == gmax])
+                best_day = gmax
+            else:
+                best_day = max(best_day, gmax)
+        yield part.loc[keep_idx]
+
+    # groupby iterates in the sorted (desc) order because sort=False
+    # preserves the frame's row order — so strictly-better prices are
+    # always processed before the current group.
+    pts = pts.mapInPandas(_local_front, pts.schema)
+    # max day among rows with STRICTLY greater price: RANGE frame on the
+    # descending cent axis, ending one cent before the current price.
+    w_strict = (
+        W.orderBy(F.col("price_key").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    # max day among SAME-price rows with a STRICTLY later date — RANGE
+    # on the descending day axis so (price, date) duplicates do not
+    # dominate each other (a ROWS frame would drop one of two identical
+    # points, which the dominance definition keeps).
+    w_tie = (
+        W.partitionBy("price_key")
+        .orderBy(F.col("day_key").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    scored = pts.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("day_key").over(w_strict).alias("best_day_better_price"),
+        F.max("day_key").over(w_tie).alias("best_day_same_price"),
+        "day_key",
+    )
+    return scored.filter(
+        (
+            F.col("best_day_better_price").isNull()
+            | (F.col("day_key") > F.col("best_day_better_price"))
+        )
+        & (
+            F.col("best_day_same_price").isNull()
+            | (F.col("day_key") > F.col("best_day_same_price"))
+        )
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

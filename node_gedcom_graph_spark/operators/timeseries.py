@@ -503,3 +503,89 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_id").cast("bigint").alias("n_purchases_touched"),
         F.sum(F.lit(1.0) / F.col("n_touches")).alias("total_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purged time-series split with embargo.
+# ---------------------------------------------------------------------------
+
+EMBARGO_HOURS = 24
+
+
+@register(
+    "events_purged_timeseries_split",
+    oracle="""
+    WITH cutoff AS (
+      SELECT date_trunc('hour', make_timestamp(
+               epoch_us(MIN(ts))
+               + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 8 // 10)) AS cut
+      FROM events
+    )
+    SELECT CASE
+             WHEN ts < cut - INTERVAL 24 HOUR THEN 'train'
+             WHEN ts >= cut THEN 'test'
+             ELSE 'embargo'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events CROSS JOIN cutoff
+    GROUP BY 1
+    """,
+)
+def events_purged_timeseries_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split for sequence models: the last 20% of
+    the time span is TEST, everything more than 24h before the cutoff
+    is TRAIN, and the 24h embargo band in between is DROPPED from both
+    — the purge that stops look-ahead leakage through trailing
+    features/windows that straddle the boundary (the purged-CV idea
+    from financial ML, applied as a single split). The cutoff is
+    snapped to the hour so the boundary is a stable data contract
+    rather than a microsecond artifact of the span arithmetic.
+
+    Scale: the cutoff is a one-row global (MIN, MAX) aggregate
+    broadcast back; split assignment is then a scan-local CASE — no
+    shuffle of the event table at all for the labeling, one map-side-
+    combined aggregate for the audit counts reported here. In a real
+    pipeline the same CASE expression feeds partitionBy('split') on
+    the write.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # the 80% point is computed in exact integer microseconds (the *8
+    # DIV 10 spelling) — float interval arithmetic would expose Spark's
+    # truncate-vs-DuckDB's-round double->int difference. unix_micros
+    # needs TIMESTAMP; ts is NTZ — under the UTC session timezone the
+    # casts are pure reinterpretations of the same instant.
+    span = F.broadcast(
+        events.agg(
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        ).select(
+            F.expr(
+                "CAST(date_trunc('hour', timestamp_micros("
+                "unix_micros(CAST(mn AS TIMESTAMP)) + "
+                "((unix_micros(CAST(mx AS TIMESTAMP)) - "
+                "unix_micros(CAST(mn AS TIMESTAMP))) * 8) DIV 10)) "
+                "AS TIMESTAMP_NTZ) AS cut"
+            )
+        )
+    )
+    split = (
+        F.when(
+            F.col("ts") < F.col("cut") - F.expr(f"INTERVAL {EMBARGO_HOURS} HOURS"),
+            F.lit("train"),
+        )
+        .when(F.col("ts") >= F.col("cut"), F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return (
+        events.crossJoin(span)
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )

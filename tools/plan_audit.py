@@ -167,6 +167,15 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_bigram_logprob": {
         "SinglePartition": "one-row vocab-size branch (broadcast back)"
     },
+    "pareto_front_orders": {
+        "SinglePartition": (
+            "global skyline stage over per-partition front candidates "
+            "(output-bounded: stage-1 mapInPandas prunes shuffle-free)"
+        )
+    },
+    "events_purged_timeseries_split": {
+        "SinglePartition": "one-row span/cutoff branch (broadcast back)"
+    },
 }
 
 PATTERNS = (
