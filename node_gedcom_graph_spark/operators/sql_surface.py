@@ -153,3 +153,60 @@ def copurchase_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node
         """
     )
+
+
+@register(
+    "filtered_aggregates_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                AS BIGINT) AS n_urgent,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o.o_orderstatus = 'F') AS DOUBLE)
+             AS finished_revenue,
+           CAST(COUNT(DISTINCT o.o_custkey)
+                  FILTER (WHERE o.o_totalprice > 200000) AS BIGINT)
+             AS big_spenders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def filtered_aggregates_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 ``FILTER (WHERE ...)`` aggregate modifier — several
+    differently-predicated aggregates in ONE grouping pass (count,
+    conditional count, conditional decimal sum, conditional distinct
+    count), spelled identically on both engines. The idiomatic
+    replacement for N separate filtered scans or nested CASE pyramids.
+
+    Scale: one pass over orders, one hash aggregate; the three dims
+    broadcast. The conditional distinct-count is the only expansion
+    (distinct keys per group under the predicate) — Catalyst plans it
+    as the standard expand+two-level aggregate, still map-side partial
+    on the non-distinct columns.
+    """
+    from node_gedcom_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS n_urgent,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o.o_orderstatus = 'F') AS DOUBLE)
+                 AS finished_revenue,
+               CAST(COUNT(DISTINCT o.o_custkey)
+                      FILTER (WHERE o.o_totalprice > 200000) AS BIGINT)
+                 AS big_spenders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+        """
+    )

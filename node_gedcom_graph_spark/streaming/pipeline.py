@@ -925,3 +925,131 @@ def stream_hypertable_rollup_daily(
             "max_value",
         )
     )
+
+
+def stream_user_stats_transform_with_state(events: DataFrame) -> DataFrame:
+    """The Spark 4 ``transformWithStateInPandas`` spelling of the
+    per-user running aggregator (stream_user_stats_stateful is the
+    applyInPandasWithState spelling of the SAME semantics) — the
+    successor API: named state variables on a handle (value/list/map
+    state, optional TTL, timers) instead of one opaque state tuple.
+    State layout and determinism are identical: (n, total_cents,
+    last_us), integer cents per row so micro-batch boundaries cannot
+    move any output bit.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n bigint, total_cents bigint, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            prev = self._stats.get() if self._stats.exists() else None
+            n, total_cents, last_us = prev if prev is not None else (0, 0, 0)
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                v = pdf["value"].fillna(0.0).to_numpy()
+                cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                total_cents += int(cents.sum())
+                batch_max = pdf["ts"].max()
+                if pd.notna(batch_max):
+                    last_us = max(last_us, int(batch_max.value // 1000))
+            self._stats.update((n, total_cents, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_cents / 100.0],
+                    "last_ts": [pd.Timestamp(last_us * 1000)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, "
+            "total_value double, last_ts timestamp"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas drives its state protocol over
+    protobuf; this container ships pyspark without the google.protobuf
+    dependency, so the gate query registers only where the import
+    works (the operator itself is import-clean either way)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws(fn):
+    if _tws_available():
+        return _register(
+            "stream_user_stats_transform_with_state",
+            oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+        )(fn)
+    return fn
+
+
+@_register_tws
+def stream_user_stats_tws_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas run as an ACTUAL streaming job
+    (availableNow drain, update-mode memory sink), hash-checked against
+    the same batch SQL oracle as its applyInPandasWithState twin — the
+    8th oracle-gated streaming query, covering Spark 4's successor
+    arbitrary-state API (named state variables; the migration target
+    for every applyInPandasWithState operator in this repo).
+
+    Final state per user = MAX(struct) over the update stream (n_events
+    strictly increases), same selection as the twin's gate.
+    """
+    events = read_events_stream(spark, sf_dir)
+    sink = "stream_user_stats_tws_gate"  # fixed name: see tumbling gate
+    q = (
+        stream_user_stats_transform_with_state(events)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "total_value", "last_ts")).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.last_ts").cast("timestamp_ntz").alias("last_ts"),
+        )
+    )

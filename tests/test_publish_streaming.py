@@ -630,3 +630,39 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert len(got) == 4
     # ...and the within-delay copy (t0+20min) is the one that vanished.
     assert t0 + dt.timedelta(minutes=20) not in [t for _, _, t in got]
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """transformWithStateInPandas (Spark 4's successor arbitrary-state
+    API) needs google.protobuf, which this container's pyspark ships
+    without. The operator surface exists either way; the gate query
+    registers only where the dependency resolves — this test runs the
+    real streaming comparison when it does, and otherwise pins the
+    honest-degradation contract (no half-registered query)."""
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        _tws_available,
+        stream_user_stats_tws_gate,
+    )
+    from node_gedcom_graph_spark.operators import all_queries
+
+    registered = "stream_user_stats_transform_with_state" in all_queries()
+    assert registered == _tws_available()
+    if not _tws_available():
+        pytest.skip("google.protobuf not installed in this container")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stream_user_stats_tws_gate(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    exp = {
+        r.user_id: (r.n, r.t)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("t"),
+        )
+        .collect()
+    }
+    assert got == exp
