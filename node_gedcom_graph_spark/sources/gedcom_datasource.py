@@ -50,17 +50,21 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
+import uuid
 from collections.abc import Iterable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     IsNotNull,
+    WriterCommitMessage,
 )
 
 # The one line grammar (LEVEL [@XREF@] TAG [VALUE], BOM-tolerant),
@@ -357,6 +361,116 @@ class GedcomDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return GedcomStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return GedcomWriter(self.options)
+
 
 def register_gedcom_source(spark) -> None:
     spark.dataSource.register(GedcomDataSource)
+
+
+# ---------------------------------------------------------------------------
+# WRITE path: serialize the lines IR back to GEDCOM text (the inverse
+# transform), with record-atomic distributed output.
+# ---------------------------------------------------------------------------
+
+
+class _GedcomPartFile(WriterCommitMessage):
+    def __init__(self, path: str, n_lines: int, n_records: int):
+        self.path = path
+        self.n_lines = n_lines
+        self.n_records = n_records
+
+
+class GedcomWriter(DataSourceWriter):
+    """One ``part-*.ged`` per task into a job-unique staging dir;
+    driver-side commit renames parts into place and writes a
+    ``_manifest.json`` marker last (same commit discipline as the
+    neo4jcsv sink). Each part is a VALID standalone GEDCOM file
+    provided records are partition-atomic and lines arrive in
+    (record_seq, line_no) order — the writer fail-fasts on any
+    order violation rather than silently emitting interleaved
+    records (use ``write_gedcom`` for the correct pre-shuffle)."""
+
+    def __init__(self, options: dict):
+        self.dest = options["path"]
+        self.staging = os.path.join(
+            self.dest, f"_staging-{uuid.uuid4().hex[:12]}"
+        )
+
+    def write(self, iterator) -> _GedcomPartFile:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part-{pid:05d}.ged")
+        n = 0
+        records = set()
+        last = None
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                key = (row.record_seq, row.line_no)
+                if last is not None and key < last:
+                    raise ValueError(
+                        "GEDCOM writer requires (record_seq, line_no) "
+                        f"order within each partition; saw {key} after {last}"
+                    )
+                last = key
+                records.add(row.record_seq)
+                pieces = [str(row.level)]
+                if row.xref:
+                    pieces.append(f"@{row.xref}@")
+                pieces.append(row.tag)
+                if row.value:
+                    pieces.append(row.value)
+                fh.write(" ".join(pieces) + "\n")
+                n += 1
+        return _GedcomPartFile(path, n, len(records))
+
+    def commit(self, messages) -> None:
+        import json as _json
+
+        os.makedirs(self.dest, exist_ok=True)
+        files = []
+        for m in messages:
+            if m is None or m.n_lines == 0:
+                if m is not None:
+                    try:
+                        os.remove(m.path)
+                    except OSError:
+                        pass
+                continue
+            dst = os.path.join(self.dest, os.path.basename(m.path))
+            os.replace(m.path, dst)
+            files.append(
+                {
+                    "file": os.path.basename(m.path),
+                    "lines": m.n_lines,
+                    "records": m.n_records,
+                }
+            )
+        tmp = os.path.join(self.dest, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"files": files}, fh, indent=1)
+        os.replace(tmp, os.path.join(self.dest, "_manifest.json"))
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def write_gedcom(df, path: str) -> None:
+    """Write a lines-IR DataFrame back out as GEDCOM text with the
+    layout the writer requires: hash-partitioned by (file, record_seq)
+    so every record's lines land in ONE task (records never split
+    across part files), sorted within partitions by (record_seq,
+    line_no) so each record's tree structure serializes contiguously.
+    Cross-record order across files is free — GEDCOM records are
+    independent, which is exactly what makes the write parallel."""
+    (
+        df.repartition("file", "record_seq")
+        .sortWithinPartitions("file", "record_seq", "line_no")
+        .write.format("gedcom")
+        .mode("append")
+        .save(path)
+    )
