@@ -1101,3 +1101,172 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("day_key") > F.col("best_day_same_price"))
         )
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# Nested array-of-struct processing with higher-order functions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_nested_lineitem_stats",
+    oracle="""
+    SELECT l_orderkey AS o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS max_price
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def orders_nested_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data processing: rebuild each order's line items as an
+    ARRAY<STRUCT> column (the layout denormalized lake tables actually
+    ship), then compute per-order statistics by folding the array with
+    HIGHER-ORDER functions — size, F.aggregate with a decimal
+    accumulator, a filtered size, a max fold — WITHOUT re-exploding.
+    The oracle computes the same stats from the flat table; hash
+    equality proves the nest->fold path is lossless.
+
+    Scale: one shuffle to nest (groupBy orderkey + collect_list of a
+    pruned struct — only the 3 needed fields enter the array, not the
+    16-column row), then every fold is a scan-local codegen lambda
+    over an order-sized array (bounded by lines-per-order, ~7). This
+    is the access pattern that makes denormalized layouts pay: stats
+    over the nested children never touch a join or a second shuffle.
+    Decimal accumulators keep the folds order-independent even though
+    collect_list order is nondeterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+                F.col("l_returnflag").alias("flag"),
+            )
+        ).alias("items")
+    )
+    # DECIMAL(38,2) accumulator: Spark caps add-result precision at
+    # 38, so acc + item stays (38,2) and the fold type-checks; any
+    # narrower accumulator grows a digit per add and fails analysis
+    total_qty = F.aggregate(
+        F.col("items"),
+        F.lit(0).cast("decimal(38,2)"),
+        lambda acc, x: acc + x["qty"],
+    ).cast("double")
+    n_returned = F.size(
+        F.filter(F.col("items"), lambda x: x["flag"] == "R")
+    ).cast("bigint")
+    max_price = F.array_max(
+        F.transform(F.col("items"), lambda x: x["price"])
+    ).cast("double")
+    return (
+        nested.filter(F.size("items") >= 5)
+        .select(
+            "o_orderkey",
+            F.size("items").cast("bigint").alias("n_items"),
+            total_qty.alias("total_qty"),
+            n_returned.alias("n_returned"),
+            max_price.alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over co-purchase pairs: support / confidence / lift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "association_rules_copurchase",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op
+    ), item_cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT pa AS antecedent, pb AS consequent, c_ab AS pair_orders,
+           CAST(c_ab AS DOUBLE) / n AS support,
+           CAST(c_ab AS DOUBLE) / ia.c AS confidence,
+           CAST(c_ab AS DOUBLE) * n / (ia.c * ib.c) AS lift
+    FROM pairs
+    JOIN item_cnt ia ON ia.l_partkey = pa
+    JOIN item_cnt ib ON ib.l_partkey = pb
+    CROSS JOIN n_orders
+    """,
+)
+def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs:
+    support, confidence (antecedent -> consequent), and lift for every
+    part pair appearing together in >= 3 orders — the metric layer on
+    top of the pair mining the graph queries share.
+
+    Scale: the pair fan-out is bounded by lines-per-order choose 2
+    (~21 here), so candidate generation is linear in the fact table;
+    per-item counts and the order total come from the SAME distinct
+    projection (scanned once, reused); the metric joins are keyed on
+    single parts — Zipf-hot parts are exactly what AQE skew handling
+    splits. Division order is pinned identically in both engines and
+    the inputs are exact integers, so the emitted doubles agree
+    bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n_orders = F.broadcast(
+        op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    )
+    item_cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item_cnt.select(
+        F.col("l_partkey").alias("pa"), F.col("c").alias("c_a")
+    )
+    ib = item_cnt.select(
+        F.col("l_partkey").alias("pb"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(n_orders)
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            F.col("c_ab").alias("pair_orders"),
+            (F.col("c_ab").cast("double") / F.col("n")).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias("confidence"),
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )

@@ -176,6 +176,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "events_purged_timeseries_split": {
         "SinglePartition": "one-row span/cutoff branch (broadcast back)"
     },
+    "association_rules_copurchase": {
+        "SinglePartition": "one-row order-total branch (broadcast back)"
+    },
 }
 
 PATTERNS = (
