@@ -589,3 +589,172 @@ def events_purged_timeseries_split(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point scan over the daily rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(28,10))) AS v
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS sv,
+             SUM(v * v) AS svv
+      FROM daily GROUP BY event_type
+    ), scored AS (
+      SELECT d.event_type, d.d,
+             SUM(CAST(d.v AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n)
+               OVER (PARTITION BY d.event_type ORDER BY d.d
+                     ROWS UNBOUNDED PRECEDING) AS cusum,
+             sqrt((CAST(s.svv AS DOUBLE)
+                   - CAST(s.sv AS DOUBLE) * CAST(s.sv AS DOUBLE) / s.n)
+                  / (s.n - 1)) AS sd,
+             s.n
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+    )
+    SELECT event_type, d AS bucket_day,
+           cusum,
+           CAST(CASE WHEN abs(cusum) > 5 * sd THEN 1 ELSE 0 END AS BIGINT)
+             AS flagged
+    FROM scored
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan: per event type, the running sum of
+    mean-centered DAILY totals, flagging days where |CUSUM| exceeds
+    5 standard deviations of the daily series — the classic drift
+    detector for level shifts a point-wise z-score (events_anomaly_
+    zscore) cannot see. Runs on the rollup layer, not raw events.
+
+    Determinism: daily totals and the moment sums are exact DECIMAL
+    (order-independent); mean-centering and the running sum happen in
+    doubles over an ORDERED window (same order both engines, so
+    identical fold); sd comes from the closed-form moment derivation
+    (regression_price_vs_quantity precedent). The flag compares
+    |cusum| against 5*sd — both derived from the same bit-identical
+    inputs on each engine.
+
+    Scale: raw events collapse to |types| x |days| rows in one
+    map-side-combined aggregate; the window and moment join run on
+    that rollup (thousands of rows at any event volume) partitioned by
+    type — never a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,10)")).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sd = F.sqrt(
+        (
+            F.col("svv").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    cusum = F.sum(
+        F.col("v").cast("double") - F.col("sv").cast("double") / F.col("n")
+    ).over(w)
+    return (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            F.col("d").alias("bucket_day"),
+            cusum.alias("cusum"),
+            F.when(F.abs(cusum) > 5 * sd, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: most frequent event-type trigrams.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_event_trigrams",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tri AS (
+      SELECT event_type AS e1, e2, e3 FROM ordered
+      WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ), counted AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tri GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, e1, e2, e3) AS BIGINT)
+             AS rank
+    FROM counted
+    ORDER BY cnt DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 20 most frequent consecutive
+    event-type TRIGRAMS across all user journeys (deterministic
+    (count desc, lexicographic) tie-break) — the pattern layer behind
+    funnel design (funnel_view_click_purchase checks ONE hypothesized
+    path; this discovers which paths dominate).
+
+    Scale: trigram construction is two LEADs over one per-user window
+    (user-keyed — no global sort; the two offsets share the window
+    spec so CollapseWindow plans ONE Window exec); counting is a
+    map-side-combined hash agg on the (e1,e2,e3) key (cardinality <=
+    |event types|^3, tiny); the global top-20 plans as
+    TakeOrderedAndProject and the rank window sorts 20 rows
+    (token_vocab_topk precedent).
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    wd = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(wd).alias("e2"),
+            F.lead("event_type", 2).over(wd).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    counted = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    top = counted.orderBy(
+        F.col("cnt").desc(), "e1", "e2", "e3"
+    ).limit(20)
+    wr = W.orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
+    return top.select(
+        "e1",
+        "e2",
+        "e3",
+        "cnt",
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+    )
