@@ -314,3 +314,82 @@ def doc_text_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nm").cast("double").alias("total_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One BPE merge iteration: adjacent-pair counts over the word-frequency map.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_first_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w
+    ), chars AS (
+      SELECT w, freq,
+             unnest(range(1, length(w))) AS i
+      FROM wf WHERE length(w) >= 2
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+             substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM chars GROUP BY 1, 2
+    )
+    SELECT a, b, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS BIGINT)
+             AS rank
+    FROM pairs
+    ORDER BY cnt DESC, a, b
+    LIMIT 10
+    """,
+)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ITERATION of byte-pair-encoding training: count every
+    adjacent character pair across the corpus, weighted by word
+    frequency (the word-frequency map is the BPE working set — each
+    distinct word is processed once, multiplied by its count), and
+    rank the top merge candidates. Iterating this step with the winner
+    merged into a new symbol IS the BPE trainer; one step is the
+    oracle-expressible unit, and the expensive part (the corpus scan
+    into the word-frequency map) happens exactly once for ALL
+    iterations.
+
+    Scale: the corpus collapses to distinct words first (vocab-sized,
+    not corpus-sized — the map-side combine does the heavy lifting),
+    pair explosion is then bounded by total characters IN THE
+    VOCABULARY, and pair counting is a hash agg over at most
+    |alphabet|^2 keys. Global top-10 plans as TakeOrderedAndProject.
+    """
+    from node_gedcom_graph_spark.functions.scalar import tokens
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = (
+        wf.select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(w, i, 1)").alias("a"),
+            F.expr("substring(w, i + 1, 1)").alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(10)
+    wr = W.orderBy(F.col("cnt").desc(), "a", "b")
+    return top.select(
+        "a", "b", "cnt", F.row_number().over(wr).cast("bigint").alias("rank")
+    )

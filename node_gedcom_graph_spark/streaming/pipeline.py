@@ -1053,3 +1053,63 @@ def stream_user_stats_tws_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.last_ts").cast("timestamp_ntz").alias("last_ts"),
         )
     )
+
+
+@_register(
+    "stream_sliding_window_counts",
+    oracle="""
+    WITH contrib AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_counts_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLIDING windows (2h duration, 1h slide) computed BY A STREAM —
+    every event contributes to exactly two overlapping windows, the
+    aggregation state the tumbling gate can't exercise. The oracle
+    spells the overlap as a UNION ALL of the two hourly alignments
+    (an event at t lands in the windows starting at trunc(t) and
+    trunc(t)-1h); hash equality proves the streaming window-assignment
+    and state merge across micro-batches. Complete-mode availableNow
+    drain — the gate-appropriate shape (see stream_event_time_
+    tumbling_hourly); decimal sums keep overlap totals order-independent.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    sink = "stream_sliding_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
