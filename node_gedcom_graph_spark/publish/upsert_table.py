@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,13 +125,17 @@ def read_latest(
         if not b.startswith("_")
         and os.path.isdir(os.path.join(table_dir, vdir, f"_bucket={b}"))
     ]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["_schema"]))
     if not paths:
         # every row deleted: an empty frame with the recorded schema
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(manifest["_schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    # read under the MANIFEST schema, not file inference: after schema
+    # evolution the per-bucket parquet footers differ (old buckets lack
+    # newly added columns) — the recorded schema makes Spark fill the
+    # missing columns with NULLs instead of silently dropping them
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def apply_cdc(
@@ -194,9 +199,13 @@ def apply_cdc(
     )
     if cur_paths:
         cur = spark.read.parquet(*cur_paths)
+        # schema evolution: a CDC batch may carry columns the table has
+        # never seen (or omit optional ones) — allowMissingColumns fills
+        # either side with NULLs, the add-column semantics every table
+        # format ships
         new_rows = cur.join(
             F.broadcast(touched_keys), key_col, "left_anti"
-        ).unionByName(upserts.select(*cur.columns))
+        ).unionByName(upserts, allowMissingColumns=True)
     else:
         new_rows = upserts
     (
@@ -209,6 +218,7 @@ def apply_cdc(
     new_manifest = dict(manifest)
     for b in affected:
         new_manifest[str(b)] = vdir
+    new_manifest["_schema"] = new_rows.drop("_bucket").schema.json()
     with open(_manifest_path(table_dir, new_version), "w") as fh:
         json.dump(new_manifest, fh)
 
@@ -219,3 +229,74 @@ def apply_cdc(
         )
     _write_pointer_atomic(table_dir, new_version)
     return new_version
+
+
+def compact(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite EVERY bucket into one new version directory and point
+    the manifest at it — the compaction pass that bounds read-side
+    fan-in after many incremental versions (a reader of a heavily
+    updated table otherwise touches one directory per distinct
+    rewrite generation). Publishes with the same CAS pointer swap as
+    apply_cdc. Returns the new version."""
+    base = _read_pointer(table_dir)
+    manifest = _read_manifest(table_dir, base)
+    n_buckets = int(manifest["_n_buckets"])
+    new_version = base + 1
+    vdir = f"v={new_version}"
+    # bucket-by-bucket rewrite (bounded driver loop over n_buckets;
+    # each iteration is a distributed read+write of one bucket) — rows
+    # are preserved verbatim, the bucket assignment is path metadata
+    for b in range(n_buckets):
+        src = os.path.join(table_dir, manifest[str(b)], f"_bucket={b}")
+        if not os.path.isdir(src):
+            continue
+        spark.read.parquet(src).write.mode("overwrite").parquet(
+            os.path.join(table_dir, vdir, f"_bucket={b}")
+        )
+    new_manifest = dict(manifest)
+    for b in range(n_buckets):
+        if os.path.isdir(os.path.join(table_dir, vdir, f"_bucket={b}")):
+            new_manifest[str(b)] = vdir
+        else:
+            new_manifest.pop(str(b), None)
+    with open(_manifest_path(table_dir, new_version), "w") as fh:
+        json.dump(new_manifest, fh)
+    if _read_pointer(table_dir) != base:
+        raise ConcurrentWriteError(
+            f"base version {base} superseded before publish"
+        )
+    _write_pointer_atomic(table_dir, new_version)
+    return new_version
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+    """Delete version directories and manifests no longer reachable
+    from the latest ``keep_versions`` manifests — the retention sweep
+    that reclaims space after compaction, trading away time-travel
+    depth explicitly. Never touches anything a retained manifest still
+    references (old versions stay fully readable until swept).
+    Returns the removed directory names."""
+    import re as _re
+
+    latest = _read_pointer(table_dir)
+    keep = range(max(0, latest - keep_versions + 1), latest + 1)
+    referenced: set[str] = set()
+    for v in keep:
+        try:
+            m = _read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue
+        referenced.update(
+            vd for b, vd in m.items() if not b.startswith("_")
+        )
+    removed = []
+    for entry in sorted(os.listdir(table_dir)):
+        vm = _re.fullmatch(r"v=(\d+)", entry)
+        if vm and entry not in referenced and int(vm.group(1)) not in keep:
+            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+            removed.append(entry)
+        mm = _re.fullmatch(r"manifest_v(\d+)\.json", entry)
+        if mm and int(mm.group(1)) not in keep:
+            os.remove(os.path.join(table_dir, entry))
+            removed.append(entry)
+    return removed

@@ -200,3 +200,45 @@ def test_randomized_cdc_replay_matches_dict_oracle(spark, tmp_path):
             else:
                 oracle[k] = v
         assert _state(spark, d) == oracle
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    """A CDC batch carrying a brand-new column evolves the table: new
+    rows carry it, pre-existing rows read back as NULL, and the
+    manifest schema records the widened shape."""
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(1, "a"), (2, "b")]), "k", N_BUCKETS)
+    cdc = spark.createDataFrame(
+        [("upsert", 1, 1, "a2", "extra!")],
+        "op string, seq bigint, k bigint, val string, note string",
+    )
+    apply_cdc(spark, d, cdc, "k")
+    rows = {r.k: (r.val, r.note) for r in read_latest(spark, d).collect()}
+    assert rows[1] == ("a2", "extra!")
+    assert rows[2] == ("b", None)
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    import os as _os
+
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(i, f"v{i}") for i in range(20)]), "k", N_BUCKETS)
+    apply_cdc(spark, d, _mk_cdc(spark, [("upsert", 1, 3, "x")]), "k")
+    apply_cdc(spark, d, _mk_cdc(spark, [("delete", 2, 7, None)]), "k")
+    before = _state(spark, d)
+    from node_gedcom_graph_spark.publish.upsert_table import compact, vacuum
+
+    v = compact(spark, d)
+    assert _state(spark, d) == before  # compaction is a no-op on content
+    # every live bucket now resolves to the compacted version
+    import json as _json
+
+    manifest = _json.load(open(_os.path.join(d, f"manifest_v{v}.json")))
+    assert all(
+        vd == f"v={v}" for b, vd in manifest.items() if not b.startswith("_")
+    )
+    removed = vacuum(d, keep_versions=1)
+    assert removed  # old versions + manifests swept
+    assert _state(spark, d) == before  # latest still fully readable
+    # time travel beyond retention is genuinely gone
+    assert not _os.path.exists(_os.path.join(d, "manifest_v0.json"))
