@@ -210,3 +210,102 @@ def filtered_aggregates_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY r.r_name
         """
     )
+
+
+@register(
+    "udtf_table_arg_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization implemented as a Python UDTF taking a TABLE
+    ARGUMENT with ``PARTITION BY user_id ORDER BY ts`` — the Spark 4
+    SQL surface where the ENGINE delivers each partition's rows to the
+    UDTF in order and fences instances at partition boundaries, so
+    arbitrary per-entity sequence logic (here: 30-min-gap session
+    building) runs without a single window function in user code. The
+    scalar-arg UDTF (udtf_split_sentences) multiplies rows; the
+    table-arg form is the grouped-sequential complement. Shares the
+    built-in session_window query's oracle (sessionize_user_events) —
+    three spellings (session_window, SQL windows, table-arg UDTF) of
+    one semantic, all hash-equal.
+
+    Scale: partitions shuffle once on user_id; per-partition ordering
+    is the engine's sort, state is O(1) per live session; output is
+    session-count-sized. Arrow-batched (engine-wide UDTF eval pin).
+    """
+    from pyspark.sql.functions import udtf
+
+    from node_gedcom_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+
+    @udtf(
+        returnType=(
+            "user_id bigint, session_start timestamp_ntz, "
+            "session_end timestamp_ntz, n_events bigint"
+        )
+    )
+    class Sessionize:
+        GAP_S = 30 * 60
+
+        def __init__(self):
+            self._user = None
+            self._start = None
+            self._last = None
+            self._n = 0
+
+        def _flush(self):
+            import datetime as _dt
+
+            if self._n:
+                yield (
+                    self._user,
+                    self._start,
+                    self._last + _dt.timedelta(seconds=self.GAP_S),
+                    self._n,
+                )
+
+        def eval(self, row):
+            gap_hit = (
+                self._last is not None
+                and (row["ts"] - self._last).total_seconds() >= self.GAP_S
+            )
+            if self._last is None or gap_hit:
+                yield from self._flush()
+                self._user = row["user_id"]
+                self._start = row["ts"]
+                self._n = 0
+            self._last = row["ts"]
+            self._n += 1
+
+        def terminate(self):
+            yield from self._flush()
+
+    spark.udtf.register("sessionize_udtf", Sessionize)
+    return spark.sql(
+        """
+        SELECT * FROM sessionize_udtf(
+          TABLE(events) PARTITION BY user_id ORDER BY ts
+        )
+        """
+    )
