@@ -666,3 +666,76 @@ def test_transform_with_state_gated_on_protobuf(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Durability: a windowed streaming aggregation drained with
+    availableNow, stopped, then RESUMED from its checkpoint after new
+    source files land must (a) process only the new files — the
+    checkpointed source offsets skip everything already committed —
+    and (b) carry its aggregation STATE across the restart, so the
+    final complete-mode table equals the batch aggregate over the
+    union of both drops."""
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    first, second = events.randomSplit([0.5, 0.5], seed=7)
+    first = first.cache()
+    second = second.cache()
+    first.write.mode("overwrite").parquet(str(src / "drop1.parquet"))
+
+    schema = events.schema
+
+    def drain(sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        ts = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))) \
+            if dict(stream.dtypes).get("ts") in ("bigint", "long") else stream
+        agg = ts.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        return progress
+
+    drain("ckpt_resume_gate1")
+    after_first = {
+        r.event_type: r.n for r in spark.table("ckpt_resume_gate1").collect()
+    }
+    exp_first = {
+        r.event_type: r.n
+        for r in first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert after_first == exp_first
+
+    second.write.mode("overwrite").parquet(str(src / "drop2.parquet"))
+    progress = drain("ckpt_resume_gate2")
+    after_second = {
+        r.event_type: r.n for r in spark.table("ckpt_resume_gate2").collect()
+    }
+    exp_all = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # state carried: totals equal the union, not just drop2
+    assert after_second == exp_all
+    # only the new file was read on resume (offsets skipped drop1)
+    if progress is not None:
+        rows_read = progress["sources"][0]["numInputRows"]
+        assert rows_read == second.count()
