@@ -1270,3 +1270,183 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (Deequ-style, single pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_quality_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_keys,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_cust,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpos_price,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority
+      FROM orders
+    ), fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems
+      FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey)
+    )
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS check_name, dup_keys AS n_violations
+      FROM o
+      UNION ALL
+      SELECT 'orders_custkey_not_null', null_cust FROM o
+      UNION ALL
+      SELECT 'orders_totalprice_positive', nonpos_price FROM o
+      UNION ALL
+      SELECT 'orders_priority_in_domain', bad_priority FROM o
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk', orphan_lineitems FROM fk
+    )
+    """,
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/Great-Expectations
+    shape): five constraints — primary-key uniqueness, non-null,
+    positivity, domain membership, and referential integrity — each
+    reported as a (check_name, n_violations) row. The first four
+    evaluate in ONE aggregate pass over orders (conditional
+    aggregates, not one scan per check); the FK check is a LEFT ANTI
+    count against the orders key.
+
+    Scale: the intra-table checks cost exactly one map-side-combined
+    scan regardless of how many constraints are declared — the
+    Deequ insight that makes hundred-check suites affordable on 100 TB.
+    The FK anti-join shuffles on the key it validates (or broadcasts
+    when the parent side fits). Violation counts are exact integers,
+    so the gate hash never rides on floats.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpos_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_priority"),
+    )
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
+    )
+    checks = [
+        ("orders_pk_unique", "dup_keys", o),
+        ("orders_custkey_not_null", "null_cust", o),
+        ("orders_totalprice_positive", "nonpos_price", o),
+        ("orders_priority_in_domain", "bad_priority", o),
+        ("lineitem_orderkey_fk", "orphan_lineitems", orphans),
+    ]
+    out = None
+    for name, colname, src in checks:
+        row = src.select(
+            F.lit(name).alias("check_name"),
+            F.col(colname).alias("n_violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Column profiling summary (the profiler pass behind quality tooling).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+    FROM orders
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling (null count, distinct cardinality,
+    min/max rendered as strings so heterogeneous column types share
+    one report schema) — the discovery pass quality tooling runs
+    before writing expectations. Three representative columns here;
+    the construction is mechanical per column.
+
+    Scale: one aggregate per column over the same cached scan; Spark
+    plans the unioned single-row aggregates as independent branches of
+    a shared exchange-free scan (each is a global aggregate; their
+    one-row finals are the audited SinglePartition allowance).
+    Distinct counts are the one real cost — at 100 TB swap
+    COUNT(DISTINCT) for approx_count_distinct per column and the
+    report stays one pass (the sketch_rollup_region mergeable-sketch
+    path).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile(colname, cast_to=None):
+        c = F.col(colname)
+        rendered = c.cast("decimal(18,2)") if cast_to == "dec" else c
+        return orders.agg(
+            F.lit(colname).alias("column_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            F.min(rendered).cast("string").alias("min_value"),
+            F.max(rendered).cast("string").alias("max_value"),
+        )
+
+    return (
+        profile("o_orderkey")
+        .unionByName(profile("o_orderstatus"))
+        .unionByName(profile("o_totalprice", "dec"))
+    )

@@ -179,6 +179,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "association_rules_copurchase": {
         "SinglePartition": "one-row order-total branch (broadcast back)"
     },
+    "data_quality_expectations": {
+        "SinglePartition": "unioned one-row constraint aggregates"
+    },
+    "orders_column_profile": {
+        "SinglePartition": "unioned one-row per-column profile aggregates"
+    },
 }
 
 PATTERNS = (
