@@ -758,3 +758,106 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.row_number().over(wr).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join: events against their SCD2 interval version.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN LAG(k) OVER w IS DISTINCT FROM k THEN 1 ELSE 0 END
+               AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ), dim AS (
+      SELECT user_id, version, MIN(k) AS k, MIN(ts) AS valid_from,
+             LEAD(MIN(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY version) AS valid_to
+      FROM islands GROUP BY user_id, version
+    ), purchases AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT p.event_id, p.user_id, d.version, d.k
+      FROM purchases p
+      JOIN dim d
+        ON d.user_id = p.user_id
+       AND p.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM joined
+    GROUP BY version
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: every purchase event looks up the SCD2
+    version of the user's ``props.k`` attribute that was valid AT THE
+    EVENT'S OWN TIMESTAMP ([valid_from, valid_to) interval match,
+    open-ended current version) — the leakage-safe feature lookup a
+    training pipeline must use instead of joining today's attribute
+    onto yesterday's event. Aggregated per dimension version so the
+    gate checks the full assignment without a 100k-row result.
+
+    Edge semantics pinned by construction: an event AT a version
+    boundary belongs to the version it opened (>= from, < to) — the
+    same convention the interval build derives, so every purchase
+    matches exactly one interval.
+
+    Scale: the dimension rebuild is the user_prop_scd2_intervals
+    dataflow (user-keyed windows, shrinking data); the PIT join is
+    EQUI-keyed on user_id with the interval containment as a residual
+    band — the standard distributed PIT shape (both sides shuffle once
+    on the entity key; per-user fan-out is versions-per-user, not
+    corpus-sized). At warehouse scale the dim side is the stored SCD2
+    table and only the band residual remains.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagk = F.lag("k").over(w)
+    chg = F.when(lagk.isNull() | (lagk != F.col("k")), 1).otherwise(0)
+    islands = ev.withColumn("chg", chg).withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    w2 = W.partitionBy("user_id").orderBy("version")
+    dim = (
+        islands.groupBy("user_id", "version")
+        .agg(F.min("k").alias("k"), F.min("ts").alias("valid_from"))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts")
+    )
+    joined = purchases.join(dim, "user_id").filter(
+        (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+    )
+    return joined.groupBy(F.col("version").cast("bigint").alias("version")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
