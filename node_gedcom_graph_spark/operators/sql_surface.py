@@ -309,3 +309,66 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "null_aware_anti_join_semantics",
+    oracle="""
+    WITH refs AS (
+      SELECT o_custkey FROM orders
+      UNION ALL SELECT NULL
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM refs))
+           AS BIGINT) AS n_not_in_with_null,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM refs r
+                              WHERE r.o_custkey = c.c_custkey))
+           AS BIGINT) AS n_not_exists,
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+           AS BIGINT) AS n_not_in_clean
+    """,
+)
+def null_aware_anti_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as a first-class semantics check:
+    against a reference set CONTAINING a NULL, SQL's three-valued
+    logic makes ``NOT IN`` return zero rows (every comparison is
+    UNKNOWN), while ``NOT EXISTS`` — equality-based — still returns
+    the true anti set; against the clean set both agree. All three
+    counts in one row, identical by the SQL standard on both engines.
+
+    Engine surface: Spark plans the nullable NOT IN as a NULL-AWARE
+    ANTI JOIN — in the executed plan the BroadcastHashJoin LeftAnti
+    node's trailing flag reads `true` (isNullAwareAntiJoin), vs
+    `false` for the clean NOT EXISTS rewrite; both flags are visible
+    in this query's own plan, which is the point.
+
+    Scale: anti joins shuffle (or broadcast) on the key; the null-
+    aware form requires the broadcast build side, which Spark enforces
+    — at 100 TB you rewrite NOT IN to NOT EXISTS precisely to escape
+    that constraint, and this query is the committed evidence of why.
+    """
+    from node_gedcom_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH refs AS (
+          SELECT o_custkey FROM orders
+          UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM refs))
+               AS BIGINT) AS n_not_in_with_null,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM refs r
+                                  WHERE r.o_custkey = c.c_custkey))
+               AS BIGINT) AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+               AS BIGINT) AS n_not_in_clean
+        """
+    )

@@ -185,6 +185,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "orders_column_profile": {
         "SinglePartition": "unioned one-row per-column profile aggregates"
     },
+    "null_aware_anti_join_semantics": {
+        "SinglePartition": "three one-row scalar-subquery counts"
+    },
 }
 
 PATTERNS = (
