@@ -123,7 +123,7 @@ def main() -> None:
     # Timing is adaptive min-of-N (_timed_best): a single-shot timing is
     # exposed to GC pauses and hypervisor steal (observed 2-5x swings on
     # identical plans on this VM); extra iterations run only while the
-    # two best disagree by >1.6x.
+    # two best disagree by >1.25x (the _timed_best agree default).
     steal0 = _steal_jiffies()
     timings: dict[str, float] = {}
     total = 0.0

@@ -92,3 +92,17 @@ def normalize_text(text: Column) -> Column:
 def tokens(text: Column) -> Column:
     """Alphanumeric tokens (lowercased) as array<string>."""
     return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """First-16-bits-of-md5 bucket assignment — THE shared
+    engine-agnostic hash idiom (DuckDB mirror:
+    ``CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 4)) AS INTEGER)
+    % n``). Used by the shard writer, the upsert table, the negative
+    miner, and dataset_shard_assign; one definition so bucket
+    membership can never silently diverge between them."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % n_buckets
+    ).cast("int")

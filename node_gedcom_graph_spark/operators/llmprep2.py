@@ -130,11 +130,9 @@ def dataset_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned-sink pattern, publish/neo4j_csv.py).
     """
     docs = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 16
-    ).cast("int")
+    from node_gedcom_graph_spark.functions.scalar import md5_bucket
+
+    shard = md5_bucket(F.col("doc_id"), 16)
     return (
         docs.select(shard.alias("shard"), "source", "n_chars")
         .groupBy("shard")

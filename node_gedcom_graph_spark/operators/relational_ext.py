@@ -1046,7 +1046,10 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _local_front(batches):
         import pandas as pd
 
-        part = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:  # empty scan partition: zero batches arrive
+            return
+        part = pd.concat(chunks, ignore_index=True)
         if part.empty:
             yield part
             return

@@ -802,14 +802,10 @@ NEG_PER_QUERY = 4
 
 
 def _md5_bucket(col, buckets: int):
-    """First-16-bits-of-md5 bucket — the engine-agnostic hash idiom
-    shared with dataset_shard_assign (md5 of the decimal string is
-    identical on Spark and DuckDB)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % buckets
-    ).cast("int")
+    """Delegates to the shared engine-agnostic md5 bucket helper."""
+    from node_gedcom_graph_spark.functions.scalar import md5_bucket
+
+    return md5_bucket(col, buckets)
 
 
 @register(

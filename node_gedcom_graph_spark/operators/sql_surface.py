@@ -218,7 +218,7 @@ def filtered_aggregates_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                       OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -286,9 +286,12 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
         def eval(self, row):
+            # STRICTLY greater: session_window merges an exactly-gap
+            # pair (pinned by test_session_window_gap_boundary), so all
+            # three sessionize spellings break only when diff > gap
             gap_hit = (
                 self._last is not None
-                and (row["ts"] - self._last).total_seconds() >= self.GAP_S
+                and (row["ts"] - self._last).total_seconds() > self.GAP_S
             )
             if self._last is None or gap_hit:
                 yield from self._flush()

@@ -337,6 +337,31 @@ def source_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scd2_islands(events: DataFrame) -> DataFrame:
+    """Shared SCD2 island builder for user_prop_scd2_intervals and
+    scd2_point_in_time_join: per-user (ts, event_id)-ordered change
+    detection on props.k with a NULL-SAFE comparison — the engine twin
+    of SQL's IS DISTINCT FROM (a NULL k run is ONE island; a
+    value->NULL transition IS a change). One definition, two
+    consumers, so version boundaries cannot drift between the interval
+    table and the point-in-time join."""
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first = F.row_number().over(w) == 1
+    changed = ~F.lag("k").over(w).eqNullSafe(F.col("k"))
+    chg = F.when(first | changed, 1).otherwise(0)
+    return ev.withColumn("chg", chg).withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+
+
 @register(
     "user_prop_scd2_intervals",
     oracle="""
@@ -393,19 +418,7 @@ def user_prop_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
-    ev = events.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    lagk = F.lag("k").over(w)
-    chg = F.when(lagk.isNull() | (lagk != F.col("k")), 1).otherwise(0)
-    islands = ev.withColumn("chg", chg).withColumn(
-        "version",
-        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    islands = _scd2_islands(events)
     grp = islands.groupBy("user_id", "version").agg(
         F.min("k").alias("k"),
         F.min("ts").alias("valid_from"),
@@ -831,18 +844,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
-    ev = events.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    lagk = F.lag("k").over(w)
-    chg = F.when(lagk.isNull() | (lagk != F.col("k")), 1).otherwise(0)
-    islands = ev.withColumn("chg", chg).withColumn(
-        "version", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
+    islands = _scd2_islands(events)
     w2 = W.partitionBy("user_id").orderBy("version")
     dim = (
         islands.groupBy("user_id", "version")

@@ -29,11 +29,9 @@ from pyspark.sql import functions as F
 
 def shard_key(id_col: str, n_shards: int) -> F.Column:
     """Deterministic md5-based shard id in [0, n_shards)."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % n_shards
-    ).cast("int")
+    from node_gedcom_graph_spark.functions.scalar import md5_bucket
+
+    return md5_bucket(F.col(id_col), n_shards)
 
 
 def write_training_shards(

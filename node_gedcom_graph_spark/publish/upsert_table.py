@@ -49,12 +49,9 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _bucket_expr(key_col: str, n_buckets: int):
-    return (
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
-        ).cast("int")
-        % n_buckets
-    ).cast("int")
+    from node_gedcom_graph_spark.functions.scalar import md5_bucket
+
+    return md5_bucket(F.col(key_col), n_buckets)
 
 
 def _pointer_path(table_dir: str) -> str:
@@ -138,6 +135,41 @@ def read_latest(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _publish_manifest(
+    table_dir: str,
+    base: int,
+    new_version: int,
+    new_manifest: dict,
+    vdir: str,
+) -> None:
+    """The commit point: CREATE the new manifest exclusively (``open``
+    mode ``x`` — the first writer wins the version, any concurrent
+    writer gets FileExistsError), then swap the pointer. A loser's
+    already-written data directory is an unreferenced orphan that
+    vacuum() sweeps. The pointer re-check narrows (but the exclusive
+    create is what actually serializes same-version writers)."""
+    try:
+        with open(_manifest_path(table_dir, new_version), "x") as fh:
+            json.dump(new_manifest, fh)
+    except FileExistsError:
+        shutil.rmtree(os.path.join(table_dir, vdir), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"version {new_version} already published by a concurrent writer"
+        )
+    if _read_pointer(table_dir) != base:
+        # undo our own manifest + data so the version number isn't
+        # permanently poisoned for the writer that actually won
+        try:
+            os.remove(_manifest_path(table_dir, new_version))
+        except OSError:
+            pass
+        shutil.rmtree(os.path.join(table_dir, vdir), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"base version {base} superseded before publish"
+        )
+    _write_pointer_atomic(table_dir, new_version)
+
+
 def apply_cdc(
     spark: SparkSession,
     table_dir: str,
@@ -149,11 +181,17 @@ def apply_cdc(
     new version number. Only buckets containing affected keys are
     rewritten; everything else carries forward by manifest reference.
     """
+    import uuid as _uuid
+
     base = _read_pointer(table_dir)
     manifest = _read_manifest(table_dir, base)
     n_buckets = int(manifest["_n_buckets"])
     new_version = base + 1
-    vdir = f"v={new_version}"
+    # writer-unique data directory: two concurrent writers racing for
+    # the same version can never clobber each other's files — the
+    # exclusive manifest create below decides the winner, and the
+    # loser's orphan directory is swept by vacuum()
+    vdir = f"v={new_version}-{_uuid.uuid4().hex[:8]}"
 
     payload_cols = [c for c in cdc.columns if c not in ("op", "seq")]
 
@@ -185,11 +223,14 @@ def apply_cdc(
 
     # current rows of ONLY the affected buckets (bucket dirs are read
     # directly, so the frames carry pure data columns — the bucket id
-    # is path metadata, re-derived from the key on write)
+    # is path metadata, re-derived from the key on write). A bucket may
+    # have no manifest entry at all (fully deleted, then compacted
+    # away) — .get() treats that like a missing directory.
     cur_paths = [
         os.path.join(table_dir, manifest[str(b)], f"_bucket={b}")
         for b in affected
-        if os.path.isdir(
+        if manifest.get(str(b)) is not None
+        and os.path.isdir(
             os.path.join(table_dir, manifest[str(b)], f"_bucket={b}")
         )
     ]
@@ -197,17 +238,26 @@ def apply_cdc(
     upserts = winners.filter(F.col("_pick.del_pri") == 0).select(
         *[F.col(f"_row.{c}").alias(c) for c in payload_cols]
     )
+    from pyspark.sql.types import StructType
+
+    # ALWAYS anchor on the manifest-recorded schema: (a) affected
+    # buckets written before an earlier evolution lack the evolved
+    # columns in their footers, and (b) a batch touching only such
+    # buckets must not REGRESS the table schema — both are solved by
+    # reading/unioning against the recorded shape, exactly as
+    # read_latest does.
+    rec_schema = StructType.fromJson(json.loads(manifest["_schema"]))
     if cur_paths:
-        cur = spark.read.parquet(*cur_paths)
-        # schema evolution: a CDC batch may carry columns the table has
-        # never seen (or omit optional ones) — allowMissingColumns fills
-        # either side with NULLs, the add-column semantics every table
-        # format ships
-        new_rows = cur.join(
-            F.broadcast(touched_keys), key_col, "left_anti"
-        ).unionByName(upserts, allowMissingColumns=True)
+        cur = spark.read.schema(rec_schema).parquet(*cur_paths)
     else:
-        new_rows = upserts
+        cur = spark.createDataFrame([], rec_schema)
+    # schema evolution: a CDC batch may carry columns the table has
+    # never seen (or omit optional ones) — allowMissingColumns fills
+    # either side with NULLs, the add-column semantics every table
+    # format ships
+    new_rows = cur.join(
+        F.broadcast(touched_keys), key_col, "left_anti"
+    ).unionByName(upserts, allowMissingColumns=True)
     (
         new_rows.withColumn("_bucket", _bucket_expr(key_col, n_buckets))
         .write.mode("overwrite")
@@ -218,16 +268,8 @@ def apply_cdc(
     new_manifest = dict(manifest)
     for b in affected:
         new_manifest[str(b)] = vdir
-    new_manifest["_schema"] = new_rows.drop("_bucket").schema.json()
-    with open(_manifest_path(table_dir, new_version), "w") as fh:
-        json.dump(new_manifest, fh)
-
-    # optimistic concurrency: publish only if nobody moved the pointer
-    if _read_pointer(table_dir) != base:
-        raise ConcurrentWriteError(
-            f"base version {base} superseded before publish"
-        )
-    _write_pointer_atomic(table_dir, new_version)
+    new_manifest["_schema"] = new_rows.schema.json()
+    _publish_manifest(table_dir, base, new_version, new_manifest, vdir)
     return new_version
 
 
@@ -238,15 +280,19 @@ def compact(spark: SparkSession, table_dir: str) -> int:
     updated table otherwise touches one directory per distinct
     rewrite generation). Publishes with the same CAS pointer swap as
     apply_cdc. Returns the new version."""
+    import uuid as _uuid
+
     base = _read_pointer(table_dir)
     manifest = _read_manifest(table_dir, base)
     n_buckets = int(manifest["_n_buckets"])
     new_version = base + 1
-    vdir = f"v={new_version}"
+    vdir = f"v={new_version}-{_uuid.uuid4().hex[:8]}"  # writer-unique
     # bucket-by-bucket rewrite (bounded driver loop over n_buckets;
     # each iteration is a distributed read+write of one bucket) — rows
     # are preserved verbatim, the bucket assignment is path metadata
     for b in range(n_buckets):
+        if manifest.get(str(b)) is None:
+            continue
         src = os.path.join(table_dir, manifest[str(b)], f"_bucket={b}")
         if not os.path.isdir(src):
             continue
@@ -259,13 +305,7 @@ def compact(spark: SparkSession, table_dir: str) -> int:
             new_manifest[str(b)] = vdir
         else:
             new_manifest.pop(str(b), None)
-    with open(_manifest_path(table_dir, new_version), "w") as fh:
-        json.dump(new_manifest, fh)
-    if _read_pointer(table_dir) != base:
-        raise ConcurrentWriteError(
-            f"base version {base} superseded before publish"
-        )
-    _write_pointer_atomic(table_dir, new_version)
+    _publish_manifest(table_dir, base, new_version, new_manifest, vdir)
     return new_version
 
 
@@ -291,7 +331,7 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
         )
     removed = []
     for entry in sorted(os.listdir(table_dir)):
-        vm = _re.fullmatch(r"v=(\d+)", entry)
+        vm = _re.fullmatch(r"v=(\d+)(-[0-9a-f]+)?", entry)
         if vm and entry not in referenced and int(vm.group(1)) not in keep:
             shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
             removed.append(entry)

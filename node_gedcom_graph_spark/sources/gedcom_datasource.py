@@ -305,7 +305,7 @@ class GedcomStreamReader(DataSourceStreamReader):
         self._wm_floor = 0.0  # monotonic within this reader's life
 
     def initialOffset(self) -> dict:
-        return {"v": 2, "wm": 0.0, "recent": []}
+        return {"v": 3, "wm": 0.0, "recent": {}}
 
     def latestOffset(self) -> dict:
         files = _list_gedcom_files(self.path)
@@ -313,24 +313,50 @@ class GedcomStreamReader(DataSourceStreamReader):
         wm = max([self._wm_floor, *mtimes.values()]) if mtimes else self._wm_floor
         self._wm_floor = wm
         horizon = wm - self.max_file_age
+        # v3: recent carries mtimes so partitions() can re-apply the
+        # age contract against the CHECKPOINTED watermark — a fresh
+        # reader (restart) whose local watermark regressed (e.g. the
+        # newest files were deleted) must not resurrect files that had
+        # already aged out of a prior offset's recent set.
         return {
-            "v": 2,
+            "v": 3,
             "wm": wm,
-            "recent": sorted(f for f, m in mtimes.items() if m >= horizon),
+            "recent": {f: m for f, m in sorted(mtimes.items()) if m >= horizon},
         }
 
     @staticmethod
     def _offset_files(offset: dict) -> set[str]:
         if "files" in offset:  # legacy v1 full-list offset
             return set(offset["files"])
-        return set(offset.get("recent", []))
+        recent = offset.get("recent", {})
+        if isinstance(recent, dict):  # v3: {name: mtime}
+            return set(recent)
+        return set(recent)  # v2: [name, ...]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # Pure set difference over the two frozen offsets: deterministic
-        # under replay, no filesystem access. Files that aged out of
-        # end["recent"] were either processed (in some earlier offset)
-        # or are ignored-as-old per the max_file_age contract.
-        new = sorted(self._offset_files(end) - self._offset_files(start))
+        # Deterministic under replay: set difference over the two
+        # frozen offsets, no filesystem access. Additionally, any file
+        # older than the START offset's age horizon is treated as
+        # already seen (the documented max_file_age contract) — this is
+        # what makes a post-restart WATERMARK REGRESSION safe: a fresh
+        # reader may compute a lower end.wm (newest files deleted), and
+        # without the horizon check a long-processed file that had aged
+        # out of start["recent"] would re-enter end["recent"] and be
+        # re-emitted. v2 offsets carry no mtimes, so they keep the
+        # plain set-difference behavior.
+        start_wm = float(start.get("wm", 0.0))
+        self._wm_floor = max(self._wm_floor, start_wm)
+        horizon = start_wm - self.max_file_age
+        seen = self._offset_files(start)
+        end_recent = end.get("recent", {})
+        if isinstance(end_recent, dict):
+            new = sorted(
+                f
+                for f, m in end_recent.items()
+                if f not in seen and float(m) >= horizon
+            )
+        else:
+            new = sorted(set(end_recent) - seen)
         parts: list[_RangePartition] = []
         for i, file in enumerate(new):
             parts.extend(_split_file(file, i, self.split_size))

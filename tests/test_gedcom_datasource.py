@@ -421,3 +421,49 @@ def test_gedcom_writer_rejects_unordered_partitions(spark, tmp_path):
 
     with _pytest.raises(Exception):
         df.write.format("gedcom").mode("append").save(str(tmp_path / "o"))
+
+
+def test_stream_offset_watermark_regression_no_reemission(tmp_path):
+    """Regression (review finding): after a driver restart the fresh
+    reader's local watermark floor is 0; if the newest files were
+    deleted, latestOffset computes a LOWER watermark and an aged-out,
+    long-processed file can re-enter the recent set. partitions() must
+    not re-emit it — v3 offsets carry mtimes so the age contract is
+    re-applied against the CHECKPOINTED start watermark."""
+    import os as _os
+    import time as _time
+
+    from node_gedcom_graph_spark.sources.gedcom_datasource import (
+        GedcomStreamReader,
+    )
+
+    d = str(tmp_path)
+    now = _time.time()
+    age = 100.0  # tight horizon for the test
+
+    old = _os.path.join(d, "old.ged")
+    new = _os.path.join(d, "new.ged")
+    for f in (old, new):
+        with open(f, "w") as fh:
+            fh.write("0 @I1@ INDI\n")
+    # old processed long ago; new is fresh
+    _os.utime(old, (now - 300, now - 300))
+    _os.utime(new, (now, now))
+
+    r1 = GedcomStreamReader({"path": d, "max_file_age_s": str(age)})
+    start = r1.initialOffset()
+    end1 = r1.latestOffset()
+    # first batch: only 'new' is within the horizon; 'old' is ignored
+    # as older-than-horizon (the documented max_file_age contract)
+    batch1 = {p.file for p in r1.partitions(start, end1)}
+    assert batch1 == {new}
+
+    # restart: newest file deleted, FRESH reader (floor resets)
+    _os.remove(new)
+    r2 = GedcomStreamReader({"path": d, "max_file_age_s": str(age)})
+    end2 = r2.latestOffset()
+    assert end2["wm"] < end1["wm"]  # the regression scenario is real
+    # 'old' re-enters end2's recent set (wm regressed to old's mtime)…
+    assert old in end2["recent"]
+    # …but partitions() against the checkpointed offset re-emits nothing
+    assert r2.partitions(end1, end2) == []

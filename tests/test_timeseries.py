@@ -187,3 +187,43 @@ def test_semdedup_invariants_and_numpy_crosscheck(spark):
                 assert verdict[vid] == 1
             elif best <= SEMDEDUP_COSINE_T - 1e-5:
                 assert verdict[vid] == 0
+
+
+def test_scd2_null_k_is_distinct_from_semantics(spark):
+    """Regression (review finding): events whose props lack '$.k'
+    produce NULL — a NULL run must be ONE island (NULL IS NOT DISTINCT
+    FROM NULL) and a value->NULL transition IS a change, matching
+    SQL's IS DISTINCT FROM on both engines."""
+    import pandas as pd
+
+    from node_gedcom_graph_spark.operators.timeseries import _scd2_islands
+
+    rows = [
+        # user 1: k = 5, 5, NULL, NULL, 5  -> versions 1,1,2,2,3
+        (1, 1, "2020-01-01 00:00:00", '{"k": 5}'),
+        (1, 2, "2020-01-01 01:00:00", '{"k": 5}'),
+        (1, 3, "2020-01-01 02:00:00", "{}"),
+        (1, 4, "2020-01-01 03:00:00", "{}"),
+        (1, 5, "2020-01-01 04:00:00", '{"k": 5}'),
+        # user 2: starts NULL -> version 1 from the first row
+        (2, 6, "2020-01-01 00:00:00", "{}"),
+        (2, 7, "2020-01-01 01:00:00", '{"k": 9}'),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.user_id, r.event_id): r.version
+        for r in _scd2_islands(df).collect()
+    }
+    assert got == {
+        (1, 1): 1,
+        (1, 2): 1,
+        (1, 3): 2,
+        (1, 4): 2,
+        (1, 5): 3,
+        (2, 6): 1,
+        (2, 7): 2,
+    }

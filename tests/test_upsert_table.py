@@ -74,7 +74,11 @@ def test_only_affected_buckets_rewritten(spark, tmp_path):
     bucket7 = int(hashlib.md5(b"7").hexdigest()[:4], 16) % N_BUCKETS
     with open(os.path.join(d, f"manifest_v{v}.json")) as fh:
         manifest = json.load(fh)
-    moved = [b for b in map(str, range(N_BUCKETS)) if manifest[b] == f"v={v}"]
+    moved = [
+        b
+        for b in map(str, range(N_BUCKETS))
+        if manifest[b].startswith(f"v={v}-")
+    ]
     assert moved == [str(bucket7)]
     # unaffected buckets still resolve to v=0 and remain readable
     assert _state(spark, d)[13] == "v13"
@@ -235,10 +239,52 @@ def test_compact_and_vacuum(spark, tmp_path):
 
     manifest = _json.load(open(_os.path.join(d, f"manifest_v{v}.json")))
     assert all(
-        vd == f"v={v}" for b, vd in manifest.items() if not b.startswith("_")
+        vd.startswith(f"v={v}-")
+        for b, vd in manifest.items()
+        if not b.startswith("_")
     )
     removed = vacuum(d, keep_versions=1)
     assert removed  # old versions + manifests swept
     assert _state(spark, d) == before  # latest still fully readable
     # time travel beyond retention is genuinely gone
     assert not _os.path.exists(_os.path.join(d, "manifest_v0.json"))
+
+
+def test_apply_into_bucket_dropped_by_compaction(spark, tmp_path):
+    """Regression (review finding): deleting every row of a bucket,
+    compacting (which drops the bucket's manifest entry), then
+    upserting a key that hashes back into that bucket must succeed —
+    a missing manifest ENTRY is the same as a missing directory."""
+    from node_gedcom_graph_spark.publish.upsert_table import compact
+
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(7, "seven")]), "k", N_BUCKETS)
+    apply_cdc(spark, d, _mk_cdc(spark, [("delete", 1, 7, None)]), "k")
+    compact(spark, d)
+    assert _state(spark, d) == {}
+    apply_cdc(spark, d, _mk_cdc(spark, [("upsert", 2, 7, "back")]), "k")
+    assert _state(spark, d) == {7: "back"}
+
+
+def test_schema_never_regresses_on_unrelated_bucket(spark, tmp_path):
+    """Regression (review finding): after an evolution touching bucket
+    A, a later batch touching only bucket B (and NOT carrying the new
+    column) must keep the evolved column in the table schema and
+    preserve bucket A's values."""
+    d = str(tmp_path / "t")
+    # keys 7 and 13 land in different buckets (verified by md5 below)
+    import hashlib as _h
+
+    b7 = int(_h.md5(b"7").hexdigest()[:4], 16) % N_BUCKETS
+    b13 = int(_h.md5(b"8").hexdigest()[:4], 16) % N_BUCKETS
+    assert b7 != b13
+    init_table(spark, d, _mk(spark, [(7, "a"), (8, "b")]), "k", N_BUCKETS)
+    evolved = spark.createDataFrame(
+        [("upsert", 1, 7, "a2", "NOTE")],
+        "op string, seq bigint, k bigint, val string, note string",
+    )
+    apply_cdc(spark, d, evolved, "k")
+    # second batch: old shape, different bucket
+    apply_cdc(spark, d, _mk_cdc(spark, [("upsert", 2, 8, "b2")]), "k")
+    rows = {r.k: (r.val, r.note) for r in read_latest(spark, d).collect()}
+    assert rows == {7: ("a2", "NOTE"), 8: ("b2", None)}
