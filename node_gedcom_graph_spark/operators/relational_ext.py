@@ -990,6 +990,38 @@ def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _skyline_local_front(batches):
+    """Per-partition 2-D skyline kernel for pareto_front_orders: sort
+    the partition by (price desc, day desc) and keep, per price group,
+    the max-day rows that strictly beat the running best day of all
+    better-priced groups. groupby(sort=False) iterates groups in the
+    sorted (desc) order, so strictly-better prices are always processed
+    before the current group. Property-tested against brute-force
+    dominance in tests/test_property_algorithms.py."""
+    import pandas as pd
+
+    chunks = list(batches)
+    if not chunks:  # empty scan partition: zero batches arrive
+        return
+    part = pd.concat(chunks, ignore_index=True)
+    if part.empty:
+        yield part
+        return
+    part = part.sort_values(
+        ["price_key", "day_key"], ascending=[False, False]
+    )
+    keep_idx = []
+    best_day = None  # max day over strictly-better-priced rows
+    for price, grp in part.groupby("price_key", sort=False):
+        gmax = int(grp["day_key"].max())
+        if best_day is None or gmax > best_day:
+            keep_idx.extend(grp.index[grp["day_key"] == gmax])
+            best_day = gmax
+        else:
+            best_day = max(best_day, gmax)
+    yield part.loc[keep_idx]
+
+
 @register(
     "pareto_front_orders",
     oracle="""
@@ -1043,34 +1075,7 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).alias("day_key"),
     )
 
-    def _local_front(batches):
-        import pandas as pd
-
-        chunks = list(batches)
-        if not chunks:  # empty scan partition: zero batches arrive
-            return
-        part = pd.concat(chunks, ignore_index=True)
-        if part.empty:
-            yield part
-            return
-        part = part.sort_values(
-            ["price_key", "day_key"], ascending=[False, False]
-        )
-        keep_idx = []
-        best_day = None  # max day over strictly-better-priced rows
-        for price, grp in part.groupby("price_key", sort=False):
-            gmax = int(grp["day_key"].max())
-            if best_day is None or gmax > best_day:
-                keep_idx.extend(grp.index[grp["day_key"] == gmax])
-                best_day = gmax
-            else:
-                best_day = max(best_day, gmax)
-        yield part.loc[keep_idx]
-
-    # groupby iterates in the sorted (desc) order because sort=False
-    # preserves the frame's row order — so strictly-better prices are
-    # always processed before the current group.
-    pts = pts.mapInPandas(_local_front, pts.schema)
+    pts = pts.mapInPandas(_skyline_local_front, pts.schema)
     # max day among rows with STRICTLY greater price: RANGE frame on the
     # descending cent axis, ending one cent before the current price.
     w_strict = (
