@@ -1,0 +1,167 @@
+"""Upsert-table scale artifact: demonstrates that apply_cdc's cost is
+O(affected buckets + batch), not O(table).
+
+Builds a 1M-row table (64 buckets), applies a 1,000-key CDC batch, and
+records: how many buckets the merge rewrote (manifest diff), wall
+time, and the wall time of the naive alternative (full-table rewrite
+with the same merge semantics). Also re-verifies content: the merged
+table equals the dict-oracle replay on the touched keys.
+
+Writes one JSON document to stdout; commit as PROFILE_r3_upsert.json.
+Hypervisor steal (col 8 of /proc/stat) recorded per timed section.
+
+Usage: python tools/profile_upsert.py [n_rows] [n_cdc]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from node_gedcom_graph_spark.session import get_spark  # noqa: E402
+
+
+def _steal() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return -1
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_cdc = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    n_buckets = 64
+    spark = get_spark(
+        app_name="upsert-profile",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    from node_gedcom_graph_spark.publish.upsert_table import (
+        _read_manifest,
+        _read_pointer,
+        apply_cdc,
+        init_table,
+        read_latest,
+    )
+
+    work = tempfile.mkdtemp(prefix="upsert-profile-")
+    table = os.path.join(work, "t")
+    out: dict = {
+        "n_rows": n_rows,
+        "n_cdc": n_cdc,
+        "n_buckets": n_buckets,
+    }
+    try:
+        base = spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        s0, t0 = _steal(), time.monotonic()
+        init_table(spark, table, base, "k", n_buckets)
+        out["init_wall_s"] = round(time.monotonic() - t0, 3)
+        out["init_steal_jiffies"] = _steal() - s0
+
+        # CDC: n_cdc keys clustered so they hit FEW buckets (the
+        # realistic hot-key update shape) — consecutive ids spread over
+        # md5 buckets, so take keys from one hash bucket's preimage
+        cdc = (
+            spark.range(n_rows)
+            .select(F.col("id").alias("k"))
+            .withColumn(
+                "b",
+                F.conv(
+                    F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10
+                ).cast("int")
+                % n_buckets,
+            )
+            .filter(F.col("b") < 2)  # keys from 2 of 64 buckets
+            .limit(n_cdc)
+            .select(
+                F.lit("upsert").alias("op"),
+                F.col("k").alias("seq"),
+                "k",
+                F.lit("UPDATED").alias("val"),
+            )
+        )
+        cdc = cdc.cache()
+        cdc.count()
+
+        v0 = _read_pointer(table)
+        s0, t0 = _steal(), time.monotonic()
+        v1 = apply_cdc(spark, table, cdc, "k")
+        out["apply_cdc_wall_s"] = round(time.monotonic() - t0, 3)
+        out["apply_cdc_steal_jiffies"] = _steal() - s0
+
+        m0 = _read_manifest(table, v0)
+        m1 = _read_manifest(table, v1)
+        rewritten = [
+            b
+            for b in map(str, range(n_buckets))
+            if m0.get(b) != m1.get(b)
+        ]
+        out["buckets_rewritten"] = len(rewritten)
+        out["buckets_total"] = n_buckets
+
+        def _dir_bytes(d):
+            total = 0
+            for root, _, files in os.walk(d):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        new_vdir = m1[rewritten[0]] if rewritten else None
+        out["bytes_written_cdc"] = (
+            _dir_bytes(os.path.join(table, new_vdir)) if new_vdir else 0
+        )
+        out["bytes_table_total"] = _dir_bytes(os.path.join(table, "v=0"))
+
+        # naive alternative: full-table merge + full rewrite
+        s0, t0 = _steal(), time.monotonic()
+        full = read_latest(spark, table)
+        keys = cdc.select("k")
+        naive = full.join(F.broadcast(keys), "k", "left_anti").unionByName(
+            cdc.select("k", "val")
+        )
+        naive.write.mode("overwrite").parquet(os.path.join(work, "naive"))
+        out["naive_full_rewrite_wall_s"] = round(time.monotonic() - t0, 3)
+        out["naive_steal_jiffies"] = _steal() - s0
+        out["bytes_written_naive"] = _dir_bytes(os.path.join(work, "naive"))
+        out["interpretation"] = (
+            "wall times are comparable at this toy scale (1M rows ~ tens "
+            "of MB: per-job overhead dominates); the structural evidence "
+            "is bytes_written_cdc vs bytes_written_naive — the merge "
+            "rewrote only the affected buckets' share of the table, and "
+            "that ratio is what scales (at 100 TB the naive path rewrites "
+            "100 TB; the bucket path rewrites affected-buckets x "
+            "bucket-size)"
+        )
+
+        # content check on the touched keys
+        updated = (
+            read_latest(spark, table)
+            .join(F.broadcast(keys), "k", "left_semi")
+            .filter(F.col("val") == "UPDATED")
+            .count()
+        )
+        out["updated_rows_verified"] = updated
+        assert updated == cdc.count()
+        out["total_rows_after"] = read_latest(spark, table).count()
+        assert out["total_rows_after"] == n_rows
+        print(json.dumps(out, indent=2))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
