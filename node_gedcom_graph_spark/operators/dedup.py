@@ -752,3 +752,131 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
     )
+
+
+# --------------------------------------- MinHash+LSH, oracle-gated twin
+
+MINHASH_MD5_SEEDS = 16
+LSH_MD5_BANDS = 4
+LSH_MD5_ROWS = MINHASH_MD5_SEEDS // LSH_MD5_BANDS
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ')
+               AS s
+      FROM pos
+    ), seeds AS (
+      SELECT unnest(range(0, 16)) AS j
+    ), hashed AS (
+      SELECT doc_id, j,
+             CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM sh CROSS JOIN seeds
+    ), sig AS (
+      SELECT doc_id, j, MIN(h) AS m FROM hashed GROUP BY doc_id, j
+    ), bandkeys AS (
+      SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
+             string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS key
+      FROM sig GROUP BY doc_id, j // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandkeys a
+    JOIN bandkeys b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation with ENGINE-AGNOSTIC hashes —
+    the oracle-gated twin of dedup_minhash_lsh. The production variant
+    uses xxhash64 (fast, JVM-side, but Spark-specific, so it can only
+    be rows-only under the DuckDB gate); this twin derives every
+    MinHash slot from md5(shingle '#' seed) prefixes, which DuckDB
+    reproduces bit-for-bit — so the ENTIRE pipeline (tokenize ->
+    distinct 3-gram shingles -> 16-slot signature -> 4 bands x 4 rows
+    -> banded candidate join) is value-hash-checked end to end, not
+    just row-counted. Same dataflow shape and scale argument as the
+    production variant (candidates scale with true collisions, never
+    all-pairs); md5's cost is the price of cross-engine checkability,
+    which is why BOTH variants exist.
+
+    Conditional-min aggregation keeps the signature a single map-side-
+    combinable hash agg over (doc, seed) — the (doc_id x 16)-row
+    shuffle carries minima, not shingle hashes.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = (
+        shingled_docs(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(j) for j in range(MINHASH_MD5_SEEDS)])
+    ).alias("j")
+    hashed = sh.select("doc_id", "s").select(
+        "doc_id",
+        seeds,
+        "s",
+    ).select(
+        "doc_id",
+        "j",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("s"), F.lit("#"), F.col("j").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("j") == j, F.col("h"))).alias(f"m{j}")
+            for j in range(MINHASH_MD5_SEEDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("bigint").alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"m{b * LSH_MD5_ROWS + r}").cast("string")
+                                for r in range(LSH_MD5_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_MD5_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
