@@ -880,3 +880,84 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+SIMHASH_MD5_BITS = 16
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ), hashed AS (
+      SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM tf
+    ), sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({recon} AS BIGINT) AS simhash
+    FROM sums
+    """.format(
+        sums=",\n             ".join(
+            f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{k}"
+            for k in range(16)
+        ),
+        recon=" + ".join(
+            f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
+        ),
+    ),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures with ENGINE-AGNOSTIC hashes — the
+    oracle-gated twin of dedup_simhash (xxhash64-based, rows-only by
+    necessity). Each document's 16-bit signature is the sign-vector of
+    frequency-weighted token-hash bits (md5 32-bit prefixes, so both
+    engines fold identical integers; the s_k = 0 tie maps to bit 0 on
+    both). Hash-gating the signature math end to end is what the
+    production twin cannot get under a cross-engine oracle.
+
+    Scale: one (doc, token) hash agg for frequencies, then ONE
+    map-side-combinable aggregate computing all 16 bit-plane sums —
+    the shuffle carries 16 integers per doc per partition. Bit
+    operations stay in codegen on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashed = tf.select("doc_id", "cnt", h)
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), k).bitwiseAND(1) == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"s{k}")
+            for k in range(SIMHASH_MD5_BITS)
+        ]
+    )
+    recon = None
+    for k in range(SIMHASH_MD5_BITS):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        recon = term if recon is None else recon + term
+    return sums.select("doc_id", recon.cast("bigint").alias("simhash"))
