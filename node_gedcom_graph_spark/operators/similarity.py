@@ -907,3 +907,121 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.neg_label").alias("neg_label"),
         )
     )
+
+
+# ------------------------------------------------- SRP-LSH, oracle-gated
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+# Bucket on ONE band (the first SRP_ROWS planes -> 2^4 = 16 buckets):
+# at gate scale a full 16-bit bucket id is collision-free and the
+# query degenerates; one band is exactly how the multi-band LSH
+# variant probes anyway (each band is a 4-bit bucket space).
+_SRP_BITS_SQL = ",\n             ".join(
+    f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    f"{_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END AS b{i}"
+    for i, p in enumerate(HYPERPLANES[:SRP_ROWS])
+)
+_SRP_BUCKET_SQL = " + ".join(f"b{i}" for i in range(SRP_ROWS))
+
+
+@register(
+    "ann_srp_bucket_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {_SRP_BITS_SQL}
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, embedding,
+             CAST({_SRP_BUCKET_SQL} AS BIGINT) AS bucket,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
+               AS nm
+      FROM sig
+    ), q AS (
+      SELECT * FROM bucketed WHERE vec_id % 4 = 0
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.bucket,
+             c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.embedding, c.embedding) AS DOUBLE)
+               / (q.nm * c.nm) AS cosine
+      FROM q JOIN bucketed c
+        ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, bucket, neighbor_id, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH top-k with the WHOLE pipeline under
+    the value-hash gate — the oracle-checkable twin of ann_lsh_topk.
+    Every vector's 16-bit SRP signature comes from sign(embedding ·
+    hyperplane) computed as a sequential DOUBLE fold against LITERAL
+    hyperplane arrays (the module's fixed seeded planes, embedded in
+    the oracle SQL verbatim via repr, so both engines fold identical
+    doubles); candidates are same-bucket vectors only; the final
+    cosine/rank uses the bit-parity f32 fold. This gates signature
+    assignment, bucketing, candidate pruning, AND ranking — the
+    production twin can only be row-counted.
+
+    Scale: signatures are scan-local expressions; the self-join is
+    EQUI-keyed on the bucket id (never all-pairs; one band = 2^4
+    buckets here — production probes several bands, each an equi-join
+    like this one), and the per-query top-5 is the
+    standard WindowGroupLimit. Sign boundaries are safe: dots are O(1)
+    magnitudes from continuous data, identical doubles on both
+    engines, so the >0 test cannot disagree.
+    """
+    from node_gedcom_graph_spark.operators.dedup import dot_f32
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for i, plane in enumerate(HYPERPLANES[:SRP_ROWS]):
+        dot_d = F.aggregate(
+            F.zip_with(
+                emb_d,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot_d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.cast("bigint").alias("bucket"),
+        F.sqrt(dot_f32(F.col("embedding"), F.col("embedding")).cast("double")).alias(
+            "nm"
+        ),
+    )
+    q = bucketed.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nm").alias("q_nm"),
+    )
+    cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.col("q_nm") * F.col("nm")
+    )
+    scored = q.join(bucketed, "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
