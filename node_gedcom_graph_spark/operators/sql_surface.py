@@ -375,3 +375,64 @@ def null_aware_anti_join_semantics(spark: SparkSession, sf_dir: str) -> DataFram
                AS BIGINT) AS n_not_in_clean
         """
     )
+
+
+@register(
+    "join_strategy_hints_equivalence",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT strategy, n, revenue FROM base
+    CROSS JOIN (
+      SELECT unnest(['broadcast', 'merge', 'shuffle_hash']) AS strategy
+    )
+    """,
+)
+def join_strategy_hints_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy invariance, pinned: the SAME join computed
+    under three explicit strategy hints — BROADCAST, MERGE (sort-merge)
+    and SHUFFLE_HASH — must produce identical aggregates. The oracle is
+    one computation fanned to three labeled rows; hash equality proves
+    the engine's three physical paths agree bit-for-bit (decimal sum —
+    order-independent, so even the shuffle-order differences between
+    strategies cannot leak into the result).
+
+    Engine surface: this is the query-shape where Catalyst's hint
+    framework is exercised end to end; each branch's plan genuinely
+    differs (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin —
+    visible in explain), which is the point: strategy is a COST
+    decision, never a semantics decision, and the gate enforces it.
+
+    Scale: picking among these three IS the 100 TB join-tuning
+    decision (broadcast when a side fits, shuffle-hash when one side
+    is much smaller but too big to broadcast, sort-merge otherwise);
+    this query is the committed evidence the engine may switch freely.
+    """
+    from node_gedcom_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = None
+    for hint, label in (
+        ("BROADCAST(c)", "broadcast"),
+        ("MERGE(c)", "merge"),
+        ("SHUFFLE_HASH(c)", "shuffle_hash"),
+    ):
+        branch = spark.sql(
+            f"""
+            SELECT /*+ {hint} */
+                   '{label}' AS strategy,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            """
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

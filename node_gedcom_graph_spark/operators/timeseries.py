@@ -863,3 +863,78 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("k").cast("bigint").alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation over the daily rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_naive_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(28,10))) AS v
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, d,
+             CAST(v AS DOUBLE) AS actual,
+             CAST(LAG(v, 7) OVER (PARTITION BY event_type ORDER BY d)
+                  AS DOUBLE) AS forecast
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           AVG(abs(actual - forecast) / abs(actual)) AS mape,
+           MAX(abs(actual - forecast)) AS max_abs_error
+    FROM lagged
+    WHERE forecast IS NOT NULL AND actual <> 0
+    GROUP BY event_type
+    """,
+)
+def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: the seasonal-naive model
+    (today = same weekday last week) scored with MAPE and max absolute
+    error per event type over the daily rollup — the sanity baseline
+    every real forecasting pipeline must beat before a model earns its
+    compute. LAG(7) on the dense daily series IS the weekly-seasonal
+    forecast; the first week scores nothing (no history), pinned
+    identically on both engines by the NULL filter.
+
+    Scale: raw events collapse to the |types| x |days| rollup in one
+    map-side-combined aggregate; the lag and scoring run on that tiny
+    frame partitioned by type. Daily totals are exact decimals cast to
+    double identically on both engines, so errors and their mean drift
+    only at the 1e-15 fold level — far inside the gate tolerance.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,10)")).alias("v"))
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        F.col("v").cast("double").alias("actual"),
+        F.lag(F.col("v"), 7).over(w).cast("double").alias("forecast"),
+    )
+    return (
+        lagged.filter(
+            F.col("forecast").isNotNull() & (F.col("actual") != 0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+            F.avg(
+                F.abs(F.col("actual") - F.col("forecast"))
+                / F.abs(F.col("actual"))
+            ).alias("mape"),
+            F.max(F.abs(F.col("actual") - F.col("forecast"))).alias(
+                "max_abs_error"
+            ),
+        )
+    )

@@ -188,6 +188,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "null_aware_anti_join_semantics": {
         "SinglePartition": "three one-row scalar-subquery counts"
     },
+    "join_strategy_hints_equivalence": {
+        "SinglePartition": "three one-row per-strategy aggregate branches"
+    },
 }
 
 PATTERNS = (
