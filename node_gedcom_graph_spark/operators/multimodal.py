@@ -801,3 +801,89 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return frames.mapInPandas(_stats, schema)
+
+
+# --------------------------------------------------- perceptual hash (aHash)
+
+
+@register(
+    "multimodal_ppm_ahash",
+    oracle="""
+    WITH grid AS (
+      SELECT d.doc_id, gx.x, gy.y,
+             ((gx.x * 37 + gy.y * 11 + d.doc_id) % 256
+              + (gx.x * 17 + gy.y * 29 + 2 * d.doc_id) % 256
+              + (gx.x * 23 + gy.y * 41 + 3 * d.doc_id) % 256) AS gray_int
+      FROM documents d,
+           generate_series(0, 7) AS gx(x),
+           generate_series(0, 5) AS gy(y)
+      WHERE d.doc_id % 10 = 0
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(gray_int) AS BIGINT) AS total
+      FROM grid GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(SUM(CASE WHEN g.gray_int * 48 > t.total
+                         THEN CAST(2 AS BIGINT) ** (g.y * 8 + g.x)
+                         ELSE 0 END) AS BIGINT) AS ahash,
+           CAST(SUM(CASE WHEN g.gray_int * 48 > t.total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+    FROM grid g JOIN tot t ON t.doc_id = g.doc_id
+    GROUP BY g.doc_id
+    """,
+)
+def multimodal_ppm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded rasters: each sampled
+    document's 8x6 PPM is decoded by the native codec and its 48-bit
+    aHash computed — bit (y*8+x) set iff that pixel's integer gray
+    (r+g+b, 0..765) exceeds the image mean, with the threshold as an
+    INTEGER cross-multiplication (gray*48 > sum) so no float mean ever
+    exists to disagree about at pixel==mean boundaries. The oracle
+    recomputes the hash analytically from the synthesis formula without
+    touching a byte of PPM — a hash match proves header parse, raster
+    offsets, and per-pixel values end-to-end (the per-pixel complement
+    to multimodal_ppm_features' aggregate statistics).
+
+    aHash is the cheap near-dup key for IMAGE dedup: identical hashes
+    bucket together exactly like text fingerprints, and Hamming-close
+    hashes are the candidate pairs — the multimodal member of the dedup
+    family.
+
+    Scale: decode + hash are one Arrow-batched mapInPandas over the id
+    column (integer numpy ops per image, no floats); output is one
+    (id, hash) row per image — fingerprint-width, like every other
+    dedup key here.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    payloads = synth_ppm_payloads(docs)
+
+    def _hash(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hashes, n_above = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raster = decode_ppm(bytes(payload))  # (h, w, 3) uint8
+                gray = raster.astype(np.int64).sum(axis=2)  # (h, w)
+                total = int(gray.sum())
+                n = gray.size
+                above = gray * n > total  # integer compare, no mean
+                h, w = gray.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                bits = (1 << (yy * 8 + xx).astype(np.int64))[above]
+                ids.append(doc_id)
+                hashes.append(int(bits.sum()))
+                n_above.append(int(above.sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "ahash": hashes, "n_above": n_above}
+            )
+
+    return payloads.mapInPandas(
+        _hash, "doc_id long, ahash long, n_above long"
+    )
