@@ -37,15 +37,19 @@ def _coverage_rotation(names: list[str]) -> list[str]:
     """Order queries so the least-driver-covered ones run first.
 
     The driver's correctness gate checks the first N entries of this
-    dict (rounds 1-2 gated exactly the first 50). Three tiers:
-    1. never gated in ANY committed CORRECTNESS_r*.json — must reach
-       the gate before anything repeats, or a query could starve
-       forever (a last-run-only rotation lets round-(k-1) leftovers
-       crowd them out);
+    dict (rounds 1-2 gated exactly the first 50). Tiers:
+    1a. never gated AND already registered in the round-2 registry
+        snapshot (tools/registry_r2.json) — these have starved the
+        LONGEST (two rounds), so they must lead: with more never-gated
+        queries than gate slots, plain registry order would crowd them
+        out a third time (they register last, after the operator
+        modules);
+    1b. never gated, newly registered this round;
     2. gated in some prior round but not the latest one (stalest next);
     3. gated in the latest run.
-    Deterministic: depends only on committed CORRECTNESS_r*.json files;
-    within each tier the registry order is preserved."""
+    Deterministic: depends only on committed artifacts (CORRECTNESS
+    files + the registry snapshot); within each tier the registry
+    order is preserved."""
     import glob
     import json
     import re
@@ -65,8 +69,14 @@ def _coverage_rotation(names: list[str]) -> list[str]:
         ever |= covered
         if i == len(runs) - 1:
             latest = covered
+    try:
+        with open(os.path.join(_REPO_DIR, "tools", "registry_r2.json")) as fh:
+            senior = set(json.load(fh)["queries"])
+    except (OSError, ValueError, KeyError):
+        senior = set()
     return (
-        [n for n in names if n not in ever]
+        [n for n in names if n not in ever and n in senior]
+        + [n for n in names if n not in ever and n not in senior]
         + [n for n in names if n in ever and n not in latest]
         + [n for n in names if n in latest]
     )

@@ -55,3 +55,42 @@ def test_oracles_reference_registered_queries_only():
 
     q, o = set(all_queries()), set(all_oracles())
     assert o <= q, f"orphan oracles: {o - q}"
+
+
+def test_rotation_fronts_longest_starving_queries():
+    """With more never-gated queries than gate slots, the round-2
+    registry members that were never gated (they register LAST, after
+    the operator modules) must lead the rotation — otherwise they'd be
+    crowded out a third consecutive round."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as ent
+
+    names = list(ent.queries())
+    ever = set()
+    for p in sorted(glob.glob(os.path.join(os.path.dirname(ent.__file__), "CORRECTNESS_r*.json"))):
+        ever |= set(json.load(open(p)))
+    senior = set(
+        json.load(
+            open(
+                os.path.join(
+                    os.path.dirname(ent.__file__), "tools", "registry_r2.json"
+                )
+            )
+        )["queries"]
+    )
+    starving = [n for n in names if n not in ever and n in senior]
+    # every starving senior query appears before every other
+    # never-gated query
+    first_other = min(
+        (
+            names.index(n)
+            for n in names
+            if n not in ever and n not in senior
+        ),
+        default=len(names),
+    )
+    for n in starving:
+        assert names.index(n) < first_other, n
