@@ -436,3 +436,53 @@ def join_strategy_hints_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@register(
+    "rollup_grouping_id_regions",
+    oracle="""
+    SELECT COALESCE(r.r_name, '(all)') AS region_name,
+           COALESCE(n.n_name, '(all)') AS nation_name,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+             AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_grouping_id_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING disambiguation: customer counts and
+    balances at (region, nation), (region), and grand-total levels,
+    with the GROUPING bits distinguishing a rolled-up NULL from a NULL
+    that might exist in the data — the detail every BI layer needs to
+    render subtotal rows correctly (grouping_id 0 = leaf, 1 = region
+    subtotal, 3 = grand total; COALESCE labels only AFTER the bits are
+    captured).
+
+    Scale: Catalyst plans rollup as one Expand (3 grouping-set copies)
+    + one hash aggregate — rows x levels on the map side with partial
+    aggregation, never one job per level. Decimal balance sums keep
+    every level's total order-independent.
+    """
+    from node_gedcom_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(r.r_name, '(all)') AS region_name,
+               COALESCE(n.n_name, '(all)') AS nation_name,
+               CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+                 AS grouping_id,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_balance
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        """
+    )
