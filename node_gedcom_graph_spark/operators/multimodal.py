@@ -887,3 +887,267 @@ def multimodal_ppm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _hash, "doc_id long, ahash long, n_above long"
     )
+
+
+# --------------------------------------------------------- PNG (real codec)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode for 8-bit truecolor non-interlaced images: chunk
+    walk (IHDR/IDAT/IEND, CRC-checked), zlib inflate of the
+    concatenated IDAT stream, and per-scanline UNFILTERING of all five
+    PNG filter types (None/Sub/Up/Average/Paeth) -> (h, w, 3) uint8.
+    Pure Python + stdlib zlib — the compressed-codec stub this repo
+    carried ("needs PIL") is real now for PNG's core profile; palette/
+    alpha/16-bit/interlaced variants still raise with a naming error.
+    A reference codec, not a throughput path (the per-byte unfilter
+    loop is O(pixels); real corpora decode with native libs)."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = b""
+    while pos < len(payload):
+        (length,) = (int.from_bytes(payload[pos : pos + 4], "big"),)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(payload[pos + 8 + length : pos + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, color, comp, filt, interlace = data[8:13]
+            if (bitdepth, color) != (8, 2):
+                raise NotImplementedError(
+                    f"only 8-bit truecolor PNG decodes natively "
+                    f"(bitdepth={bitdepth}, color={color})"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, row = row[0], bytearray(row[1:])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_png(raster, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit truecolor, one filter type for every
+    scanline) — the synthesis side for codec tests/queries; using
+    different filter_types per image exercises every decoder unfilter
+    path."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(raster, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bpp, stride = 3, w * 3
+    flat = arr.reshape(h, stride)
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytes(flat[y].tobytes())
+        if filter_type == 0:
+            filtered = row
+        elif filter_type == 1:
+            filtered = bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:
+            filtered = bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+        elif filter_type == 3:
+            filtered = bytes(
+                (
+                    row[i]
+                    - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:
+            filtered = bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"unsupported filter type {filter_type}")
+        lines.append(filter_type)
+        lines.extend(filtered)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@register(
+    "multimodal_png_features",
+    oracle="""
+    WITH grid AS (
+      SELECT d.doc_id, gx.x, gy.y,
+             CAST((gx.x * 37 + gy.y * 11 + d.doc_id) % 256 AS DOUBLE) / 255.0 AS r,
+             CAST((gx.x * 17 + gy.y * 29 + 2 * d.doc_id) % 256 AS DOUBLE) / 255.0 AS g,
+             CAST((gx.x * 23 + gy.y * 41 + 3 * d.doc_id) % 256 AS DOUBLE) / 255.0 AS b
+      FROM documents d,
+           generate_series(0, 7) AS gx(x),
+           generate_series(0, 5) AS gy(y)
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           8 AS width, 6 AS height,
+           CAST((doc_id // 10) % 5 AS BIGINT) AS png_filter,
+           AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b,
+           AVG((r + g + b) / 3.0) AS gray_mean
+    FROM grid
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, hash-checked: each sampled doc's
+    gradient image is PNG-ENCODED (zlib deflate, per-image filter type
+    cycling through all five PNG filters — Sub/Up/Average/Paeth all
+    exercised across the corpus) and decoded by the native pure-Python
+    codec (chunk walk, CRC check, inflate, scanline unfilter); channel
+    means are gated against the analytic pixel formula that never
+    touches a byte of PNG. This retires the "compressed codecs need
+    PIL" stub for PNG's core profile — the remaining stubs (JPEG,
+    palette/interlaced PNG) still raise honestly.
+
+    Scale: encode+decode run in one Arrow-batched mapInPandas over the
+    id column; per-image cost is O(pixels) pure Python — a reference
+    codec proving correctness, with the schema/batch plumbing unchanged
+    for a native-lib swap on real corpora.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+    def _roundtrip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                x = np.arange(8).reshape(1, 8)
+                y = np.arange(6).reshape(6, 1)
+                r = (x * 37 + y * 11 + doc_id) % 256
+                g = (x * 17 + y * 29 + 2 * doc_id) % 256
+                b = (x * 23 + y * 41 + 3 * doc_id) % 256
+                raster = np.stack([r, g, b], axis=2).astype(np.uint8)
+                ftype = (doc_id // 10) % 5
+                decoded = decode_png(encode_png(raster, ftype))
+                scaled = decoded.astype(np.float64) / 255.0
+                rows.append(
+                    (
+                        doc_id,
+                        8,
+                        6,
+                        ftype,
+                        float(scaled[:, :, 0].mean()),
+                        float(scaled[:, :, 1].mean()),
+                        float(scaled[:, :, 2].mean()),
+                        float(scaled.mean(axis=2).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "png_filter",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "gray_mean",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _roundtrip,
+        "doc_id long, width int, height int, png_filter long, "
+        "mean_r double, mean_g double, mean_b double, gray_mean double",
+    )

@@ -70,3 +70,44 @@ def test_ppm_header_comments_and_whitespace():
     img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     payload = b"P6\n# a comment\n  2  2\n# another\n255\n" + img.tobytes()
     assert (decode_ppm(payload) == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    ftype=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_all_filters(w, h, ftype, seed):
+    """encode_png -> decode_png is the identity for arbitrary 8-bit
+    truecolor rasters under EVERY PNG filter type (None/Sub/Up/
+    Average/Paeth) — the unfilter math is exercised against its own
+    inverse, not just against crafted fixtures."""
+    import numpy as np
+
+    from node_gedcom_graph_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img, ftype)) == img).all()
+
+
+def test_png_rejects_unsupported_profiles():
+    import numpy as np
+    import pytest as _pytest
+
+    from node_gedcom_graph_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img, 0))
+    # corrupt a chunk CRC -> hard error, not silent wrong pixels
+    payload[-5] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(payload))
