@@ -1458,3 +1458,95 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_orderstatus"))
         .unionByName(profile("o_totalprice", "dec"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), aged AS (
+      SELECT f.cohort_month,
+             (EXTRACT(YEAR FROM o.o_orderdate) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate))
+             - (EXTRACT(YEAR FROM f.cohort_month) * 12
+                + EXTRACT(MONTH FROM f.cohort_month)) AS age_months,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+             o.o_custkey
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ), cells AS (
+      SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             SUM(price) AS revenue
+      FROM aged GROUP BY cohort_month, age_months
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month, age_months,
+           n_orders, n_active,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER (PARTITION BY cohort_month
+                                   ORDER BY age_months
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_revenue
+    FROM cells
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, each cohort's order count, active customers, revenue, and
+    CUMULATIVE revenue tracked by months-since-acquisition — the
+    retention-economics view behind every LTV model (read along a row:
+    how a cohort monetizes as it ages; down a column: cohort quality
+    drift). Complements events_retention_cohorts (activity) with the
+    revenue dimension.
+
+    Scale: first-order months are one hash agg on the customer key;
+    the age join re-shuffles orders on the same key (AQE reuses the
+    exchange); the cell aggregate is |cohorts| x |ages| rows and the
+    cumulative window runs over that tiny matrix partitioned by
+    cohort. Integer month arithmetic on both engines — no date
+    subtraction ambiguity — and decimal revenue sums keep cells and
+    their running totals exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_ts")
+    )
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    aged = orders.join(firsts, "o_custkey").select(
+        F.col("cohort_ts"),
+        (months(F.col("o_orderdate")) - months(F.col("cohort_ts"))).alias(
+            "age_months"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_custkey",
+    )
+    cells = aged.groupBy(
+        "cohort_ts", F.col("age_months").cast("bigint").alias("age_months")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("price").alias("revenue"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("cohort_ts")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.to_date("cohort_ts").alias("cohort_month"),
+        "age_months",
+        "n_orders",
+        "n_active",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
+    )

@@ -1025,3 +1025,110 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "ann_ivf_fixed_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS c_nm
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(list_dot_product(n.embedding, c.c_emb) AS DOUBLE)
+                          / (n.nm * c.c_nm) DESC,
+                          c.cid ASC) AS rn
+        FROM n CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ), q AS (
+      SELECT a.vec_id AS query_id, a.cid
+      FROM assign a WHERE a.vec_id % 4 = 0
+    ), scored AS (
+      SELECT q.query_id, q.cid,
+             c.vec_id AS neighbor_id,
+             CAST(list_dot_product(nq.embedding, nc.embedding) AS DOUBLE)
+               / (nq.nm * nc.nm) AS cosine
+      FROM q
+      JOIN assign c ON c.cid = q.cid AND c.vec_id <> q.query_id
+      JOIN n nq ON nq.vec_id = q.query_id
+      JOIN n nc ON nc.vec_id = c.vec_id
+    )
+    SELECT query_id, cid, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a DETERMINISTIC coarse quantizer, fully
+    oracle-gated — the checkable twin of ann_ivf_topk (whose k-means
+    trainer is iterative float accumulation, rows-only forever): the
+    16 hash-ranked fixed centroids are the cell structure, every
+    vector is assigned by bit-parity argmax cosine, and queries probe
+    ONLY their own cell (nprobe=1) for an exact ranked top-5 inside
+    it. Together with ann_srp_bucket_topk this puts both pruned-ANN
+    geometries (hyperplane buckets, Voronoi cells) under the value
+    hash; ann_topk_cosine gates the exact baseline.
+
+    Scale: centroids broadcast (16 rows at any corpus size); the
+    cell-mate join is EQUI-keyed on the cell id (cell occupancy =
+    corpus/k in expectation — never all-pairs); the per-query top-5
+    is the standard WindowGroupLimit. Production raises k with corpus
+    size and probes >1 cells; the dataflow is unchanged.
+    """
+    from node_gedcom_graph_spark.operators.dedup import dot_f32
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    n = _normed(emb)
+    cent = F.broadcast(_fixed_centroids(emb))
+    cos_c = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
+        F.col("nm") * F.col("c_nm")
+    )
+    assign = (
+        n.crossJoin(cent)
+        .select(
+            "vec_id",
+            F.struct(
+                cos_c.alias("cos"), (-F.col("cid")).alias("ncid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", (-F.col("s.ncid")).alias("cid"))
+    )
+    mem = assign.join(n, "vec_id")
+    q = mem.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nm").alias("q_nm"),
+    )
+    cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.col("q_nm") * F.col("nm")
+    )
+    scored = (
+        q.join(mem, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cid",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
