@@ -572,11 +572,33 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Query-side hard cap shared by the gated pruned-ANN / negative-mining
+# queries: their probe sets are deterministic modulo samples (oracle-
+# expressible), hash-rank-limited so the "queries x cell" intermediate
+# is O(cap x cell) at ANY corpus size instead of growing quadratically
+# with a fixed bucket/cell count. Below the cap (every test SF) the
+# limit doesn't bind and the set is exactly what the oracle describes —
+# the KNN_QUERY_CAP pattern, applied uniformly.
+ANN_QUERY_CAP = 100_000
+
+
+def _cap_queries(df: DataFrame, cap: int = None) -> DataFrame:
+    cap = ANN_QUERY_CAP if cap is None else cap
+    return df.orderBy(F.xxhash64("vec_id", F.lit(31)), "vec_id").limit(cap)
+
+
 # ------------------------------------------------- SemDedup: cluster-then-prune
 
 # Intra-cluster near-duplicate threshold (same cosine bar as
 # dedup_embedding_cosine, so the two surfaces are comparable).
 SEMDEDUP_COSINE_T = 0.45
+# Per-cluster comparison budget: only the first CAP members (by md5
+# rank) of each cluster enter the pairwise stage, so intra-cluster
+# cost is bounded by cap^2 x k at ANY corpus size (with fixed k the
+# unbounded version is quadratic in the corpus). Non-binding at every
+# test SF (clusters are O(100) rows), so gate results are exactly the
+# oracle's unbounded semantics — the KNN_QUERY_CAP precedent.
+SEMDEDUP_CLUSTER_CAP = 10_000
 
 
 @register(
@@ -660,6 +682,12 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("s.ncid")).alias("cid"))
     )
     mem = assign.join(n, "vec_id")
+    rank_w = W.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    mem = mem.withColumn("_crank", F.row_number().over(rank_w)).filter(
+        F.col("_crank") <= SEMDEDUP_CLUSTER_CAP
+    ).drop("_crank")
     a = mem.select(
         F.col("cid").alias("a_cid"),
         F.col("vec_id").alias("a_id"),
@@ -864,7 +892,7 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same argmin).
     """
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.filter(F.col("vec_id") % 4 == 0).select(
+    q = _cap_queries(emb.filter(F.col("vec_id") % 4 == 0)).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
     )
     corpus = emb.select(
@@ -1004,7 +1032,7 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nm"
         ),
     )
-    q = bucketed.filter(F.col("vec_id") % 4 == 0).select(
+    q = _cap_queries(bucketed.filter(F.col("vec_id") % 4 == 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
@@ -1109,7 +1137,7 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("s.ncid")).alias("cid"))
     )
     mem = assign.join(n, "vec_id")
-    q = mem.filter(F.col("vec_id") % 4 == 0).select(
+    q = _cap_queries(mem.filter(F.col("vec_id") % 4 == 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid"),
         F.col("embedding").alias("q_emb"),

@@ -431,3 +431,42 @@ def test_fixed_centroids_are_k_rows_any_corpus(spark):
     # same selection regardless of physical layout
     again = _fixed_centroids(emb.repartition(13)).collect()
     assert sorted(r.cid for r in rows) == sorted(r.cid for r in again)
+
+
+def test_ann_query_caps_bind(spark, monkeypatch):
+    """The gated pruned-ANN / negative-mining queries hard-cap their
+    probe sets: with the cap patched tiny, each emits at most that
+    many distinct query ids — the enforcement (not just docstring)
+    that keeps 'queries x cell' linear at any corpus size."""
+    import node_gedcom_graph_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "ANN_QUERY_CAP", 7)
+    sf = "/root/testdata/sf0.001"
+    for fn, qcol in (
+        (sim.contrastive_negative_pairs, "query_id"),
+        (sim.ann_srp_bucket_topk, "query_id"),
+        (sim.ann_ivf_fixed_topk, "query_id"),
+    ):
+        n_queries = fn(spark, sf).select(qcol).distinct().count()
+        assert n_queries <= 7, fn.__name__
+
+
+def test_semdedup_cluster_cap_binds(spark, monkeypatch):
+    """With the per-cluster comparison budget patched tiny, vectors
+    beyond each cluster's budget never receive a pruned verdict (they
+    are simply not compared) — and the query still completes: the
+    budget bounds cost, it does not crash the plan."""
+    import node_gedcom_graph_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "SEMDEDUP_CLUSTER_CAP", 3)
+    rows = sim.semdedup_cluster_prune(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500  # every vector still gets a verdict row
+    # at most 3 members per cluster were compared, so at most 2 per
+    # cluster can be pruned (the smallest-rank member never is)
+    from collections import Counter
+
+    pruned_per_cluster = Counter()
+    for r in rows:
+        if r.pruned:
+            pruned_per_cluster[r.cid] += 1
+    assert all(v <= 2 for v in pruned_per_cluster.values())
