@@ -1550,3 +1550,107 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test from exact contingency counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_length_chi2",
+    oracle="""
+    WITH bucketed AS (
+      SELECT source,
+             CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 400 THEN 'medium'
+                  ELSE 'long' END AS len_bucket
+      FROM documents
+    ), cells AS (
+      SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS o
+      FROM bucketed GROUP BY source, len_bucket
+    ), margins AS (
+      SELECT c.source, c.len_bucket, c.o,
+             rs.row_total, cs.col_total, t.grand
+      FROM cells c
+      JOIN (SELECT source, CAST(SUM(o) AS BIGINT) AS row_total
+            FROM cells GROUP BY source) rs ON rs.source = c.source
+      JOIN (SELECT len_bucket, CAST(SUM(o) AS BIGINT) AS col_total
+            FROM cells GROUP BY len_bucket) cs
+        ON cs.len_bucket = c.len_bucket
+      CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM cells) t
+    ), nsrc AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT len_bucket) AS BIGINT) AS n_buckets
+      FROM cells
+    )
+    SELECT CAST(SUM(
+             (CAST(o AS DOUBLE)
+              - CAST(row_total AS DOUBLE) * col_total / grand)
+             * (CAST(o AS DOUBLE)
+                - CAST(row_total AS DOUBLE) * col_total / grand)
+             / (CAST(row_total AS DOUBLE) * col_total / grand)
+           ) AS DOUBLE) AS chi2,
+           CAST((n_sources - 1) * (n_buckets - 1) AS BIGINT) AS dof,
+           (SELECT grand FROM margins LIMIT 1) AS n_docs
+    FROM margins CROSS JOIN nsrc
+    GROUP BY n_sources, n_buckets
+    """,
+)
+def source_length_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between document source and
+    length bucket, computed closed-form from the EXACT integer
+    contingency table (observed counts, row/column margins, grand
+    total) — the corpus-composition diagnostic that flags a source
+    whose length profile diverges from the blend (a skew that biases
+    packing efficiency and curriculum sampling). Degrees of freedom
+    reported alongside so the statistic is interpretable.
+
+    Scale: one map-side-combined aggregate builds the |sources| x 3
+    contingency table; margins re-aggregate THAT table; the chi2 sum
+    spans the same few dozen cells. Every input to the float math is
+    an exact BIGINT, and both engines evaluate the identical (o-e)^2/e
+    expression per cell, so the statistic is deterministic far beyond
+    the gate tolerance.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+    )
+    cells = (
+        docs.select("source", bucket.alias("len_bucket"))
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rs = cells.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("row_total")
+    )
+    cs = cells.groupBy("len_bucket").agg(
+        F.sum("o").cast("bigint").alias("col_total")
+    )
+    t = F.broadcast(cells.agg(F.sum("o").cast("bigint").alias("grand")))
+    nsrc = F.broadcast(
+        cells.agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("len_bucket").cast("bigint").alias("n_buckets"),
+        )
+    )
+    e = F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return (
+        cells.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "len_bucket")
+        .crossJoin(t)
+        .crossJoin(nsrc)
+        .groupBy("n_sources", "n_buckets", "grand")
+        .agg(F.sum(term).cast("double").alias("chi2"))
+        .select(
+            "chi2",
+            ((F.col("n_sources") - 1) * (F.col("n_buckets") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.col("grand").alias("n_docs"),
+        )
+    )

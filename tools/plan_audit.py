@@ -191,6 +191,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "join_strategy_hints_equivalence": {
         "SinglePartition": "three one-row per-strategy aggregate branches"
     },
+    "source_length_chi2": {
+        "SinglePartition": "one-row statistic over a dozen-cell table"
+    },
 }
 
 PATTERNS = (
