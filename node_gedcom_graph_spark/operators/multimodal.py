@@ -425,6 +425,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gradient_raster(doc_id: int):
+    """THE shared 8x6 gradient formula: pixel values are a closed form
+    of (id, x, y), mirrored analytically by every image oracle
+    (PPM features/aHash, PNG features). One Python definition so the
+    synthesis can never drift between the codec families."""
+    import numpy as np
+
+    x = np.arange(8)[None, :]
+    y = np.arange(6)[:, None]
+    d = int(doc_id)
+    return np.stack(
+        [
+            (x * 37 + y * 11 + d) % 256,
+            (x * 17 + y * 29 + 2 * d) % 256,
+            (x * 23 + y * 41 + 3 * d) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
 def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a deterministic 8x6 gradient PPM per id (pixel values
     are a closed-form function of (id, x, y)), so the REAL decode path
@@ -432,24 +452,12 @@ def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from the same formula without ever touching bytes."""
 
     def _batch(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
-        x = np.arange(8)[None, :]
-        y = np.arange(6)[:, None]
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf[id_col]:
-                d = int(doc_id)
-                img = np.stack(
-                    [
-                        (x * 37 + y * 11 + d) % 256,
-                        (x * 17 + y * 29 + 2 * d) % 256,
-                        (x * 23 + y * 41 + 3 * d) % 256,
-                    ],
-                    axis=2,
-                ).astype(np.uint8)
-                payloads.append(encode_ppm(img))
+            payloads = [
+                encode_ppm(_gradient_raster(doc_id)) for doc_id in pdf[id_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(_batch, f"{id_col} long, payload binary")
@@ -948,7 +956,10 @@ def decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:  # keep the codec's ValueError contract
+        raise ValueError(f"PNG IDAT stream undecodable: {exc}") from exc
     bpp, stride = 3, w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster length mismatch")
@@ -1111,12 +1122,7 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                x = np.arange(8).reshape(1, 8)
-                y = np.arange(6).reshape(6, 1)
-                r = (x * 37 + y * 11 + doc_id) % 256
-                g = (x * 17 + y * 29 + 2 * doc_id) % 256
-                b = (x * 23 + y * 41 + 3 * doc_id) % 256
-                raster = np.stack([r, g, b], axis=2).astype(np.uint8)
+                raster = _gradient_raster(doc_id)
                 ftype = (doc_id // 10) % 5
                 decoded = decode_png(encode_png(raster, ftype))
                 scaled = decoded.astype(np.float64) / 255.0

@@ -1017,8 +1017,7 @@ def _skyline_local_front(batches):
         if best_day is None or gmax > best_day:
             keep_idx.extend(grp.index[grp["day_key"] == gmax])
             best_day = gmax
-        else:
-            best_day = max(best_day, gmax)
+        # else: gmax <= best_day — the running best cannot rise here
     yield part.loc[keep_idx]
 
 
@@ -1569,15 +1568,21 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cells AS (
       SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS o
       FROM bucketed GROUP BY source, len_bucket
+    ), rs AS (
+      SELECT source, CAST(SUM(o) AS BIGINT) AS row_total
+      FROM cells GROUP BY source
+    ), cs AS (
+      SELECT len_bucket, CAST(SUM(o) AS BIGINT) AS col_total
+      FROM cells GROUP BY len_bucket
     ), margins AS (
-      SELECT c.source, c.len_bucket, c.o,
+      -- DENSE grid: every (source, bucket) pair exists, zero-observed
+      -- cells included (their (0-e)^2/e = e term belongs in the sum —
+      -- dropping them biases chi2 low against the reported dof)
+      SELECT rs.source, cs.len_bucket, COALESCE(c.o, 0) AS o,
              rs.row_total, cs.col_total, t.grand
-      FROM cells c
-      JOIN (SELECT source, CAST(SUM(o) AS BIGINT) AS row_total
-            FROM cells GROUP BY source) rs ON rs.source = c.source
-      JOIN (SELECT len_bucket, CAST(SUM(o) AS BIGINT) AS col_total
-            FROM cells GROUP BY len_bucket) cs
-        ON cs.len_bucket = c.len_bucket
+      FROM rs CROSS JOIN cs
+      LEFT JOIN cells c
+        ON c.source = rs.source AND c.len_bucket = cs.len_bucket
       CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM cells) t
     ), nsrc AS (
       SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
@@ -1639,10 +1644,14 @@ def source_length_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
     term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    # dense grid: zero-observed cells contribute their expected term
+    dense = (
+        rs.crossJoin(cs)
+        .join(cells, ["source", "len_bucket"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
     return (
-        cells.join(F.broadcast(rs), "source")
-        .join(F.broadcast(cs), "len_bucket")
-        .crossJoin(t)
+        dense.crossJoin(t)
         .crossJoin(nsrc)
         .groupBy("n_sources", "n_buckets", "grand")
         .agg(F.sum(term).cast("double").alias("chi2"))

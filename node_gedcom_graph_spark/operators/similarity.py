@@ -466,9 +466,7 @@ def _knn_query_sample(n: DataFrame, cap: int = KNN_QUERY_CAP) -> DataFrame:
     Below the cap the limit doesn't bind and the sample is exactly the
     modulo set the DuckDB oracle describes."""
     return (
-        n.filter(F.col("vec_id") % 4 == 0)
-        .orderBy(F.xxhash64("vec_id", F.lit(23)), "vec_id")
-        .limit(cap)
+        _cap_queries(n.filter(F.col("vec_id") % 4 == 0), cap, salt=23)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("q_label"),
@@ -578,13 +576,17 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is O(cap x cell) at ANY corpus size instead of growing quadratically
 # with a fixed bucket/cell count. Below the cap (every test SF) the
 # limit doesn't bind and the set is exactly what the oracle describes —
-# the KNN_QUERY_CAP pattern, applied uniformly.
-ANN_QUERY_CAP = 100_000
+# the KNN_QUERY_CAP pattern, applied uniformly (one constant — the
+# two families must never drift apart).
+ANN_QUERY_CAP = KNN_QUERY_CAP
 
 
-def _cap_queries(df: DataFrame, cap: int = None) -> DataFrame:
+def _cap_queries(df: DataFrame, cap: int = None, salt: int = 31) -> DataFrame:
+    """THE hash-rank-limit: the one implementation every bounded probe
+    sample in this module goes through (knn_label_purity included, with
+    its original salt preserved)."""
     cap = ANN_QUERY_CAP if cap is None else cap
-    return df.orderBy(F.xxhash64("vec_id", F.lit(31)), "vec_id").limit(cap)
+    return df.orderBy(F.xxhash64("vec_id", F.lit(salt)), "vec_id").limit(cap)
 
 
 # ------------------------------------------------- SemDedup: cluster-then-prune
@@ -592,13 +594,20 @@ def _cap_queries(df: DataFrame, cap: int = None) -> DataFrame:
 # Intra-cluster near-duplicate threshold (same cosine bar as
 # dedup_embedding_cosine, so the two surfaces are comparable).
 SEMDEDUP_COSINE_T = 0.45
-# Per-cluster comparison budget: only the first CAP members (by md5
-# rank) of each cluster enter the pairwise stage, so intra-cluster
-# cost is bounded by cap^2 x k at ANY corpus size (with fixed k the
-# unbounded version is quadratic in the corpus). Non-binding at every
-# test SF (clusters are O(100) rows), so gate results are exactly the
-# oracle's unbounded semantics — the KNN_QUERY_CAP precedent.
-SEMDEDUP_CLUSTER_CAP = 10_000
+# Per-cluster comparison budget: only ~CAP members of each cluster
+# enter the pairwise stage, so intra-cluster cost is bounded at ANY
+# corpus size (with fixed k the unbounded version is quadratic in the
+# corpus). ENFORCEMENT SHAPE MATTERS: a row_number over cid alone
+# would shuffle the whole corpus into k=16 window partitions and
+# fully sort each (the serial hazard the cap exists to avoid), so the
+# rank runs over (cid, md5-subkey) — SEMDEDUP_RANK_FANOUT fine-grained
+# partitions per cluster, each admitting CAP/FANOUT members: same
+# aggregate budget, sorts distributed over k x FANOUT keys with no
+# 16-task bottleneck. Non-binding at every test SF (clusters are
+# O(100) rows; per-subkey occupancy ~2), so gate results are exactly
+# the oracle's unbounded semantics — the KNN_QUERY_CAP precedent.
+SEMDEDUP_CLUSTER_CAP = 10_240
+SEMDEDUP_RANK_FANOUT = 64
 
 
 @register(
@@ -682,11 +691,15 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("s.ncid")).alias("cid"))
     )
     mem = assign.join(n, "vec_id")
-    rank_w = W.partitionBy("cid").orderBy(
+    from node_gedcom_graph_spark.functions.scalar import md5_bucket
+
+    subkey = md5_bucket(F.col("vec_id"), SEMDEDUP_RANK_FANOUT)
+    rank_w = W.partitionBy("cid", subkey).orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
+    per_subkey = max(1, SEMDEDUP_CLUSTER_CAP // SEMDEDUP_RANK_FANOUT)
     mem = mem.withColumn("_crank", F.row_number().over(rank_w)).filter(
-        F.col("_crank") <= SEMDEDUP_CLUSTER_CAP
+        F.col("_crank") <= per_subkey
     ).drop("_crank")
     a = mem.select(
         F.col("cid").alias("a_cid"),
@@ -990,9 +1003,10 @@ _SRP_BUCKET_SQL = " + ".join(f"b{i}" for i in range(SRP_ROWS))
 def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH top-k with the WHOLE pipeline under
     the value-hash gate — the oracle-checkable twin of ann_lsh_topk.
-    Every vector's 16-bit SRP signature comes from sign(embedding ·
-    hyperplane) computed as a sequential DOUBLE fold against LITERAL
-    hyperplane arrays (the module's fixed seeded planes, embedded in
+    Every vector's 4-bit band signature (one band of SRP_ROWS planes —
+    2^4 buckets; the production twin banding uses all 16 planes) comes
+    from sign(embedding · hyperplane) computed as a sequential DOUBLE
+    fold against LITERAL hyperplane arrays (the module's fixed seeded planes, embedded in
     the oracle SQL verbatim via repr, so both engines fold identical
     doubles); candidates are same-bucket vectors only; the final
     cosine/rank uses the bit-parity f32 fold. This gates signature

@@ -879,11 +879,13 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(value AS DECIMAL(28,10))) AS v
       FROM events GROUP BY 1, 2
     ), lagged AS (
-      SELECT event_type, d,
-             CAST(v AS DOUBLE) AS actual,
-             CAST(LAG(v, 7) OVER (PARTITION BY event_type ORDER BY d)
-                  AS DOUBLE) AS forecast
-      FROM daily
+      SELECT cur.event_type, cur.d,
+             CAST(cur.v AS DOUBLE) AS actual,
+             CAST(prev.v AS DOUBLE) AS forecast
+      FROM daily cur
+      LEFT JOIN daily prev
+        ON prev.event_type = cur.event_type
+       AND prev.d = cur.d - INTERVAL 7 DAY
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_days_scored,
@@ -899,9 +901,12 @@ def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     (today = same weekday last week) scored with MAPE and max absolute
     error per event type over the daily rollup — the sanity baseline
     every real forecasting pipeline must beat before a model earns its
-    compute. LAG(7) on the dense daily series IS the weekly-seasonal
-    forecast; the first week scores nothing (no history), pinned
-    identically on both engines by the NULL filter.
+    compute. The forecast is matched by CALENDAR date (a self-join on
+    d - 7 days), not by row position — a positional LAG(7) silently
+    stops being "same weekday last week" the moment the series has a
+    gap, and nothing enforces density here. Days whose d-7 ancestor is
+    missing (including the first week) score nothing, pinned by the
+    NULL filter on both engines.
 
     Scale: raw events collapse to the |types| x |days| rollup in one
     map-side-combined aggregate; the lag and scoring run on that tiny
@@ -909,18 +914,20 @@ def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     double identically on both engines, so errors and their mean drift
     only at the 1e-15 fold level — far inside the gate tolerance.
     """
-    from pyspark.sql import Window as W
-
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.sum(F.col("value").cast("decimal(28,10)")).alias("v"))
-    w = W.partitionBy("event_type").orderBy("d")
-    lagged = daily.select(
+    prev = daily.select(
+        "event_type",
+        (F.col("d") + F.expr("INTERVAL 7 DAYS")).alias("d"),
+        F.col("v").alias("pv"),
+    )
+    lagged = daily.join(prev, ["event_type", "d"], "left").select(
         "event_type",
         "d",
         F.col("v").cast("double").alias("actual"),
-        F.lag(F.col("v"), 7).over(w).cast("double").alias("forecast"),
+        F.col("pv").cast("double").alias("forecast"),
     )
     return (
         lagged.filter(

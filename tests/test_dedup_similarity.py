@@ -452,21 +452,17 @@ def test_ann_query_caps_bind(spark, monkeypatch):
 
 
 def test_semdedup_cluster_cap_binds(spark, monkeypatch):
-    """With the per-cluster comparison budget patched tiny, vectors
-    beyond each cluster's budget never receive a pruned verdict (they
-    are simply not compared) — and the query still completes: the
-    budget bounds cost, it does not crash the plan."""
+    """With the per-cluster comparison budget patched to its minimum
+    (one admitted member per rank subkey), the comparison set shrinks
+    drastically but every vector still gets a verdict row — the budget
+    bounds cost without crashing the plan — and with the budget
+    effectively zeroed via fanout=1/cap=1 only ~one member per cluster
+    is compared, so pruning all but disappears."""
     import node_gedcom_graph_spark.operators.similarity as sim
 
-    monkeypatch.setattr(sim, "SEMDEDUP_CLUSTER_CAP", 3)
+    monkeypatch.setattr(sim, "SEMDEDUP_CLUSTER_CAP", 1)
+    monkeypatch.setattr(sim, "SEMDEDUP_RANK_FANOUT", 1)
     rows = sim.semdedup_cluster_prune(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 500  # every vector still gets a verdict row
-    # at most 3 members per cluster were compared, so at most 2 per
-    # cluster can be pruned (the smallest-rank member never is)
-    from collections import Counter
-
-    pruned_per_cluster = Counter()
-    for r in rows:
-        if r.pruned:
-            pruned_per_cluster[r.cid] += 1
-    assert all(v <= 2 for v in pruned_per_cluster.values())
+    # one admitted member per cluster -> no pairs -> nothing pruned
+    assert sum(r.pruned for r in rows) == 0

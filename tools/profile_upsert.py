@@ -78,13 +78,7 @@ def main() -> None:
         cdc = (
             spark.range(n_rows)
             .select(F.col("id").alias("k"))
-            .withColumn(
-                "b",
-                F.conv(
-                    F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10
-                ).cast("int")
-                % n_buckets,
-            )
+            .withColumn("b", __import__("node_gedcom_graph_spark.functions.scalar", fromlist=["md5_bucket"]).md5_bucket(F.col("k"), n_buckets))
             .filter(F.col("b") < 2)  # keys from 2 of 64 buckets
             .limit(n_cdc)
             .select(
