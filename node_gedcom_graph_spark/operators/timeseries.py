@@ -945,3 +945,73 @@ def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness: exact rolling distinct users.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    ), dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ), wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days
+      JOIN du ON du.d > days.d - INTERVAL 7 DAY AND du.d <= days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness (DAU over trailing-7-day WAU) with EXACT
+    rolling distinct users — the engagement staple. Exact rolling
+    distinct cannot come from a window function (distinct state is not
+    re-aggregable from daily counts), so the WAU side is the canonical
+    rewrite: reduce once to DISTINCT (day, user) pairs, then band-join
+    each pair to the <=7 observation days it supports and count
+    distinct per day.
+
+    Scale: the only corpus-sized pass is the (day, user) DISTINCT
+    reduction (map-side partial dedup; pairs = active users x days,
+    not events). The band join fans each pair out at most 7x against
+    the tiny day spine, and the distinct count shuffles pairs keyed by
+    day. At sketch-tolerant scale the same shape swaps the exact
+    distinct for mergeable HLL partials (sketch_rollup_region's path);
+    this query is the exact baseline that gates such a swap.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = (
+        events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    spine = days.select(F.col("d").alias("obs_d"))
+    wau = (
+        du.join(
+            spine,
+            (F.col("d") > F.col("obs_d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("d") <= F.col("obs_d")),
+        )
+        .groupBy("obs_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.obs_d)
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
