@@ -1663,3 +1663,160 @@ def source_length_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grand").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap distribution and fixed-threshold RFM segmentation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inter_order_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       CAST(LAG(o_orderdate)
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+                            AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT CASE WHEN gap_days <= 7 THEN '0-7'
+                WHEN gap_days <= 30 THEN '8-30'
+                WHEN gap_days <= 90 THEN '31-90'
+                ELSE '90+' END AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def inter_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders, bucketed into the retention bands
+    marketing actually uses (week, month, quarter, dormant) — the
+    empirical input behind churn-window and reorder-nudge choices.
+
+    Scale: one LAG over a customer-keyed window (tie-broken by order
+    key so same-day orders rank deterministically), then a 4-bucket
+    hash agg — the shuffle out is four rows. Gaps are exact integer
+    day differences on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "0-7")
+        .when(F.col("gap_days") <= 30, "8-30")
+        .when(F.col("gap_days") <= 90, "31-90")
+        .otherwise("90+")
+    )
+    return gaps.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS max_d FROM orders
+    ), rfm AS (
+      SELECT o.o_custkey,
+             date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                       CAST(a.max_d AS DATE)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders o CROSS JOIN anchor a
+      GROUP BY o.o_custkey, a.max_d
+    ), seg AS (
+      SELECT o_custkey,
+             CASE WHEN recency_days <= 90 THEN 'active'
+                  WHEN recency_days <= 365 THEN 'cooling'
+                  ELSE 'dormant' END AS r_seg,
+             CASE WHEN frequency >= 15 THEN 'frequent'
+                  WHEN frequency >= 5 THEN 'regular'
+                  ELSE 'rare' END AS f_seg,
+             CASE WHEN monetary >= 2000000 THEN 'high'
+                  WHEN monetary >= 500000 THEN 'mid'
+                  ELSE 'low' END AS m_seg,
+             monetary
+      FROM rfm
+    )
+    SELECT r_seg, f_seg, m_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_monetary
+    FROM seg GROUP BY r_seg, f_seg, m_seg
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with FIXED thresholds: every customer scored on
+    recency (days since last order, anchored to the corpus max date so
+    the result is data-determined, not wall-clock), frequency, and
+    decimal monetary total, then bucketed into the 3x3x3 segment grid
+    with customer counts and segment revenue. Fixed cutoffs instead of
+    quantile scoring on purpose: quintile RFM needs three global sorts
+    (the ntile anti-pattern at 100 TB); threshold RFM is one scan-local
+    CASE after a single per-customer aggregate, and thresholds are the
+    operationally pinned contract marketing systems actually deploy.
+
+    Scale: one hash agg on the customer key, one tiny (<=27-row)
+    segment agg; the anchor date is a one-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.broadcast(orders.agg(F.max("o_orderdate").alias("max_d")))
+    rfm = (
+        orders.crossJoin(anchor)
+        .groupBy("o_custkey", "max_d")
+        .agg(
+            F.datediff(F.col("max_d"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    r_seg = (
+        F.when(F.col("recency_days") <= 90, "active")
+        .when(F.col("recency_days") <= 365, "cooling")
+        .otherwise("dormant")
+    )
+    f_seg = (
+        F.when(F.col("frequency") >= 15, "frequent")
+        .when(F.col("frequency") >= 5, "regular")
+        .otherwise("rare")
+    )
+    m_seg = (
+        F.when(F.col("monetary") >= 2000000, "high")
+        .when(F.col("monetary") >= 500000, "mid")
+        .otherwise("low")
+    )
+    return (
+        rfm.select(
+            r_seg.alias("r_seg"),
+            f_seg.alias("f_seg"),
+            m_seg.alias("m_seg"),
+            "monetary",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_monetary"),
+        )
+    )

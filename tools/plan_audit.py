@@ -194,6 +194,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_length_chi2": {
         "SinglePartition": "one-row statistic over a dozen-cell table"
     },
+    "customer_rfm_segments": {
+        "SinglePartition": "one-row anchor-date branch (broadcast back)"
+    },
 }
 
 PATTERNS = (
