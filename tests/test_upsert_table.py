@@ -288,3 +288,34 @@ def test_schema_never_regresses_on_unrelated_bucket(spark, tmp_path):
     apply_cdc(spark, d, _mk_cdc(spark, [("upsert", 2, 8, "b2")]), "k")
     rows = {r.k: (r.val, r.note) for r in read_latest(spark, d).collect()}
     assert rows == {7: ("a2", "NOTE"), 8: ("b2", None)}
+
+
+def test_manifest_collision_is_the_commit_point(spark, tmp_path):
+    """Two writers racing for the same version are serialized by the
+    EXCLUSIVE manifest create: if the target manifest already exists
+    (the other writer won), apply_cdc raises ConcurrentWriteError, its
+    orphan data directory is cleaned up, and the table still reads as
+    the winner left it."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "t")
+    init_table(spark, d, _mk(spark, [(1, "x")]), "k", N_BUCKETS)
+    # simulate the other writer having already published version 1
+    with open(_os.path.join(d, "manifest_v1.json"), "w") as fh:
+        _json.dump(
+            {
+                **_json.load(open(_os.path.join(d, "manifest_v0.json"))),
+            },
+            fh,
+        )
+    with pytest.raises(ConcurrentWriteError):
+        apply_cdc(spark, d, _mk_cdc(spark, [("upsert", 1, 1, "y")]), "k")
+    # loser's data directory cleaned; v0 state intact
+    orphans = [
+        e
+        for e in _os.listdir(d)
+        if e.startswith("v=1-")
+    ]
+    assert orphans == []
+    assert _state(spark, d) == {1: "x"}
