@@ -74,3 +74,76 @@ def test_trigrams_match_pure_python(spark):
         )
     ]
     assert got == expected
+
+
+def test_dau_wau_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.timeseries import (
+        events_dau_wau_stickiness,
+    )
+
+    rows = _events(spark).select("ts", "user_id").collect()
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.ts.date()].add(r.user_id)
+    got = {
+        r.day: (r.dau, r.wau)
+        for r in events_dau_wau_stickiness(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_day)
+    import datetime as dt
+
+    for d, users in by_day.items():
+        week = set()
+        for back in range(7):
+            week |= by_day.get(d - dt.timedelta(days=back), set())
+        assert got[d] == (len(users), len(week))
+
+
+def test_cohort_ltv_matches_pure_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from node_gedcom_graph_spark.operators.relational_ext import (
+        customer_cohort_ltv,
+    )
+
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    firsts = {}
+    for r in orders:
+        m = (r.o_orderdate.year, r.o_orderdate.month)
+        if r.o_custkey not in firsts or m < firsts[r.o_custkey]:
+            firsts[r.o_custkey] = m
+    cells = defaultdict(lambda: [0, set(), Decimal(0)])
+    for r in orders:
+        cy, cm = firsts[r.o_custkey]
+        age = (r.o_orderdate.year * 12 + r.o_orderdate.month) - (cy * 12 + cm)
+        key = ((cy, cm), age)
+        st = cells[key]
+        st[0] += 1
+        st[1].add(r.o_custkey)
+        st[2] += Decimal(r.o_totalprice).quantize(
+            Decimal("1.00"), rounding=ROUND_HALF_UP
+        )
+    got = {
+        ((r.cohort_month.year, r.cohort_month.month), r.age_months): r
+        for r in customer_cohort_ltv(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(cells)
+    for key, (n, users, rev) in cells.items():
+        r = got[key]
+        assert r.n_orders == n
+        assert r.n_active == len(users)
+        assert abs(r.revenue - float(rev)) < 1e-6
+    # cumulative consistency per cohort
+    coh = defaultdict(list)
+    for (cmonth, age), r in got.items():
+        coh[cmonth].append((age, r.revenue, r.cum_revenue))
+    for cmonth, rows_ in coh.items():
+        rows_.sort()
+        run = 0.0
+        for age, rev, cum in rows_:
+            run += rev
+            assert abs(cum - run) < 1e-4
