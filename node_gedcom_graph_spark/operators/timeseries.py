@@ -1015,3 +1015,48 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday x hour activity heatmap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekday_hour_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday x hour-of-day activity heatmap (the capacity-
+    planning / anomaly-baseline profile): event counts, distinct
+    users, and decimal value totals per (ISO weekday, hour) cell.
+
+    Engine-agnostic calendar note: Spark's dayofweek() is
+    Sunday-based (1=Sun) while DuckDB's isodow() is Monday-based
+    (1=Mon) — the engine uses weekday()+1 (Mon=0 -> 1..7) to match
+    isodow exactly rather than relying on either engine's default.
+
+    Scale: one map-side-combined aggregate into a fixed 7x24-cell
+    grid; the distinct-user count is the only expansion (distinct
+    users per cell per partition) and swaps for an HLL partial at
+    sketch-tolerant scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("iso_weekday"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
