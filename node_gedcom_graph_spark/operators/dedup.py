@@ -961,3 +961,78 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         recon = term if recon is None else recon + term
     return sums.select("doc_id", recon.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_savings_report",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ), groups AS (
+      SELECT fingerprint,
+             CAST(COUNT(*) AS BIGINT) AS copies,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+             CAST(SUM(n_chars) AS BIGINT) AS group_chars,
+             CAST(MIN(n_chars) AS BIGINT) AS keep_chars
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(SUM(copies - 1) AS BIGINT) AS n_removable_docs,
+           CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT)
+             AS n_docs_in_dup_groups,
+           CAST(SUM(group_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(group_chars - keep_chars) AS BIGINT)
+             AS removable_chars,
+           CAST(CAST(SUM(group_chars - keep_chars) AS DOUBLE)
+                / SUM(group_chars) AS DOUBLE) AS removable_char_ratio
+    FROM groups
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision-maker's view of exact dedup: one row quantifying
+    what normalized-exact deduplication would delete — duplicate
+    groups, removable documents, removable characters (keeping each
+    group's MIN-doc_id representative, whose n_chars is the group MIN
+    under exact duplication of the normalized text... reported
+    conservatively as group MIN so the ratio never overstates
+    savings). The report every corpus team reads before paying for
+    near-dup passes: if exact savings are already large, MinHash's
+    marginal gain shrinks.
+
+    Scale: one fingerprint hash-agg (16-byte keys, map-side combine)
+    then a one-row rollup of the group table — the same shuffle
+    budget as dedup_exact itself.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    norm = normalize_text(F.col("text"))
+    fp = docs.select(
+        "doc_id", "n_chars", F.md5(norm).alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.sum("n_chars").cast("bigint").alias("group_chars"),
+        F.min("n_chars").cast("bigint").alias("keep_chars"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("copies").cast("bigint").alias("n_docs"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("n_removable_docs"),
+        F.sum(F.when(F.col("copies") > 1, F.col("copies")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_in_dup_groups"),
+        F.sum("group_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("group_chars") - F.col("keep_chars"))
+        .cast("bigint")
+        .alias("removable_chars"),
+        (
+            F.sum(F.col("group_chars") - F.col("keep_chars")).cast("double")
+            / F.sum("group_chars")
+        )
+        .cast("double")
+        .alias("removable_char_ratio"),
+    )

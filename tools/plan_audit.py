@@ -197,6 +197,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "customer_rfm_segments": {
         "SinglePartition": "one-row anchor-date branch (broadcast back)"
     },
+    "dedup_savings_report": {
+        "SinglePartition": "one-row rollup of the fingerprint-group table"
+    },
 }
 
 PATTERNS = (
