@@ -1820,3 +1820,83 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("double").alias("segment_monetary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration: Herfindahl-Hirschman index per region.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_hhi_by_region",
+    oracle="""
+    WITH srev AS (
+      SELECT r.r_name AS region_name, s.s_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, s.s_suppkey
+    )
+    , shared AS (
+      SELECT region_name, rev,
+             CAST(rev AS DOUBLE)
+               / SUM(CAST(rev AS DOUBLE)) OVER (PARTITION BY region_name)
+               AS share
+      FROM srev
+    )
+    SELECT region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(rev) AS DOUBLE) AS region_revenue,
+           SUM(share * share) AS hhi
+    FROM shared
+    GROUP BY region_name
+    """,
+)
+def supplier_hhi_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl-Hirschman index of
+    supplier revenue shares per region (sum of squared shares; 1/n for
+    perfect competition, 1.0 for monopoly) — the concentration stat
+    that needs NO sorting or ranking, unlike Gini/Lorenz, which makes
+    it the 100 TB-friendly choice. Discounted revenue accumulates in
+    exact decimals per (region, supplier) before any division.
+
+    Scale: one fact-table aggregate onto (region, supplier) keys (the
+    dims broadcast), then the share-of-total window and the final HHI
+    sum both run over the supplier-count-sized table partitioned by
+    region. Share terms are identical doubles on both engines (exact
+    decimal numerators/denominators) and the squared-share sum spans
+    at most |suppliers-per-region| terms.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    srev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), "s_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum(F.col("rev").cast("double")).over(
+        W.partitionBy("region_name")
+    )
+    share = F.col("rev").cast("double") / total
+    return (
+        srev.withColumn("share", share)
+        .groupBy("region_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("rev").cast("double").alias("region_revenue"),
+            F.sum(F.col("share") * F.col("share")).alias("hhi"),
+        )
+    )
