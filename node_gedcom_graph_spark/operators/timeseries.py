@@ -1060,3 +1060,66 @@ def events_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event types.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS cur, next_type AS nxt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT cur, CAST(SUM(c) AS BIGINT) AS row_total FROM pairs GROUP BY cur
+    )
+    SELECT p.cur, p.nxt, p.c AS n_transitions,
+           CAST(p.c AS DOUBLE) / t.row_total AS probability
+    FROM pairs p JOIN totals t ON t.cur = p.cur
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over user journeys: the event-type
+    transition matrix with maximum-likelihood probabilities
+    (count(cur->next) / count(cur->*)) — the sequence-model BASELINE a
+    learned next-event model (events_next_event_training_pairs feeds
+    one) must beat, and the normalized complement of the raw trigram
+    counts (top_event_trigrams).
+
+    Scale: one LEAD over the user-keyed window, a |types|^2-key hash
+    aggregate with map-side partials, and row totals re-aggregated
+    from the tiny pair table — probabilities are exact-integer ratios
+    divided identically on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = pairs.groupBy("cur").agg(
+        F.sum("c").cast("bigint").alias("row_total")
+    )
+    return pairs.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        F.col("c").alias("n_transitions"),
+        (F.col("c").cast("double") / F.col("row_total")).alias("probability"),
+    )
