@@ -814,6 +814,13 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries minima, not shingle hashes.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    return minhash_md5_candidates(docs)
+
+
+def minhash_md5_candidates(docs: DataFrame) -> DataFrame:
+    """The engine-agnostic md5 MinHash+LSH candidate pipeline over any
+    (doc_id, text) frame — see dedup_minhash_lsh_md5 for the design
+    narrative; also the candidate side of minhash_recall_report."""
     sh = (
         shingled_docs(docs)
         .select("doc_id", F.explode("shingles").alias("s"))
@@ -1035,4 +1042,133 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("removable_char_ratio"),
+    )
+
+
+RECALL_EVAL_J = 0.5  # the 4x4 band shape's similarity knee
+
+
+@register(
+    "minhash_recall_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ')
+               AS s
+      FROM pos
+    ), seeds AS (
+      SELECT unnest(range(0, 16)) AS j
+    ), hashed AS (
+      SELECT doc_id, j,
+             CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM sh CROSS JOIN seeds
+    ), sig AS (
+      SELECT doc_id, j, MIN(h) AS m FROM hashed GROUP BY doc_id, j
+    ), bandkeys AS (
+      SELECT doc_id, CAST(j // 4 AS BIGINT) AS band,
+             string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS key
+      FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandkeys a
+      JOIN bandkeys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM cand c JOIN truth t
+         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_tp,
+      CAST((SELECT COUNT(*) FROM cand c JOIN truth t
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision,
+      CAST((SELECT COUNT(*) FROM cand c JOIN truth t
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall
+    """,
+)
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH QUALITY, measured not argued: precision and recall of the
+    md5 MinHash+LSH candidate set against exact-Jaccard ground truth
+    at J >= 0.5 (the 4x4 band shape's similarity knee), as one gated
+    row. This is the evaluation every LSH deployment owes its
+    downstream consumers — recall tells you what the near-dup pass
+    MISSES, precision what the verify stage pays for — and here it is
+    cross-engine-checked rather than quoted from theory.
+
+    Scale: the candidate side is the banded pipeline (collision-
+    bounded); the truth side is the exact shingle self-join —
+    quadratic on hot shingles, which is exactly why it's the EVAL
+    (run on samples at scale) and LSH is the production path. Jaccard
+    thresholds are int/int doubles, bit-equal across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cand = minhash_md5_candidates(docs)
+    sh = shingled_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= RECALL_EVAL_J)
+        .select("doc_a", "doc_b")
+    )
+    tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_tp = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_tp"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_tp",
+            (
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0))
+            ).alias("precision"),
+            (
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("recall"),
+        )
     )

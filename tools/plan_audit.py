@@ -200,6 +200,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "dedup_savings_report": {
         "SinglePartition": "one-row rollup of the fingerprint-group table"
     },
+    "minhash_recall_report": {
+        "SinglePartition": "three one-row count branches (tp/cand/truth)"
+    },
 }
 
 PATTERNS = (
