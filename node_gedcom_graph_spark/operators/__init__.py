@@ -46,6 +46,7 @@ def _load_all() -> None:
     # Import for registration side effects.
     from node_gedcom_graph_spark.operators import (  # noqa: F401
         dedup,
+        distribution,
         graphalgo,
         llmprep,
         llmprep2,

@@ -1,0 +1,295 @@
+"""Differential tests for operators/distribution: every operator is
+recomputed from the raw parquet in pure Python/numpy (no shared code
+with the engine — the SURVEY §5.3 strategy) and compared to the Spark
+result. Determinism mechanics (integer cross-multiplied medians,
+quantized spike boundaries) get targeted assertions of their own."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from node_gedcom_graph_spark.operators.distribution import (
+    DUP_NGRAM_N,
+    EWMA_ALPHA,
+    EWMA_SPIKE_TH,
+    EWMA_TAPS,
+    ZIPF_TOP_N,
+    doc_dup_ngram_coverage,
+    embedding_covariance_topdims,
+    events_ewma_fir,
+    lineitem_weighted_median,
+    orders_benford_first_digit,
+    token_zipf_fit,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pq(name):
+    return pd.read_parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def _tokens(text):
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def test_benford_matches_pure_python(spark):
+    rows = {
+        r["digit"]: r
+        for r in orders_benford_first_digit(spark, SF_DIR).collect()
+    }
+    prices = _pq("orders")["o_totalprice"]
+    digits = Counter(int(str(int(math.floor(p)))[0]) for p in prices)
+    assert sum(r["n_orders"] for r in rows.values()) == len(prices)
+    for d, n in digits.items():
+        r = rows[d]
+        assert r["n_orders"] == n
+        assert abs(r["observed_share"] - n / len(prices)) < 1e-6
+        assert abs(r["benford_share"] - math.log10(1 + 1 / d)) < 1e-6
+
+
+def test_weighted_median_matches_pure_python(spark):
+    got = {
+        r["l_returnflag"]: r
+        for r in lineitem_weighted_median(spark, SF_DIR).collect()
+    }
+    li = _pq("lineitem")
+    for flag, g in li.groupby("l_returnflag"):
+        # Lower weighted median, straight from the definition: smallest
+        # price whose cumulative integer weight reaches half the total.
+        g = g.sort_values("l_extendedprice")
+        wt = g["l_quantity"].astype("int64").to_numpy()
+        cum = np.cumsum(wt)
+        tot = int(cum[-1])
+        idx = int(np.argmax(2 * cum >= tot))
+        want_median = float(g["l_extendedprice"].to_numpy()[idx])
+        r = got[flag]
+        assert r["weighted_median_price"] == want_median
+        assert r["total_weight"] == tot
+        want_mean = float(
+            (g["l_extendedprice"] * g["l_quantity"]).sum()
+            / g["l_quantity"].sum()
+        )
+        assert abs(r["weighted_mean_price"] - want_mean) < 1e-6
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    row = token_zipf_fit(spark, SF_DIR).collect()[0]
+    counts = Counter()
+    for t in _pq("documents")["text"]:
+        counts.update(_tokens(t))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_N]
+    y = np.log([c for _, c in top])
+    x = np.log(np.arange(1, len(top) + 1))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n_tokens"] == len(top)
+    assert abs(row["zipf_slope"] - slope) < 1e-5
+    assert abs(row["zipf_intercept"] - intercept) < 1e-5
+    ss_res = np.sum((y - (slope * x + intercept)) ** 2)
+    ss_tot = np.sum((y - y.mean()) ** 2)
+    assert abs(row["zipf_r2"] - (1 - ss_res / ss_tot)) < 1e-5
+
+
+def test_covariance_matches_numpy(spark):
+    got = {
+        (r["dim_i"], r["dim_j"]): r
+        for r in embedding_covariance_topdims(spark, SF_DIR).collect()
+    }
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in _pq("embeddings")["embedding"]]
+    )
+    for (i, j), r in got.items():
+        xi, xj = mat[:, i - 1], mat[:, j - 1]
+        cov = float(np.mean((xi - xi.mean()) * (xj - xj.mean())))
+        assert abs(r["cov"] - cov) < 1e-5
+        denom = xi.std() * xj.std()
+        assert abs(r["pearson_r"] - cov / denom) < 1e-5
+    # Diagonal correlation is exactly 1 after rounding.
+    for i in range(1, 7):
+        assert got[(i, i)]["pearson_r"] == 1.0
+
+
+def test_ewma_fir_matches_pure_python(spark):
+    got = {
+        r["event_type"]: r for r in events_ewma_fir(spark, SF_DIR).collect()
+    }
+    ev = _pq("events")
+    # Parquet carries int64 nanos in some SFs; normalize like the engine.
+    if not str(ev["ts"].dtype).startswith("datetime"):
+        ev["ts"] = pd.to_datetime(ev["ts"], unit="ns")
+    weights = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** j for j in range(EWMA_TAPS)]
+    wsum = sum(weights)
+    for etype, g in ev.groupby("event_type"):
+        vals = g.sort_values("ts")["value"].to_numpy()
+        resids = []
+        for t in range(EWMA_TAPS - 1, len(vals)):
+            fir = (
+                sum(vals[t - j] * weights[j] for j in range(EWMA_TAPS)) / wsum
+            )
+            resids.append(abs(vals[t] - fir))
+        r = got[etype]
+        assert r["n_smoothed"] == len(resids)
+        assert abs(r["mean_abs_resid"] - np.mean(resids)) < 1e-5
+        assert abs(r["max_abs_resid"] - max(resids)) < 1e-5
+        assert r["n_spikes"] == sum(
+            1 for x in resids if round(x - EWMA_SPIKE_TH, 9) > 0
+        )
+
+
+def test_dup_ngram_coverage_matches_pure_python(spark):
+    got = {
+        r["source"]: r for r in doc_dup_ngram_coverage(spark, SF_DIR).collect()
+    }
+    docs = _pq("documents")
+    gram_docs = Counter()
+    per_doc_grams = {}
+    for _, row in docs.iterrows():
+        t = _tokens(row["text"])
+        grams = [
+            " ".join(t[i : i + DUP_NGRAM_N])
+            for i in range(len(t) - DUP_NGRAM_N + 1)
+        ]
+        if grams:
+            per_doc_grams[row["doc_id"]] = (row["source"], grams)
+    for _, (_, grams) in per_doc_grams.items():
+        for g in set(grams):
+            gram_docs[g] += 1
+    agg = {}
+    for _doc, (src, grams) in per_doc_grams.items():
+        n_pos = len(grams)
+        dup = sum(1 for g in grams if gram_docs[g] >= 2)
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_pos
+        a[2] += dup
+        a[3] += 1 if 2 * dup > n_pos else 0
+    assert set(got) == set(agg)
+    for src, (n_docs, tot, dup, majority) in agg.items():
+        r = got[src]
+        assert r["n_docs"] == n_docs
+        assert r["total_positions"] == tot
+        assert r["dup_positions"] == dup
+        assert abs(r["dup_fraction"] - dup / tot) < 1e-6
+        assert r["docs_majority_dup"] == majority
+
+
+def test_gini_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        customer_gini_by_region,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_gini_by_region(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    cust = cust[cust["c_acctbal"] > 0].copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    for rname, g in cust.groupby("region_name"):
+        # 2-dp balances as exact integer cents, straight from the
+        # rank-weighted closed form.
+        x = np.sort(np.round(g["c_acctbal"].to_numpy() * 100).astype("int64"))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype="int64")
+        gini = 2.0 * float((i * x).sum()) / (n * float(x.sum())) - (n + 1) / n
+        r = got[rname]
+        assert r["n_customers"] == n
+        assert abs(r["total_balance"] - x.sum() / 100.0) < 1e-6
+        assert abs(r["gini"] - gini) < 1e-6
+
+
+def test_elasticity_matches_numpy_polyfit(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        brand_discount_elasticity,
+    )
+
+    got = {
+        r["p_brand"]: r
+        for r in brand_discount_elasticity(spark, SF_DIR).collect()
+    }
+    li = _pq("lineitem")
+    part = _pq("part").set_index("p_partkey")
+    li = li.copy()
+    li["p_brand"] = li["l_partkey"].map(part["p_brand"].to_dict())
+    for brand, g in li.groupby("p_brand"):
+        slope, intercept = np.polyfit(g["l_discount"], g["l_quantity"], 1)
+        r = got[brand]
+        assert r["n_lineitems"] == len(g)
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-5
+        assert (
+            abs(r["pearson_r"] - np.corrcoef(g["l_discount"], g["l_quantity"])[0, 1])
+            < 1e-6
+        )
+
+
+def test_runs_test_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        daily_revenue_runs_test,
+    )
+
+    got = {
+        r["year"]: r for r in daily_revenue_runs_test(spark, SF_DIR).collect()
+    }
+    orders = _pq("orders").copy()
+    orders["d"] = orders["o_orderdate"].dt.date
+    # Exact integer cents so the direction of every move is exact.
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype("int64")
+    daily = orders.groupby("d")["cents"].sum().sort_index()
+    by_year = {}
+    for d, rev in daily.items():
+        by_year.setdefault(d.year, []).append(rev)
+    for yr, revs in by_year.items():
+        signs = []
+        for prev, cur in zip(revs, revs[1:]):
+            if cur != prev:
+                signs.append(1 if cur > prev else -1)
+        n_runs = sum(
+            1 for k, s in enumerate(signs) if k == 0 or signs[k - 1] != s
+        )
+        r = got[yr]
+        assert r["n_moves"] == len(signs)
+        assert r["n_up"] == signs.count(1)
+        assert r["n_down"] == signs.count(-1)
+        assert r["n_runs"] == n_runs
+        expect = 1.0 + 2.0 * signs.count(1) * signs.count(-1) / len(signs)
+        assert abs(r["expected_runs"] - expect) < 1e-6
+
+
+def test_pareto_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        nation_revenue_pareto,
+    )
+
+    got = {
+        r["nation_name"]: r
+        for r in nation_revenue_pareto(spark, SF_DIR).collect()
+    }
+    orders = _pq("orders").copy()
+    cust = _pq("customer").set_index("c_custkey")
+    nation = _pq("nation").set_index("n_nationkey")
+    orders["nation_name"] = orders["o_custkey"].map(
+        cust["c_nationkey"].to_dict()
+    ).map(nation["n_name"].to_dict())
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype("int64")
+    for nname, g in orders.groupby("nation_name"):
+        rev = g.groupby("o_custkey")["cents"].sum()
+        # Descending revenue, custkey tie-break — mirror the window order.
+        rev = rev.sort_index().sort_values(ascending=False, kind="stable")
+        vals = rev.to_numpy()
+        tot = int(vals.sum())
+        cum = np.cumsum(vals)
+        k = int(np.argmax(5 * cum >= 4 * tot)) + 1
+        r = got[nname]
+        assert r["n_customers"] == len(vals)
+        assert abs(r["total_revenue"] - tot / 100.0) < 1e-6
+        assert r["top_customers_for_80pct"] == k
+        assert abs(r["pareto_share"] - k / len(vals)) < 1e-6

@@ -67,6 +67,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_mixture_weights": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
+    "orders_benford_first_digit": {
+        "SinglePartition": "one-row order-total branch (broadcast back)"
+    },
     "text_unigram_logprob": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
@@ -223,7 +226,9 @@ SKIP_STREAMING_SINK_QUERIES = frozenset(
 )
 
 
-def audit(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, list[str]]:
+def audit(
+    sf_dir: str = DEFAULT_SF_DIR, only: set[str] | None = None
+) -> dict[str, list[str]]:
     """Return {query: [unallowed findings]} for every registered query."""
     from node_gedcom_graph_spark.operators import all_queries
     from node_gedcom_graph_spark.session import get_spark
@@ -237,6 +242,8 @@ def audit(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, list[str]]:
     failures: dict[str, list[str]] = {}
     for name, fn in sorted(all_queries().items()):
         if name in SKIP_STREAMING_SINK_QUERIES:
+            continue
+        if only and name not in only:
             continue
         try:
             plan = (
@@ -261,7 +268,8 @@ def audit(sf_dir: str = DEFAULT_SF_DIR) -> dict[str, list[str]]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
-    failures = audit(sf_dir)
+    only = set(sys.argv[2:]) or None
+    failures = audit(sf_dir, only)
     if not failures:
         print("plan audit clean: no unallowed anti-patterns")
         return 0
