@@ -855,3 +855,492 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pareto_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles per market segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_lorenz_deciles",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), tiled AS (
+      SELECT c_mktsegment, rev,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY rev, o_custkey) AS decile
+      FROM cust_rev
+    )
+    SELECT c_mktsegment, CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS decile_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(SUM(SUM(rev)) OVER (PARTITION BY c_mktsegment)
+                        AS DOUBLE), 6) AS revenue_share
+    FROM tiled
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def segment_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles per market segment: customers bucketed into
+    revenue deciles (ascending), with each decile's share of segment
+    revenue — the tabular Lorenz curve whose extremes quantify the
+    Gini that customer_gini_by_region summarizes in one number.
+
+    Determinism: ntile runs over a UNIQUE order (rev, custkey), so
+    bucket assignment is fixed; decile revenues are exact DECIMAL
+    sums; the share divides two exact decimals once. The share's
+    window-over-aggregate (SUM of SUM) reuses the grouped rows — no
+    second scan.
+
+    Scale: per-customer revenue is one map-side-combined aggregate;
+    ntile sorts within each segment's hash partition (5 segments = the
+    skew bound, same contract as the Gini); the decile rollup then
+    aggregates 50 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    wt = W.partitionBy("c_mktsegment").orderBy("rev", "o_custkey")
+    tiled = cust_rev.select(
+        "c_mktsegment", "rev", F.ntile(10).over(wt).alias("decile")
+    )
+    grouped = tiled.groupBy(
+        "c_mktsegment", F.col("decile").cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("rev_dec"),
+    )
+    wseg = W.partitionBy("c_mktsegment")
+    return grouped.select(
+        "c_mktsegment",
+        "decile",
+        "n_customers",
+        F.col("rev_dec").cast("double").alias("decile_revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wseg).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio / Herdan's C per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ttr_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+           ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr,
+           ROUND(ln(COUNT(DISTINCT token)) / ln(COUNT(*)), 6) AS herdan_c
+    FROM tok
+    GROUP BY source
+    """,
+)
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity audit per source: type-token ratio and
+    Herdan's C (log V / log N — the length-robust variant). Templated
+    or looping generations crater both; natural text sits on a stable
+    Herdan line — a cheap generated-text detector per corpus slice.
+
+    Determinism: both metrics are ratios of exact integer counts.
+
+    Scale: COUNT(DISTINCT) plans as the standard two-phase expand
+    (partial distinct on (source, token), then merge) — token-keyed
+    shuffles of counts, never raw text.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    n = F.count(F.lit(1))
+    v = F.countDistinct("token")
+    return tok.groupBy("source").agg(
+        n.cast("bigint").alias("n_tokens"),
+        v.cast("bigint").alias("n_types"),
+        F.round(v / n, 6).alias("ttr"),
+        F.round(F.log(v) / F.log(n), 6).alias("herdan_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per event type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(value, prev), 6) AS autocorr_lag1,
+           ROUND(regr_slope(value, prev), 6) AS ar1_coef,
+           ROUND(regr_intercept(value, prev), 6) AS ar1_intercept
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation and the fitted AR(1) coefficient per
+    event type — the first thing to check before modeling a series as
+    i.i.d. (and the companion to events_ewma_fir: high autocorrelation
+    is when smoothing pays).
+
+    Determinism: (event_type, ts) is unique so the lag pairing is
+    fixed; corr/regr_* are moment aggregates whose cross-engine
+    summation drift is ~1e-12, inside the 6-dp round.
+
+    Scale: one shuffle on event_type, one window sort per type, then a
+    map-side-combined moment aggregate — the same single-pass grouped
+    regression shape as brand_discount_elasticity.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts")
+    lagged = events.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    val, prev = F.col("value"), F.col("prev")
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr(val, prev), 6).alias("autocorr_lag1"),
+        F.round(F.regr_slope(val, prev), 6).alias("ar1_coef"),
+        F.round(F.regr_intercept(val, prev), 6).alias("ar1_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across part sizes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_size_price_anova",
+    oracle="""
+    WITH g AS (
+      SELECT p_size,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS s,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS ss
+      FROM part GROUP BY p_size
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           ROUND((SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                    / SUM(n))
+                 / (COUNT(*) - 1)
+                 / ((CAST(SUM(ss) AS DOUBLE)
+                     - SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n))
+                    / (SUM(n) - COUNT(*))), 6) AS f_stat,
+           ROUND((SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                    / SUM(n))
+                 / (CAST(SUM(ss) AS DOUBLE)
+                    - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                      / SUM(n)), 6) AS eta_squared
+    FROM g
+    """,
+)
+def part_size_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of retail price across the 50 part sizes: F
+    statistic (between-group vs within-group variance) and eta-squared
+    (variance explained) — does size drive price at all?
+
+    The whole test reduces to per-group (n, sum, sum-of-squares) —
+    mergeable DECIMAL-exact partials — so every between/within term is
+    algebra over 50 exact rows; only the final division chain is
+    float. Cross-engine determinism: the decimal partials are exact,
+    and the closing arithmetic, while float, is the SAME expression
+    over identical inputs on both engines.
+
+    Scale: one map-side-combined aggregate over the scan, then a
+    50-row reduction to a single result row (the allowlisted one-row
+    final exchange).
+    """
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice").cast("decimal(18,2)")
+    g = part.groupBy("p_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(p).cast("decimal(38,2)").alias("s"),
+        F.sum(p * p).cast("decimal(38,4)").alias("ss"),
+    )
+    sd = F.col("s").cast("double")
+    group_term = F.sum(sd * sd / F.col("n"))
+    grand_s = F.sum("s").cast("double")
+    n_tot = F.sum("n")
+    k = F.count(F.lit(1))
+    ssb = group_term - grand_s * grand_s / n_tot
+    ssw = F.sum("ss").cast("double") - group_term
+    sst = F.sum("ss").cast("double") - grand_s * grand_s / n_tot
+    return g.agg(
+        k.cast("bigint").alias("k_groups"),
+        n_tot.cast("bigint").alias("n_total"),
+        F.round((ssb / (k - 1)) / (ssw / (n_tot - k)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov statistic per region.
+# ---------------------------------------------------------------------------
+
+KS_SEGMENT = "BUILDING"
+
+
+@register(
+    "customer_balance_ks_region",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT r.r_name AS region_name,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+             CASE WHEN c.c_mktsegment = '{KS_SEGMENT}' THEN 1 ELSE 0
+               END AS in_a
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), per_val AS (
+      SELECT region_name, bal,
+             CAST(SUM(in_a) AS BIGINT) AS a_here,
+             CAST(SUM(1 - in_a) AS BIGINT) AS b_here
+      FROM labeled GROUP BY 1, 2
+    ), ecdf AS (
+      SELECT region_name,
+             SUM(a_here) OVER (PARTITION BY region_name ORDER BY bal
+                               ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b_here) OVER (PARTITION BY region_name ORDER BY bal
+                               ROWS UNBOUNDED PRECEDING) AS cb,
+             SUM(a_here) OVER (PARTITION BY region_name) AS na,
+             SUM(b_here) OVER (PARTITION BY region_name) AS nb
+      FROM per_val
+    )
+    SELECT region_name,
+           CAST(MAX(na) AS BIGINT) AS n_segment,
+           CAST(MAX(nb) AS BIGINT) AS n_rest,
+           CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_numerator,
+           ROUND(CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+                 / (MAX(na) * MAX(nb)), 6) AS ks_stat
+    FROM ecdf
+    GROUP BY region_name
+    """,
+)
+def customer_balance_ks_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per region:
+    does the BUILDING segment's account-balance distribution differ from
+    the rest of the region? D = max |ECDF_a - ECDF_b|, evaluated the
+    EXACT way — per DISTINCT balance (so ties contribute their full
+    step before comparison), with the max taken over the integer
+    numerator |ca*nb - cb*na| and divided once at the end. No float
+    enters until the final ratio: the statistic is exact on both
+    engines by construction.
+
+    Scale: the same pre-aggregate-then-cumulate shape as the weighted
+    median — per-(region, value) counts first (map-side combine), the
+    window then walks distinct values only. KS over a 100 TB column
+    never sorts raw rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    labeled = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+            F.when(F.col("c_mktsegment") == KS_SEGMENT, 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+    )
+    per_val = labeled.groupBy("region_name", "bal").agg(
+        F.sum("in_a").cast("bigint").alias("a_here"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("b_here"),
+    )
+    wcum = (
+        W.partitionBy("region_name")
+        .orderBy("bal")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("region_name")
+    ecdf = per_val.select(
+        "region_name",
+        F.sum("a_here").over(wcum).alias("ca"),
+        F.sum("b_here").over(wcum).alias("cb"),
+        F.sum("a_here").over(wall).alias("na"),
+        F.sum("b_here").over(wall).alias("nb"),
+    )
+    num = F.max(
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    )
+    return ecdf.groupBy("region_name").agg(
+        F.max("na").cast("bigint").alias("n_segment"),
+        F.max("nb").cast("bigint").alias("n_rest"),
+        num.cast("bigint").alias("ks_numerator"),
+        F.round(
+            num.cast("double") / (F.max("na") * F.max("nb")), 6
+        ).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median / MAD robust outliers per region.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3
+
+
+@register(
+    "customer_balance_mad_outliers",
+    oracle=f"""
+    WITH bal AS (
+      SELECT r.r_name AS region_name,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), med AS (
+      SELECT region_name, MIN(bal) AS median_bal
+      FROM (
+        SELECT region_name, bal,
+               SUM(cnt) OVER (PARTITION BY region_name ORDER BY bal
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY region_name) AS tot
+        FROM (SELECT region_name, bal, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bal GROUP BY 1, 2)
+      ) WHERE 2 * cum >= tot
+      GROUP BY region_name
+    ), dev AS (
+      SELECT b.region_name, b.bal,
+             abs(b.bal - m.median_bal) AS adev, m.median_bal
+      FROM bal b JOIN med m USING (region_name)
+    ), mad AS (
+      SELECT region_name, MIN(adev) AS mad_val
+      FROM (
+        SELECT region_name, adev,
+               SUM(cnt) OVER (PARTITION BY region_name ORDER BY adev
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY region_name) AS tot
+        FROM (SELECT region_name, adev, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM dev GROUP BY 1, 2)
+      ) WHERE 2 * cum >= tot
+      GROUP BY region_name
+    )
+    SELECT d.region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MAX(d.median_bal) AS DOUBLE) AS median_bal,
+           CAST(MAX(a.mad_val) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.adev > {MAD_K} * a.mad_val THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (region_name)
+    GROUP BY d.region_name
+    """,
+)
+def customer_balance_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust outlier census per region: lower-median balance, median
+    absolute deviation (MAD), and the count of customers beyond
+    3xMAD — the estimator that survives the very outliers a
+    mean/stddev gate is wrecked by.
+
+    Determinism: both medians come from the distinct-value cumulative-
+    count construction with the integer cross-multiplied boundary
+    (2*cum >= tot); deviations, the MAD, and the 3xMAD outlier gate
+    all stay in exact DECIMAL — there is no float anywhere in set
+    membership, only in the two display casts.
+
+    Scale: two rounds of the pre-aggregate-then-cumulate median (each
+    windows over DISTINCT values per region), one broadcast-size
+    median table joined back, one counting aggregate. Raw rows are
+    scanned, never sorted.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    bal = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        counts = df.groupBy("region_name", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        wcum = (
+            W.partitionBy("region_name")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        wall = W.partitionBy("region_name")
+        cum = counts.select(
+            "region_name",
+            col,
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("tot"),
+        )
+        return (
+            cum.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("region_name")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(bal, "bal", "median_bal")
+    dev = bal.join(F.broadcast(med), "region_name").select(
+        "region_name",
+        "bal",
+        "median_bal",
+        F.abs(F.col("bal") - F.col("median_bal")).alias("adev"),
+    )
+    mad = lower_median(dev, "adev", "mad_val")
+    return (
+        dev.join(F.broadcast(mad), "region_name")
+        .groupBy("region_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.max("median_bal").cast("double").alias("median_bal"),
+            F.max("mad_val").cast("double").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > MAD_K * F.col("mad_val"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

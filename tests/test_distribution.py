@@ -293,3 +293,168 @@ def test_pareto_matches_pure_python(spark):
         assert abs(r["total_revenue"] - tot / 100.0) < 1e-6
         assert r["top_customers_for_80pct"] == k
         assert abs(r["pareto_share"] - k / len(vals)) < 1e-6
+
+
+def test_lorenz_deciles_match_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        segment_lorenz_deciles,
+    )
+
+    got = {
+        (r["c_mktsegment"], r["decile"]): r
+        for r in segment_lorenz_deciles(spark, SF_DIR).collect()
+    }
+    orders = _pq("orders").copy()
+    cust = _pq("customer").set_index("c_custkey")
+    orders["seg"] = orders["o_custkey"].map(cust["c_mktsegment"].to_dict())
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype("int64")
+    for seg, g in orders.groupby("seg"):
+        rev = g.groupby("o_custkey")["cents"].sum().reset_index()
+        rev = rev.sort_values(["cents", "o_custkey"]).reset_index(drop=True)
+        n = len(rev)
+        # SQL ntile: first (n % 10) buckets get ceil(n/10) rows.
+        base, extra = divmod(n, 10)
+        sizes = [base + (1 if b < extra else 0) for b in range(10)]
+        tot = rev["cents"].sum()
+        start = 0
+        for b, size in enumerate(sizes, start=1):
+            chunk = rev.iloc[start : start + size]
+            start += size
+            r = got[(seg, b)]
+            assert r["n_customers"] == size
+            assert abs(r["decile_revenue"] - chunk["cents"].sum() / 100) < 1e-6
+            assert abs(r["revenue_share"] - chunk["cents"].sum() / tot) < 1e-6
+
+
+def test_ttr_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        text_ttr_by_source,
+    )
+
+    got = {
+        r["source"]: r for r in text_ttr_by_source(spark, SF_DIR).collect()
+    }
+    docs = _pq("documents")
+    for src, g in docs.groupby("source"):
+        toks = [t for txt in g["text"] for t in _tokens(txt)]
+        n, v = len(toks), len(set(toks))
+        r = got[src]
+        assert r["n_tokens"] == n
+        assert r["n_types"] == v
+        assert abs(r["ttr"] - v / n) < 1e-6
+        assert abs(r["herdan_c"] - math.log(v) / math.log(n)) < 1e-6
+
+
+def test_autocorr_matches_numpy(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        events_autocorr_lag1,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in events_autocorr_lag1(spark, SF_DIR).collect()
+    }
+    ev = _pq("events")
+    if not str(ev["ts"].dtype).startswith("datetime"):
+        ev["ts"] = pd.to_datetime(ev["ts"], unit="ns")
+    for etype, g in ev.groupby("event_type"):
+        vals = g.sort_values("ts")["value"].to_numpy()
+        cur, prev = vals[1:], vals[:-1]
+        r = got[etype]
+        assert r["n_pairs"] == len(cur)
+        assert abs(r["autocorr_lag1"] - np.corrcoef(cur, prev)[0, 1]) < 1e-6
+        slope, intercept = np.polyfit(prev, cur, 1)
+        assert abs(r["ar1_coef"] - slope) < 1e-5
+        assert abs(r["ar1_intercept"] - intercept) < 1e-4
+
+
+def test_anova_matches_scipy_formula(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        part_size_price_anova,
+    )
+
+    row = part_size_price_anova(spark, SF_DIR).collect()[0]
+    part = _pq("part")
+    groups = [
+        g["p_retailprice"].to_numpy() for _, g in part.groupby("p_size")
+    ]
+    allv = np.concatenate(groups)
+    grand = allv.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k_groups"] == k
+    assert row["n_total"] == n
+    assert abs(row["f_stat"] - f) < 1e-4
+    assert abs(row["eta_squared"] - ssb / (ssb + ssw)) < 1e-5
+
+
+def test_ks_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        KS_SEGMENT,
+        customer_balance_ks_region,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_balance_ks_region(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    cust = cust.copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    cust["cents"] = np.round(cust["c_acctbal"] * 100).astype("int64")
+    for rname, g in cust.groupby("region_name"):
+        a = np.sort(g.loc[g["c_mktsegment"] == KS_SEGMENT, "cents"].to_numpy())
+        b = np.sort(g.loc[g["c_mktsegment"] != KS_SEGMENT, "cents"].to_numpy())
+        na, nb = len(a), len(b)
+        best = 0
+        for v in np.unique(g["cents"].to_numpy()):
+            ca = int((a <= v).sum())
+            cb = int((b <= v).sum())
+            best = max(best, abs(ca * nb - cb * na))
+        r = got[rname]
+        assert r["n_segment"] == na
+        assert r["n_rest"] == nb
+        assert r["ks_numerator"] == best
+        assert abs(r["ks_stat"] - best / (na * nb)) < 1e-6
+
+
+def test_mad_outliers_match_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        MAD_K,
+        customer_balance_mad_outliers,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_balance_mad_outliers(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    cust = cust.copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    cust["cents"] = np.round(cust["c_acctbal"] * 100).astype("int64")
+
+    def lower_median(vals):
+        vals = np.sort(vals)
+        # Smallest value whose cumulative count reaches half the total.
+        return int(vals[(2 * (np.arange(len(vals)) + 1) >= len(vals)).argmax()])
+
+    for rname, g in cust.groupby("region_name"):
+        cents = g["cents"].to_numpy()
+        med = lower_median(cents)
+        adev = np.abs(cents - med)
+        mad = lower_median(adev)
+        r = got[rname]
+        assert r["n_customers"] == len(cents)
+        assert abs(r["median_bal"] - med / 100) < 1e-9
+        assert abs(r["mad"] - mad / 100) < 1e-9
+        assert r["n_outliers"] == int((adev > MAD_K * mad).sum())

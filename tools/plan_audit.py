@@ -70,6 +70,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "orders_benford_first_digit": {
         "SinglePartition": "one-row order-total branch (broadcast back)"
     },
+    "part_size_price_anova": {
+        "SinglePartition": "one-row ANOVA result (50-group partial merge)"
+    },
     "text_unigram_logprob": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
