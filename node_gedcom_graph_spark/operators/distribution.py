@@ -1344,3 +1344,319 @@ def customer_balance_mad_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: PMI of part-name word pairs.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "part_name_bigram_pmi",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT regexp_extract_all(lower(p_name), '[a-z0-9]+')[1] AS w1,
+             regexp_extract_all(lower(p_name), '[a-z0-9]+')[2] AS w2
+      FROM part
+      WHERE len(regexp_extract_all(lower(p_name), '[a-z0-9]+')) >= 2
+    ), joint AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM pairs GROUP BY w1, w2
+    ), left_m AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_x FROM pairs GROUP BY w1
+    ), right_m AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_y FROM pairs GROUP BY w2
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
+    SELECT j.w1, j.w2, j.c_xy,
+           ROUND(ln(CAST(j.c_xy AS DOUBLE) * n / (l.c_x * r.c_y)), 6)
+             AS pmi,
+           ROUND(ln(CAST(j.c_xy AS DOUBLE) * n / (l.c_x * r.c_y))
+                 / (-ln(CAST(j.c_xy AS DOUBLE) / n)), 6) AS npmi
+    FROM joint j
+    JOIN left_m l USING (w1) JOIN right_m r USING (w2) CROSS JOIN tot
+    WHERE j.c_xy >= {PMI_MIN_COUNT}
+    """,
+)
+def part_name_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over part names: pointwise mutual
+    information (and its [-1,1]-normalized variant NPMI) of each
+    (first-word, second-word) pair — which adjective-noun pairings are
+    genuinely associated vs incidental. The same operator mines
+    collocations for tokenizer merge seeding on a text corpus.
+
+    Determinism: all four inputs to the PMI log are exact integer
+    counts; membership gates on an integer count floor; the log
+    expression is identical on both engines, then rounded.
+
+    Scale: three map-side-combined counting aggregates off one pair
+    extraction, two hash joins keyed on the marginal words (each
+    marginal table is vocabulary-sized — Catalyst picks broadcast when
+    small, shuffle-hash when not; no forced hint, per the TF-IDF
+    lesson), one broadcast scalar total.
+    """
+    part = load_table(spark, sf_dir, "part")
+    toks = tokens(F.col("p_name"))
+    pairs = part.filter(F.size(toks) >= 2).select(
+        F.element_at(toks, 1).alias("w1"),
+        F.element_at(toks, 2).alias("w2"),
+    )
+    joint = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    left_m = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_x")
+    )
+    right_m = pairs.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_y")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pmi = F.log(
+        F.col("c_xy").cast("double") * F.col("n") / (F.col("c_x") * F.col("c_y"))
+    )
+    denom = -F.log(F.col("c_xy").cast("double") / F.col("n"))
+    return (
+        joint.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(pmi / denom, 6).alias("npmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Mann-Whitney U per region (tie-corrected, integer-exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_balance_mannwhitney",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT r.r_name AS region_name,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+             CASE WHEN c.c_mktsegment = '{KS_SEGMENT}' THEN 1 ELSE 0
+               END AS in_a
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), per_val AS (
+      SELECT region_name, bal,
+             CAST(SUM(in_a) AS BIGINT) AS a_here,
+             CAST(COUNT(*) AS BIGINT) AS c_here
+      FROM labeled GROUP BY 1, 2
+    ), ranked AS (
+      SELECT region_name, a_here, c_here,
+             SUM(c_here) OVER (PARTITION BY region_name ORDER BY bal
+                               ROWS UNBOUNDED PRECEDING) - c_here
+               AS cum_before,
+             SUM(a_here) OVER (PARTITION BY region_name) AS na,
+             SUM(c_here) OVER (PARTITION BY region_name) AS n_all
+      FROM per_val
+    )
+    SELECT region_name,
+           CAST(MAX(na) AS BIGINT) AS n_segment,
+           CAST(MAX(n_all - na) AS BIGINT) AS n_rest,
+           CAST(SUM(a_here * (2 * cum_before + c_here + 1))
+                - MAX(na) * (MAX(na) + 1) AS BIGINT) AS u2,
+           ROUND((CAST(SUM(a_here * (2 * cum_before + c_here + 1))
+                       - MAX(na) * (MAX(na) + 1) AS DOUBLE)
+                  / (MAX(na) * MAX(n_all - na))) - 1.0, 6)
+             AS rank_biserial
+    FROM ranked
+    GROUP BY region_name
+    """,
+)
+def customer_balance_mannwhitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Mann-Whitney U per region for the same BUILDING-vs-rest
+    split as the KS test, with midrank tie handling — the rank-sum
+    complement to KS's max-gap view. Reported as u2 = 2*U (doubling
+    keeps tie midranks integral, so the statistic is EXACT end-to-end)
+    plus the rank-biserial effect size r = 2U/(na*nb) - 1 = u2/(na*nb)
+    - 1.
+
+    Determinism: tie blocks contribute a_here*(2*cum_before+cnt+1) —
+    pure integers; the only float is the final effect-size division.
+
+    Scale: identical shape to the KS query — per-(region, value)
+    counts, a cumulative window over DISTINCT values, one closing
+    aggregate. Rank statistics over 100 TB without ranking raw rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    labeled = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+            F.when(F.col("c_mktsegment") == KS_SEGMENT, 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+    )
+    per_val = labeled.groupBy("region_name", "bal").agg(
+        F.sum("in_a").cast("bigint").alias("a_here"),
+        F.count(F.lit(1)).cast("bigint").alias("c_here"),
+    )
+    wcum = (
+        W.partitionBy("region_name")
+        .orderBy("bal")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("region_name")
+    ranked = per_val.select(
+        "region_name",
+        "a_here",
+        "c_here",
+        (F.sum("c_here").over(wcum) - F.col("c_here")).alias("cum_before"),
+        F.sum("a_here").over(wall).alias("na"),
+        F.sum("c_here").over(wall).alias("n_all"),
+    )
+    two_r = F.sum(
+        F.col("a_here") * (2 * F.col("cum_before") + F.col("c_here") + 1)
+    )
+    na, nb = F.max("na"), F.max(F.col("n_all") - F.col("na"))
+    u2 = two_r - na * (na + 1)
+    return ranked.groupBy("region_name").agg(
+        na.cast("bigint").alias("n_segment"),
+        nb.cast("bigint").alias("n_rest"),
+        u2.cast("bigint").alias("u2"),
+        F.round(u2.cast("double") / (na * nb) - 1.0, 6).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per event type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY event_type ORDER BY ts)) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS mean_gap_s,
+           ROUND(stddev_pop(gap_s), 6) AS sd_gap_s,
+           ROUND(stddev_pop(gap_s) / AVG(gap_s), 6) AS cv,
+           ROUND((stddev_pop(gap_s) - AVG(gap_s))
+                 / (stddev_pop(gap_s) + AVG(gap_s)), 6) AS burstiness
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-arrival burstiness per event type: coefficient of
+    variation of the gap series and the Goh-Barabasi burstiness index
+    B = (sigma-mu)/(sigma+mu) — B near -1 is a metronome, 0 is
+    Poisson, +1 is maximally bursty. The triage metric before
+    choosing sessionization windows or stream watermarks.
+
+    Determinism: gaps are exact integer microsecond differences
+    divided by a constant (the same IEEE operation per row on both
+    engines); the moment aggregates then drift ~1e-12 across
+    summation orders, inside the 6-dp round.
+
+    Scale: one shuffle on event_type, one per-type window sort, one
+    moment aggregate — nothing touches more than the gap column.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = events.select(
+        "event_type",
+        ((micros - F.lag(micros).over(w)) / F.lit(1e6)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    mu = F.avg("gap_s")
+    sd = F.stddev_pop("gap_s")
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round(sd / mu, 6).alias("cv"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly seasonality index of order revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "month_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS total_rev,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM monthly
+    )
+    SELECT month, n_orders,
+           CAST(rev AS DOUBLE) AS month_revenue,
+           ROUND(CAST(rev AS DOUBLE) * n_months
+                 / CAST(total_rev AS DOUBLE), 6) AS seasonal_index
+    FROM monthly CROSS JOIN tot
+    """,
+)
+def month_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal index by calendar month:
+    month revenue relative to the mean month (index 1.0 = an average
+    month). The companion to events_seasonal_naive_mape on the orders
+    ledger, and the input a deseasonalized forecast divides by.
+
+    Determinism: revenues are exact DECIMAL sums; the index divides
+    two exact decimals (scaled by an integer month count) once.
+
+    Scale: a 12-key map-side-combined aggregate, a one-row total
+    broadcast back — the scan is touched once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev"),
+    )
+    tot = monthly.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("month_revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            * F.col("n_months")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )

@@ -458,3 +458,135 @@ def test_mad_outliers_match_pure_python(spark):
         assert abs(r["median_bal"] - med / 100) < 1e-9
         assert abs(r["mad"] - mad / 100) < 1e-9
         assert r["n_outliers"] == int((adev > MAD_K * mad).sum())
+
+
+def test_pmi_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        PMI_MIN_COUNT,
+        part_name_bigram_pmi,
+    )
+
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in part_name_bigram_pmi(spark, SF_DIR).collect()
+    }
+    part = _pq("part")
+    pairs = []
+    for name in part["p_name"]:
+        t = _tokens(name)
+        if len(t) >= 2:
+            pairs.append((t[0], t[1]))
+    joint = Counter(pairs)
+    left = Counter(p[0] for p in pairs)
+    right = Counter(p[1] for p in pairs)
+    n = len(pairs)
+    want = {
+        (w1, w2): c
+        for (w1, w2), c in joint.items()
+        if c >= PMI_MIN_COUNT
+    }
+    assert set(got) == set(want)
+    for (w1, w2), c in want.items():
+        r = got[(w1, w2)]
+        pmi = math.log(c * n / (left[w1] * right[w2]))
+        assert r["c_xy"] == c
+        assert abs(r["pmi"] - pmi) < 1e-6
+        assert abs(r["npmi"] - pmi / (-math.log(c / n))) < 1e-6
+
+
+def test_mannwhitney_matches_scipy_style(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        KS_SEGMENT,
+        customer_balance_mannwhitney,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_balance_mannwhitney(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    cust = cust.copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    cust["cents"] = np.round(cust["c_acctbal"] * 100).astype("int64")
+    for rname, g in cust.groupby("region_name"):
+        a = g.loc[g["c_mktsegment"] == KS_SEGMENT, "cents"].to_numpy()
+        b = g.loc[g["c_mktsegment"] != KS_SEGMENT, "cents"].to_numpy()
+        pooled = np.concatenate([a, b])
+        # Midranks via scipy-free rankdata: average rank over ties.
+        order = np.argsort(pooled, kind="stable")
+        ranks = np.empty(len(pooled))
+        sorted_v = pooled[order]
+        i = 0
+        while i < len(sorted_v):
+            j = i
+            while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        r_a = ranks[: len(a)].sum()
+        u = r_a - len(a) * (len(a) + 1) / 2
+        r = got[rname]
+        assert r["n_segment"] == len(a)
+        assert r["n_rest"] == len(b)
+        assert r["u2"] == int(round(2 * u))
+        assert abs(r["rank_biserial"] - (2 * u / (len(a) * len(b)) - 1)) < 1e-6
+
+
+def test_burstiness_matches_numpy(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        event_interarrival_burstiness,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in event_interarrival_burstiness(spark, SF_DIR).collect()
+    }
+    ev = _pq("events")
+    if not str(ev["ts"].dtype).startswith("datetime"):
+        ev["ts"] = pd.to_datetime(ev["ts"], unit="ns")
+    for etype, g in ev.groupby("event_type"):
+        # Truncate to whole microseconds exactly as both engines store
+        # (normalize pandas' datetime64 unit to ns first).
+        micros = (
+            g.sort_values("ts")["ts"]
+            .to_numpy()
+            .astype("datetime64[ns]")
+            .astype("int64")
+            // 1000
+        )
+        gaps = np.diff(micros) / 1e6
+        mu, sd = gaps.mean(), gaps.std()
+        r = got[etype]
+        assert r["n_gaps"] == len(gaps)
+        assert abs(r["mean_gap_s"] - mu) < 1e-5
+        assert abs(r["sd_gap_s"] - sd) < 1e-5
+        assert abs(r["cv"] - sd / mu) < 1e-6
+        assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-6
+
+
+def test_seasonality_index_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        month_seasonality_index,
+    )
+
+    got = {
+        r["month"]: r
+        for r in month_seasonality_index(spark, SF_DIR).collect()
+    }
+    orders = _pq("orders").copy()
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype("int64")
+    orders["month"] = orders["o_orderdate"].dt.month
+    monthly = orders.groupby("month")["cents"].agg(["sum", "count"])
+    total = monthly["sum"].sum()
+    for month, row in monthly.iterrows():
+        r = got[month]
+        assert r["n_orders"] == row["count"]
+        assert abs(r["month_revenue"] - row["sum"] / 100) < 1e-6
+        assert (
+            abs(r["seasonal_index"] - row["sum"] * len(monthly) / total)
+            < 1e-6
+        )

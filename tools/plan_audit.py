@@ -73,6 +73,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "part_size_price_anova": {
         "SinglePartition": "one-row ANOVA result (50-group partial merge)"
     },
+    "part_name_bigram_pmi": {
+        "SinglePartition": "one-row pair-total branch (broadcast back)"
+    },
+    "month_seasonality_index": {
+        "SinglePartition": "one-row revenue-total branch (broadcast back)"
+    },
     "text_unigram_logprob": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
