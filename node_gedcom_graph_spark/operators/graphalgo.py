@@ -553,3 +553,204 @@ def copurchase_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_key"),
         F.col("deg").cast("bigint").alias("residual_degree"),
     )
+
+
+@register(
+    "copurchase_degree_powerlaw",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+           ROUND(AVG(CAST(d AS DOUBLE)), 6) AS mean_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           ROUND(1.0 + COUNT(*) / SUM(ln(d / 0.5)), 6) AS alpha_mle
+    FROM deg
+    """,
+)
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution summary of the co-purchase graph with the
+    Clauset-Shalizi-Newman continuous-MLE power-law exponent
+    (alpha = 1 + n / sum(ln(k / (kmin - 1/2))), kmin = 1) — the
+    one-number check of whether the graph is heavy-tailed enough to
+    need the degree-oriented triangle strategy and skew-aware joins
+    used elsewhere in this module.
+
+    Determinism: degrees are exact integers; the log-sum drifts
+    ~1e-12 across accumulation orders, inside the 6-dp round.
+
+    Scale: degree counting is one explode + map-side-combined count;
+    the summary is a one-row reduction (allowlisted final exchange).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    n = F.count(F.lit(1))
+    return deg.agg(
+        n.cast("bigint").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.avg(F.col("d").cast("double")), 6).alias("mean_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.round(
+            F.lit(1.0) + n / F.sum(F.log(F.col("d") / F.lit(0.5))), 6
+        ).alias("alpha_mle"),
+    )
+
+
+@register(
+    "copurchase_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY p
+    ), sym AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb
+      UNION ALL
+      SELECT db.d, da.d
+      FROM edges e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb
+    )
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 6)
+             AS assortativity
+    FROM sym
+    """,
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list. Positive = hubs buy with hubs; negative = hub-and-spoke.
+    Tells you whether degree-based partitioning will face correlated
+    or scattered hot spots.
+
+    Determinism: the correlated values are exact integer degrees; the
+    corr moment sums drift ~1e-12, inside the 6-dp round.
+
+    Scale: two hash joins keyed on the edge endpoints against the
+    (node, degree) table, one moment aggregate; the symmetrization is
+    a union of the same joined frame, not a second join pass in
+    Spark's plan (both orientations are projected from one join).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("dx"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("dy"))
+    joined = edges.join(da, "pa").join(db, "pb").select("dx", "dy")
+    sym = joined.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("dx").alias("x"), F.col("dy").alias("y")),
+                F.struct(F.col("dy").alias("x"), F.col("dx").alias("y")),
+            )
+        ).alias("pair")
+    ).select(F.col("pair.x").alias("dx"), F.col("pair.y").alias("dy"))
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")), 6
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "copurchase_clustering_global",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY p
+    ), wed AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT CAST(n_tri AS BIGINT) AS n_triangles,
+           n_wedges,
+           ROUND(3.0 * n_tri / n_wedges, 6) AS global_clustering
+    FROM tri CROSS JOIN wed
+    """,
+)
+def copurchase_clustering_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the
+    co-purchase graph: 3 x triangles / wedges — what fraction of
+    "A-with-B and A-with-C" pairs close into a clique.
+
+    The Spark side counts triangles with the SAME degree-oriented
+    wedge join as copurchase_triangles (each triangle generated
+    exactly once at its lowest-degree apex — the skew-bounded
+    strategy); the oracle counts them with the naive id-ordered
+    3-way join. Equality of the two counts re-proves the orientation
+    rewrite on the closed-count level. Wedge counts are exact
+    integers from the degree table; the coefficient is one division.
+
+    Scale: triangle side is the audited 3-shuffle oriented join;
+    wedges reuse the degree aggregate; result is one row.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("deg_b"))
+    ed = edges.join(da, "pa").join(db, "pb")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "dst_deg"
+        ),
+    ).persist()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+            | (
+                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    n_tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    n_wed = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return n_tri.crossJoin(F.broadcast(n_wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_clustering"),
+    )

@@ -79,6 +79,15 @@ ALLOW: dict[str, dict[str, str]] = {
     "month_seasonality_index": {
         "SinglePartition": "one-row revenue-total branch (broadcast back)"
     },
+    "copurchase_degree_powerlaw": {
+        "SinglePartition": "one-row degree-summary result"
+    },
+    "copurchase_assortativity": {
+        "SinglePartition": "one-row correlation result"
+    },
+    "copurchase_clustering_global": {
+        "SinglePartition": "one-row transitivity result (tri + wedge scalars)"
+    },
     "text_unigram_logprob": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
