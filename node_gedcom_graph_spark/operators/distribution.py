@@ -1660,3 +1660,205 @@ def month_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_token_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, n_chars,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_tok), 6) AS chars_per_token,
+           ROUND(SUM(n_tok) * 1.0 / COUNT(*), 6) AS tokens_per_doc
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: characters consumed per
+    token and tokens per document. Fertility disparities across
+    languages are the standard signal that a tokenizer (or here, the
+    whitespace proxy) under-serves a script — the per-language twin of
+    text_bpe_pretoken_stats.
+
+    Determinism: ratios of exact integer sums, divided once.
+
+    Scale: token counting never leaves the row (an array length, no
+    explode); one map-side-combined aggregate on a 5-value key.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_doc = docs.select(
+        "lang", "n_chars", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    chars, toks, n = F.sum("n_chars"), F.sum("n_tok"), F.count(F.lit(1))
+    return per_doc.groupBy("lang").agg(
+        n.cast("bigint").alias("n_docs"),
+        chars.cast("bigint").alias("total_chars"),
+        toks.cast("bigint").alias("total_tokens"),
+        F.round(chars / toks, 6).alias("chars_per_token"),
+        F.round(toks / n, 6).alias("tokens_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact length quartiles per source (distinct-value cumulative kernel).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_quartiles_by_source",
+    oracle="""
+    WITH counts AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, n_chars,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY source) AS tot
+      FROM counts
+    )
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN 4 * c >= tot THEN n_chars END) AS BIGINT)
+             AS p25,
+           CAST(MIN(CASE WHEN 2 * c >= tot THEN n_chars END) AS BIGINT)
+             AS p50,
+           CAST(MIN(CASE WHEN 4 * c >= 3 * tot THEN n_chars END) AS BIGINT)
+             AS p75,
+           CAST(MIN(CASE WHEN 4 * c >= 3 * tot THEN n_chars END)
+                - MIN(CASE WHEN 4 * c >= tot THEN n_chars END) AS BIGINT)
+             AS iqr
+    FROM cum
+    GROUP BY source
+    """,
+)
+def doc_length_quartiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT length quartiles (lower-quantile convention) and IQR per
+    source — the length-profile audit behind curation length cuts,
+    computed without any approximation and without sorting raw rows:
+    all three quartiles fall out of ONE distinct-value cumulative
+    window with integer cross-multiplied boundaries (4c>=t, 2c>=t,
+    4c>=3t) read off as conditional MINs in a single aggregate.
+
+    Contrast: approx_percentile_prices shows the sketch path;
+    percentiles_lineitem_price the global-exact path; this is the
+    grouped-exact path — the third corner of the percentile
+    trade-off triangle, and the only one that is both exact and
+    shuffle-bounded by distinct values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    cum = counts.select(
+        "source",
+        "n_chars",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("tot"),
+    )
+    q = lambda cond: F.min(F.when(cond, F.col("n_chars")))  # noqa: E731
+    p25 = q(4 * F.col("c") >= F.col("tot"))
+    p50 = q(2 * F.col("c") >= F.col("tot"))
+    p75 = q(4 * F.col("c") >= 3 * F.col("tot"))
+    return cum.groupBy("source").agg(
+        F.max("tot").cast("bigint").alias("n_docs"),
+        p25.cast("bigint").alias("p25"),
+        p50.cast("bigint").alias("p50"),
+        p75.cast("bigint").alias("p75"),
+        (p75 - p25).cast("bigint").alias("iqr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source sampling weights.
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+
+
+@register(
+    "source_sampling_temperature",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n FROM tok),
+    scaled AS (
+      SELECT source, n_tok,
+             pow(n_tok * 1.0 / n, {MIX_ALPHA}) AS pw
+      FROM tok CROSS JOIN tot
+    )
+    SELECT source, n_tok,
+           ROUND(pw / SUM(pw) OVER (), 6) AS sample_weight,
+           ROUND(pw / SUM(pw) OVER ()
+                 / (n_tok * 1.0 / (SELECT n FROM tot)), 6) AS upweight
+    FROM scaled
+    """,
+)
+def source_sampling_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponential-smoothed sampling weights per source (alpha=0.7,
+    the mBERT/mC4 multilingual recipe): raise each source's token
+    share to alpha < 1 and renormalize, flattening the mixture so
+    low-resource sources are seen more often. ``upweight`` is the
+    resulting boost over proportional sampling — the number a
+    data-mixing plan reports.
+
+    Determinism: token shares are exact integer ratios; pow and the
+    final normalization are identical IEEE expressions on both
+    engines, rounded to 6 dp (pow ULP differences sit ~1e-16
+    relative).
+
+    Scale: per-source token totals are one map-side-combined
+    aggregate (array length per row, no explode); the normalization
+    window runs over |sources| rows — the allowlisted final-exchange
+    pattern would apply, but with 20 rows the plan's single partition
+    IS the result shape (listed under ALLOW).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tok")
+    )
+    tot = tok.agg(F.sum("n_tok").cast("bigint").alias("n"))
+    scaled = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.pow(F.col("n_tok") * F.lit(1.0) / F.col("n"), MIX_ALPHA).alias(
+            "pw"
+        ),
+        (F.col("n_tok") * F.lit(1.0) / F.col("n")).alias("p_prop"),
+    )
+    wall = W.partitionBy()
+    return scaled.select(
+        "source",
+        "n_tok",
+        F.round(F.col("pw") / F.sum("pw").over(wall), 6).alias(
+            "sample_weight"
+        ),
+        F.round(
+            F.col("pw") / F.sum("pw").over(wall) / F.col("p_prop"), 6
+        ).alias("upweight"),
+    )

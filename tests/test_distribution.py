@@ -590,3 +590,89 @@ def test_seasonality_index_matches_pure_python(spark):
             abs(r["seasonal_index"] - row["sum"] * len(monthly) / total)
             < 1e-6
         )
+
+
+def test_fertility_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        lang_token_fertility,
+    )
+
+    got = {
+        r["lang"]: r for r in lang_token_fertility(spark, SF_DIR).collect()
+    }
+    docs = _pq("documents")
+    for lang, g in docs.groupby("lang"):
+        toks = sum(len(_tokens(t)) for t in g["text"])
+        chars = int(g["n_chars"].sum())
+        r = got[lang]
+        assert r["n_docs"] == len(g)
+        assert r["total_chars"] == chars
+        assert r["total_tokens"] == toks
+        assert abs(r["chars_per_token"] - chars / toks) < 1e-6
+        assert abs(r["tokens_per_doc"] - toks / len(g)) < 1e-6
+
+
+def test_quartiles_match_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        doc_length_quartiles_by_source,
+    )
+
+    got = {
+        r["source"]: r
+        for r in doc_length_quartiles_by_source(spark, SF_DIR).collect()
+    }
+
+    def lower_q(vals, num, den):
+        # Smallest v with den*cum >= num*total.
+        vals = sorted(vals)
+        tot = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if den * i >= num * tot:
+                return v
+
+    docs = _pq("documents")
+    for src, g in docs.groupby("source"):
+        lens = g["n_chars"].tolist()
+        p25 = lower_q(lens, 1, 4)
+        p50 = lower_q(lens, 1, 2)
+        p75 = lower_q(lens, 3, 4)
+        r = got[src]
+        assert r["n_docs"] == len(lens)
+        assert (r["p25"], r["p50"], r["p75"]) == (p25, p50, p75)
+        assert r["iqr"] == p75 - p25
+
+
+def test_temperature_weights_match_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        MIX_ALPHA,
+        source_sampling_temperature,
+    )
+
+    got = {
+        r["source"]: r
+        for r in source_sampling_temperature(spark, SF_DIR).collect()
+    }
+    docs = _pq("documents")
+    tok = {
+        src: sum(len(_tokens(t)) for t in g["text"])
+        for src, g in docs.groupby("source")
+    }
+    n = sum(tok.values())
+    pw = {s: (c / n) ** MIX_ALPHA for s, c in tok.items()}
+    z = sum(pw.values())
+    for src, c in tok.items():
+        r = got[src]
+        assert r["n_tok"] == c
+        assert abs(r["sample_weight"] - pw[src] / z) < 1e-6
+        assert abs(r["upweight"] - (pw[src] / z) / (c / n)) < 1e-6
+    # Alpha < 1 flattens: weight order still tracks token share, but
+    # the smallest source keeps a LARGER weight ratio to the largest
+    # than its proportional token-share ratio.
+    ordered = sorted(tok, key=tok.get)
+    weights = [got[s]["sample_weight"] for s in ordered]
+    assert weights == sorted(weights)
+    lo, hi = ordered[0], ordered[-1]
+    assert (
+        got[lo]["sample_weight"] / got[hi]["sample_weight"]
+        > tok[lo] / tok[hi]
+    )

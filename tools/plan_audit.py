@@ -79,6 +79,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "month_seasonality_index": {
         "SinglePartition": "one-row revenue-total branch (broadcast back)"
     },
+    "source_sampling_temperature": {
+        "SinglePartition": "|sources|-row normalization window (result shape)"
+    },
     "copurchase_degree_powerlaw": {
         "SinglePartition": "one-row degree-summary result"
     },
