@@ -1862,3 +1862,200 @@ def source_sampling_temperature(
             F.col("pw") / F.sum("pw").over(wall) / F.col("p_prop"), 6
         ).alias("upweight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the event-type mix per hour of day.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_entropy",
+    oracle="""
+    WITH mix AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT hour_of_day, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM mix GROUP BY 1
+    )
+    SELECT m.hour_of_day,
+           CAST(MAX(t.n) AS BIGINT) AS n_events,
+           CAST(MAX(t.k) AS BIGINT) AS n_types,
+           ROUND(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy_nats,
+           ROUND(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)) / ln(MAX(t.k)), 6)
+             AS evenness
+    FROM mix m JOIN tot t USING (hour_of_day)
+    GROUP BY m.hour_of_day
+    """,
+)
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and Pielou evenness, entropy / ln k) of the
+    event-type mix per hour of day — does the traffic composition
+    shift by hour, or only its volume? The weekday-by-hour profile
+    gives volume; this gives mix.
+
+    Determinism: shares are exact integer ratios; the entropy sums 5
+    O(1) log terms — drift far inside the 6-dp round.
+
+    Scale: a 24x5-key count, a 24-key total joined back (Catalyst
+    broadcasts the 24-row side), one closing aggregate per hour.
+    """
+    events = load_table(spark, sf_dir, "events")
+    mix = events.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = mix.groupBy("hour_of_day").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        mix.join(F.broadcast(tot), "hour_of_day")
+        .groupBy("hour_of_day")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("k").cast("bigint").alias("n_types"),
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(ent / F.log(F.max("k")), 6).alias("evenness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-Simpson diversity of customer nations per segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_nation_simpson",
+    oracle="""
+    WITH mix AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(c) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           ROUND(CAST(SUM(c) AS DOUBLE) * SUM(c) / SUM(c * c), 6)
+             AS inverse_simpson,
+           ROUND(CAST(SUM(c) AS DOUBLE) * SUM(c) / SUM(c * c) / COUNT(*), 6)
+             AS simpson_evenness
+    FROM mix
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_nation_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-Simpson diversity of each market segment's nation mix —
+    the "effective number of nations" a segment draws customers from
+    (N^2 / sum(c_i^2)), with evenness = that / the actual nation
+    count. The diversity number ecology and data-mixing reports both
+    use; unlike entropy it is a ratio of EXACT integers, float only in
+    the final division.
+
+    Scale: a (segment, nation)-key count with map-side combine, then a
+    5-key closing aggregate — two shuffles of count rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    mix = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = F.sum("c")
+    inv_simpson = n.cast("double") * n / F.sum(F.col("c") * F.col("c"))
+    return mix.groupBy("c_mktsegment").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.round(inv_simpson, 6).alias("inverse_simpson"),
+        F.round(inv_simpson / F.count(F.lit(1)), 6).alias(
+            "simpson_evenness"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association between part type and brand.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_type_brand_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS o
+      FROM part GROUP BY 1, 2
+    ), rm AS (
+      SELECT p_type, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1
+    ), cm AS (
+      SELECT p_brand, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT rm.p_type, cm.p_brand, rm.rt, cm.ct, tot.n,
+             COALESCE(obs.o, 0) AS o
+      FROM rm CROSS JOIN cm CROSS JOIN tot
+      LEFT JOIN obs ON obs.p_type = rm.p_type AND obs.p_brand = cm.p_brand
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           ROUND(SUM(pow(o - CAST(rt AS DOUBLE) * ct / n, 2)
+                     / (CAST(rt AS DOUBLE) * ct / n)), 6) AS chi2,
+           ROUND(sqrt(SUM(pow(o - CAST(rt AS DOUBLE) * ct / n, 2)
+                          / (CAST(rt AS DOUBLE) * ct / n))
+                      / (MAX(n) * (LEAST(COUNT(DISTINCT p_type),
+                                         COUNT(DISTINCT p_brand)) - 1))),
+                 6) AS cramers_v
+    FROM grid
+    """,
+)
+def part_type_brand_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between part type and brand — the
+    normalized chi-squared that answers "are these two categorical
+    columns redundant?" on a 0 (independent) to 1 (determined) scale.
+    The categorical twin of the source_length_chi2 audit, built on the
+    same dense-grid discipline: zero-observed cells still contribute
+    their expected counts (the r2 review-pass lesson).
+
+    Determinism: observed counts and both margins are exact integers;
+    each cell's chi2 term is the same float expression on both
+    engines, summed over a fixed small grid and rounded.
+
+    Scale: margins and cells are map-side-combined counts; the dense
+    grid is margins-cross-margins (category-cardinality rows, NOT data
+    rows) left-joined to observed cells — data is scanned once.
+    """
+    part = load_table(spark, sf_dir, "part")
+    obs = part.groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rm = obs.groupBy("p_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    cm = obs.groupBy("p_brand").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = (
+        rm.crossJoin(cm)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["p_type", "p_brand"], "left")
+        .select(
+            "p_type",
+            "p_brand",
+            "rt",
+            "ct",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    chi2 = F.sum(F.pow(F.col("o") - exp, 2) / exp)
+    r = F.countDistinct("p_type")
+    c = F.countDistinct("p_brand")
+    return grid.agg(
+        F.max("n").cast("bigint").alias("n_parts"),
+        r.cast("bigint").alias("n_types"),
+        c.cast("bigint").alias("n_brands"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * (F.least(r, c) - 1))), 6
+        ).alias("cramers_v"),
+    )

@@ -676,3 +676,74 @@ def test_temperature_weights_match_pure_python(spark):
         got[lo]["sample_weight"] / got[hi]["sample_weight"]
         > tok[lo] / tok[hi]
     )
+
+
+def test_hourly_entropy_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        events_hourly_entropy,
+    )
+
+    got = {
+        r["hour_of_day"]: r
+        for r in events_hourly_entropy(spark, SF_DIR).collect()
+    }
+    ev = _pq("events")
+    if not str(ev["ts"].dtype).startswith("datetime"):
+        ev["ts"] = pd.to_datetime(ev["ts"], unit="ns")
+    ev = ev.copy()
+    ev["hour"] = ev["ts"].dt.hour
+    for hour, g in ev.groupby("hour"):
+        counts = g["event_type"].value_counts()
+        n = counts.sum()
+        ent = -sum((c / n) * math.log(c / n) for c in counts)
+        r = got[hour]
+        assert r["n_events"] == n
+        assert r["n_types"] == len(counts)
+        assert abs(r["entropy_nats"] - ent) < 1e-6
+        assert abs(r["evenness"] - ent / math.log(len(counts))) < 1e-6
+
+
+def test_simpson_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        segment_nation_simpson,
+    )
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in segment_nation_simpson(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    for seg, g in cust.groupby("c_mktsegment"):
+        counts = g["c_nationkey"].value_counts()
+        n = int(counts.sum())
+        inv = n * n / int((counts**2).sum())
+        r = got[seg]
+        assert r["n_customers"] == n
+        assert r["n_nations"] == len(counts)
+        assert abs(r["inverse_simpson"] - inv) < 1e-6
+        assert abs(r["simpson_evenness"] - inv / len(counts)) < 1e-6
+
+
+def test_cramers_v_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        part_type_brand_cramers_v,
+    )
+
+    row = part_type_brand_cramers_v(spark, SF_DIR).collect()[0]
+    part = _pq("part")
+    obs = part.groupby(["p_type", "p_brand"]).size()
+    rt = part.groupby("p_type").size()
+    ct = part.groupby("p_brand").size()
+    n = len(part)
+    chi2 = 0.0
+    for t in rt.index:
+        for b in ct.index:
+            e = rt[t] * ct[b] / n
+            o = obs.get((t, b), 0)
+            chi2 += (o - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * (min(len(rt), len(ct)) - 1)))
+    assert row["n_parts"] == n
+    assert row["n_types"] == len(rt)
+    assert row["n_brands"] == len(ct)
+    assert abs(row["chi2"] - chi2) < 1e-4
+    assert abs(row["cramers_v"] - v) < 1e-6

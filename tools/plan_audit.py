@@ -82,6 +82,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_sampling_temperature": {
         "SinglePartition": "|sources|-row normalization window (result shape)"
     },
+    "part_type_brand_cramers_v": {
+        "SinglePartition": "one-row association result (grid-sized merge)"
+    },
     "copurchase_degree_powerlaw": {
         "SinglePartition": "one-row degree-summary result"
     },
