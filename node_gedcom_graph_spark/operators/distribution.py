@@ -2059,3 +2059,133 @@ def part_type_brand_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(chi2 / (F.max("n") * (F.least(r, c) - 1))), 6
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday effect on order value.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_weekday_effect",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS trev,
+             CAST(SUM(n_orders) AS BIGINT) AS tn
+      FROM wk
+    )
+    SELECT iso_weekday, n_orders,
+           ROUND(CAST(rev AS DOUBLE) / n_orders, 6) AS avg_order_value,
+           ROUND((CAST(rev AS DOUBLE) / n_orders)
+                 / (CAST(trev AS DOUBLE) / tn) - 1.0, 6)
+             AS vs_overall_avg
+    FROM wk CROSS JOIN tot
+    """,
+)
+def orders_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect on average order value (ISO weekday 1-7),
+    reported as the relative deviation from the overall mean order —
+    the weekly companion to month_seasonality_index.
+
+    Determinism: both numerators are exact DECIMAL revenue sums and
+    both denominators exact counts; each reported number is one float
+    division (or a ratio of two), then rounded.
+
+    Scale: a 7-key map-side-combined aggregate plus a one-row total
+    broadcast back.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.groupBy(
+        F.dayofweek("o_orderdate").alias("dow_sun1")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev"),
+    )
+    # Spark dayofweek is 1=Sunday; ISO wants 1=Monday..7=Sunday.
+    wk = wk.select(
+        ((F.col("dow_sun1") + 5) % 7 + 1).cast("int").alias("iso_weekday"),
+        "n_orders",
+        "rev",
+    )
+    tot = wk.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("trev"),
+        F.sum("n_orders").cast("bigint").alias("tn"),
+    )
+    avg = F.col("rev").cast("double") / F.col("n_orders")
+    overall = F.col("trev").cast("double") / F.col("tn")
+    return wk.crossJoin(F.broadcast(tot)).select(
+        "iso_weekday",
+        "n_orders",
+        F.round(avg, 6).alias("avg_order_value"),
+        F.round(avg / overall - 1.0, 6).alias("vs_overall_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena rate per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_hapax_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS hapax_type_rate,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / SUM(c), 6)
+             AS hapax_token_rate
+    FROM counts
+    GROUP BY source
+    """,
+)
+def doc_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the share of vocabulary types
+    (and of token mass) that occur exactly once. Natural text keeps a
+    large hapax tail (Zipf's other half); templated or looping
+    generations collapse it — the third lexical-diversity angle after
+    TTR/Herdan and the Zipf slope.
+
+    Determinism: every reported number is a ratio of exact integer
+    counts with an integer equality gate (c = 1).
+
+    Scale: one (source, token)-keyed count with map-side combine, one
+    per-source closing aggregate — counts move, text does not.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    types = F.count(F.lit(1))
+    toks = F.sum("c")
+    return counts.groupBy("source").agg(
+        types.cast("bigint").alias("n_types"),
+        toks.cast("bigint").alias("n_tokens"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(hapax / types, 6).alias("hapax_type_rate"),
+        F.round(hapax / toks, 6).alias("hapax_token_rate"),
+    )

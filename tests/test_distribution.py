@@ -747,3 +747,46 @@ def test_cramers_v_matches_pure_python(spark):
     assert row["n_brands"] == len(ct)
     assert abs(row["chi2"] - chi2) < 1e-4
     assert abs(row["cramers_v"] - v) < 1e-6
+
+
+def test_weekday_effect_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        orders_weekday_effect,
+    )
+
+    got = {
+        r["iso_weekday"]: r
+        for r in orders_weekday_effect(spark, SF_DIR).collect()
+    }
+    orders = _pq("orders").copy()
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype("int64")
+    orders["iso"] = orders["o_orderdate"].dt.dayofweek + 1  # pandas: Mon=0
+    overall = orders["cents"].sum() / len(orders)
+    for iso, g in orders.groupby("iso"):
+        avg = g["cents"].sum() / len(g)
+        r = got[iso]
+        assert r["n_orders"] == len(g)
+        assert abs(r["avg_order_value"] - avg / 100) < 1e-6
+        assert abs(r["vs_overall_avg"] - (avg / overall - 1)) < 1e-6
+
+
+def test_hapax_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        doc_hapax_by_source,
+    )
+
+    got = {
+        r["source"]: r for r in doc_hapax_by_source(spark, SF_DIR).collect()
+    }
+    docs = _pq("documents")
+    for src, g in docs.groupby("source"):
+        counts = Counter(t for txt in g["text"] for t in _tokens(txt))
+        hapax = sum(1 for c in counts.values() if c == 1)
+        r = got[src]
+        assert r["n_types"] == len(counts)
+        assert r["n_tokens"] == sum(counts.values())
+        assert r["n_hapax"] == hapax
+        assert abs(r["hapax_type_rate"] - hapax / len(counts)) < 1e-6
+        assert (
+            abs(r["hapax_token_rate"] - hapax / sum(counts.values())) < 1e-6
+        )

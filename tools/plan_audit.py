@@ -82,6 +82,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_sampling_temperature": {
         "SinglePartition": "|sources|-row normalization window (result shape)"
     },
+    "orders_weekday_effect": {
+        "SinglePartition": "one-row weekly-total branch (broadcast back)"
+    },
     "part_type_brand_cramers_v": {
         "SinglePartition": "one-row association result (grid-sized merge)"
     },
