@@ -2189,3 +2189,125 @@ def doc_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hapax / types, 6).alias("hapax_type_rate"),
         F.round(hapax / toks, 6).alias("hapax_token_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per region (exact midranks, no raw sort).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spearman_balance_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT r.r_name AS region_name, c.c_custkey,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                  AS DECIMAL(38,2)) AS rev
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), bal_rank AS (
+      SELECT region_name, bal,
+             2 * (SUM(cnt) OVER (PARTITION BY region_name ORDER BY bal
+                                 ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS r2x
+      FROM (SELECT region_name, bal, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cust GROUP BY 1, 2)
+    ), rev_rank AS (
+      SELECT region_name, rev,
+             2 * (SUM(cnt) OVER (PARTITION BY region_name ORDER BY rev
+                                 ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS r2y
+      FROM (SELECT region_name, rev, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cust GROUP BY 1, 2)
+    )
+    SELECT c.region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(corr(CAST(b.r2x AS DOUBLE), CAST(v.r2y AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM cust c
+    JOIN bal_rank b ON b.region_name = c.region_name AND b.bal = c.bal
+    JOIN rev_rank v ON v.region_name = c.region_name AND v.rev = c.rev
+    GROUP BY c.region_name
+    """,
+)
+def customer_spearman_balance_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation per region between a customer's
+    account balance and their lifetime order revenue — the monotone-
+    association answer to "do rich accounts actually buy more?",
+    robust to the heavy revenue tail a Pearson correlation would be
+    dominated by.
+
+    Built by COMPOSING the distinct-value midrank kernel used by the
+    Mann-Whitney query: doubled midranks (2*cum_before + cnt + 1) are
+    exact integers per DISTINCT value, joined back to customers on
+    (region, value), then Pearson-correlated. Ties get the standard
+    midrank treatment for free. No raw-row ranking sort anywhere —
+    both rank tables window over distinct values only.
+
+    Determinism: ranks are exact integers; the closing corr drifts
+    ~1e-12 across engines, inside the 6-dp round.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0),
+            )
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+
+    def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        counts = df.groupBy("region_name", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        wcum = (
+            W.partitionBy("region_name")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return counts.select(
+            "region_name",
+            col,
+            (
+                2 * (F.sum("cnt").over(wcum) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    bal_rank = midranks(cust, "bal", "r2x")
+    rev_rank = midranks(cust, "rev", "r2y")
+    return (
+        cust.join(bal_rank, ["region_name", "bal"])
+        .join(rev_rank, ["region_name", "rev"])
+        .groupBy("region_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.corr(
+                    F.col("r2x").cast("double"), F.col("r2y").cast("double")
+                ),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )

@@ -790,3 +790,52 @@ def test_hapax_matches_pure_python(spark):
         assert (
             abs(r["hapax_token_rate"] - hapax / sum(counts.values())) < 1e-6
         )
+
+
+def test_spearman_matches_scipy_style(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        customer_spearman_balance_revenue,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_spearman_balance_revenue(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    orders = _pq("orders")
+    cust = cust.copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    rev = (
+        orders.assign(
+            cents=np.round(orders["o_totalprice"] * 100).astype("int64")
+        )
+        .groupby("o_custkey")["cents"]
+        .sum()
+    )
+    cust["rev_cents"] = cust["c_custkey"].map(rev).fillna(0).astype("int64")
+    cust["bal_cents"] = np.round(cust["c_acctbal"] * 100).astype("int64")
+
+    def midrank(vals):
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(len(vals))
+        sv = vals[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    for rname, g in cust.groupby("region_name"):
+        rx = midrank(g["bal_cents"].to_numpy())
+        ry = midrank(g["rev_cents"].to_numpy())
+        rho = np.corrcoef(rx, ry)[0, 1]
+        r = got[rname]
+        assert r["n_customers"] == len(g)
+        assert abs(r["spearman_rho"] - rho) < 1e-6
