@@ -2311,3 +2311,88 @@ def customer_spearman_balance_revenue(
             ).alias("spearman_rho"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index per region.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_theil_by_region",
+    oracle="""
+    WITH bal AS (
+      SELECT r.r_name AS region_name,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS x
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE c.c_acctbal > 0
+    ), tot AS (
+      SELECT region_name, CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM bal GROUP BY 1
+    )
+    SELECT b.region_name,
+           CAST(MAX(t.n) AS BIGINT) AS n_customers,
+           ROUND(SUM((CAST(b.x AS DOUBLE) / CAST(t.sx AS DOUBLE))
+                     * ln(t.n * CAST(b.x AS DOUBLE)
+                          / CAST(t.sx AS DOUBLE))), 6) AS theil_t,
+           ROUND(1.0 - exp(-SUM((CAST(b.x AS DOUBLE)
+                                 / CAST(t.sx AS DOUBLE))
+                                * ln(t.n * CAST(b.x AS DOUBLE)
+                                     / CAST(t.sx AS DOUBLE)))), 6)
+             AS atkinson_equiv
+    FROM bal b JOIN tot t USING (region_name)
+    GROUP BY b.region_name
+    """,
+)
+def customer_theil_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of positive balances per region —
+    the entropy-based inequality measure (0 = perfect equality,
+    ln n = one customer holds everything), with its Atkinson-style
+    welfare transform 1 - exp(-T). Unlike the Gini it is additively
+    DECOMPOSABLE into within/between-group terms, which is why
+    data-mixing audits prefer it; here the region grouping is the
+    decomposition's within term.
+
+    Determinism: shares x/X divide an exact DECIMAL by an exact
+    DECIMAL once per row (identical IEEE result on both engines); the
+    log-weighted sum drifts ~1e-12 across accumulation orders, inside
+    the 6-dp round. No set membership depends on a float.
+
+    Scale: the per-region totals are one aggregate broadcast back;
+    the index is then a single map-side-combined sum per region —
+    same two-pass shape as source_mixture_weights, no window at all
+    (contrast with the Gini, which needs ranks).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    tot = bal.groupBy("region_name").agg(
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    share = F.col("x").cast("double") / F.col("sx").cast("double")
+    term = share * F.log(
+        F.col("n") * F.col("x").cast("double") / F.col("sx").cast("double")
+    )
+    theil = F.sum(term)
+    return (
+        bal.join(F.broadcast(tot), "region_name")
+        .groupBy("region_name")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(theil, 6).alias("theil_t"),
+            F.round(1.0 - F.exp(-theil), 6).alias("atkinson_equiv"),
+        )
+    )

@@ -839,3 +839,32 @@ def test_spearman_matches_scipy_style(spark):
         r = got[rname]
         assert r["n_customers"] == len(g)
         assert abs(r["spearman_rho"] - rho) < 1e-6
+
+
+def test_theil_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        customer_theil_by_region,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_theil_by_region(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    cust = cust[cust["c_acctbal"] > 0].copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    cust["cents"] = np.round(cust["c_acctbal"] * 100).astype("int64")
+    for rname, g in cust.groupby("region_name"):
+        x = g["cents"].to_numpy().astype("float64")
+        n, sx = len(x), x.sum()
+        theil = float(np.sum((x / sx) * np.log(n * x / sx)))
+        r = got[rname]
+        assert r["n_customers"] == n
+        assert abs(r["theil_t"] - theil) < 1e-6
+        assert abs(r["atkinson_equiv"] - (1 - math.exp(-theil))) < 1e-6
+        # Theil bounds: 0 <= T <= ln n.
+        assert -1e-9 <= r["theil_t"] <= math.log(n)
