@@ -2396,3 +2396,135 @@ def customer_theil_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.exp(-theil), 6).alias("atkinson_equiv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean per region (integer overlap on the distinct-value
+# cumulative kernel).
+# ---------------------------------------------------------------------------
+
+TRIM_TENTHS = 1  # trim floor(n/10) rows from each tail
+
+
+@register(
+    "customer_balance_trimmed_mean",
+    oracle="""
+    WITH bal AS (
+      SELECT r.r_name AS region_name,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS x
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), cum AS (
+      SELECT region_name, x, cnt,
+             SUM(cnt) OVER (PARTITION BY region_name ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY region_name) AS n
+      FROM (SELECT region_name, x, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bal GROUP BY 1, 2)
+    ), kept AS (
+      SELECT region_name, x, n,
+             GREATEST(0, LEAST(c, n - n // 10)
+                         - GREATEST(c - cnt, n // 10)) AS k
+      FROM cum
+    )
+    SELECT region_name,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(k) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(38,2)) * k) AS DOUBLE)
+                 / SUM(k), 6) AS trimmed_mean,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(38,2)) * k) AS DOUBLE)
+                 / SUM(k)
+                 - (SELECT CAST(SUM(CAST(b2.x AS DECIMAL(38,2)))
+                                AS DOUBLE) / COUNT(*)
+                    FROM bal b2 WHERE b2.region_name = kept.region_name),
+                 6) AS vs_plain_mean
+    FROM kept
+    GROUP BY region_name
+    """,
+)
+def customer_balance_trimmed_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 10%-trimmed mean of account balances per region (drop
+    floor(n/10) rows from each tail), plus its gap to the plain mean —
+    the robust location estimate that, unlike the median, still uses
+    80% of the data.
+
+    The trim is computed WITHOUT sorting raw rows: on the
+    distinct-value cumulative kernel, each distinct value keeps
+    k = max(0, min(cum, hi) - max(cum_before, lo)) of its copies —
+    pure integer interval overlap against the [lo, hi] kept-rank
+    window — and the trimmed mean is a DECIMAL-weighted sum over
+    distinct values. Every quantity before the final division is an
+    exact integer or DECIMAL on both engines, including tie blocks
+    that straddle a trim boundary (the overlap arithmetic keeps
+    exactly the in-window copies).
+
+    Scale: same shape as the quartile/median family — per-(region,
+    value) counts, one window over distinct values, one closing
+    aggregate.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    bal = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    counts = bal.groupBy("region_name", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("region_name")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("region_name")
+    cum = counts.select(
+        "region_name",
+        "x",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10)
+    hi = F.col("n") - lo
+    k = F.greatest(
+        F.lit(0),
+        F.least(F.col("c"), hi) - F.greatest(F.col("c") - F.col("cnt"), lo),
+    )
+    kept = cum.select("region_name", "x", "n", k.alias("k"))
+    plain = bal.groupBy("region_name").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("plain_mean")
+    )
+    tmean = (
+        F.sum(F.col("x").cast("decimal(38,2)") * F.col("k")).cast("double")
+        / F.sum("k")
+    )
+    return (
+        kept.groupBy("region_name")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum("k").cast("bigint").alias("n_kept"),
+            F.round(tmean, 6).alias("trimmed_mean"),
+            tmean.alias("_tm"),
+        )
+        .join(F.broadcast(plain), "region_name")
+        .select(
+            "region_name",
+            "n_customers",
+            "n_kept",
+            "trimmed_mean",
+            F.round(F.col("_tm") - F.col("plain_mean"), 6).alias(
+                "vs_plain_mean"
+            ),
+        )
+    )

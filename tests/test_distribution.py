@@ -868,3 +868,34 @@ def test_theil_matches_pure_python(spark):
         assert abs(r["atkinson_equiv"] - (1 - math.exp(-theil))) < 1e-6
         # Theil bounds: 0 <= T <= ln n.
         assert -1e-9 <= r["theil_t"] <= math.log(n)
+
+
+def test_trimmed_mean_matches_pure_python(spark):
+    from node_gedcom_graph_spark.operators.distribution import (
+        customer_balance_trimmed_mean,
+    )
+
+    got = {
+        r["region_name"]: r
+        for r in customer_balance_trimmed_mean(spark, SF_DIR).collect()
+    }
+    cust = _pq("customer")
+    nation = _pq("nation").set_index("n_nationkey")
+    region = _pq("region").set_index("r_regionkey")
+    cust = cust.copy()
+    cust["region_name"] = cust["c_nationkey"].map(
+        nation["n_regionkey"].to_dict()
+    ).map(region["r_name"].to_dict())
+    cust["cents"] = np.round(cust["c_acctbal"] * 100).astype("int64")
+    for rname, g in cust.groupby("region_name"):
+        x = np.sort(g["cents"].to_numpy())
+        n = len(x)
+        lo = n // 10
+        kept = x[lo : n - lo]
+        r = got[rname]
+        assert r["n_customers"] == n
+        assert r["n_kept"] == len(kept)
+        assert abs(r["trimmed_mean"] - kept.mean() / 100) < 1e-6
+        assert (
+            abs(r["vs_plain_mean"] - (kept.mean() - x.mean()) / 100) < 1e-6
+        )
