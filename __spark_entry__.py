@@ -38,17 +38,15 @@ def _coverage_rotation(names: list[str]) -> list[str]:
 
     The driver's correctness gate checks the first N entries of this
     dict (rounds 1-2 gated exactly the first 50). Tiers:
-    1a. never gated AND already registered in the round-2 registry
-        snapshot (tools/registry_r2.json) — these have starved the
-        LONGEST (two rounds), so they must lead: with more never-gated
-        queries than gate slots, plain registry order would crowd them
-        out a third time (they register last, after the operator
-        modules);
-    1b. never gated, newly registered this round;
+    1. never gated, ordered by registration seniority (earliest
+       registry snapshot in tools/registry_r*.json that contains the
+       name) — the longest-starved queries lead, and queries newly
+       registered this round can NEVER displace an older never-gated
+       query from the gate window;
     2. gated in some prior round but not the latest one (stalest next);
     3. gated in the latest run.
     Deterministic: depends only on committed artifacts (CORRECTNESS
-    files + the registry snapshot); within each tier the registry
+    files + the registry snapshots); within each tier the registry
     order is preserved."""
     import glob
     import json
@@ -69,14 +67,26 @@ def _coverage_rotation(names: list[str]) -> list[str]:
         ever |= covered
         if i == len(runs) - 1:
             latest = covered
-    try:
-        with open(os.path.join(_REPO_DIR, "tools", "registry_r2.json")) as fh:
-            senior = set(json.load(fh)["queries"])
-    except (OSError, ValueError, KeyError):
-        senior = set()
+    # Seniority: the round of the first registry snapshot listing the
+    # name (unsnapshotted names = newest = lowest priority).
+    seniority: dict[str, int] = {}
+    for path in sorted(
+        glob.glob(os.path.join(_REPO_DIR, "tools", "registry_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    ):
+        try:
+            with open(path) as fh:
+                snap = json.load(fh)
+            rnd = int(snap["round"])
+            for n in snap["queries"]:
+                seniority.setdefault(n, rnd)
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+    newest = max(seniority.values(), default=0) + 1
+    never = [n for n in names if n not in ever]
+    never.sort(key=lambda n: seniority.get(n, newest))  # stable: registry order kept
     return (
-        [n for n in names if n not in ever and n in senior]
-        + [n for n in names if n not in ever and n not in senior]
+        never
         + [n for n in names if n in ever and n not in latest]
         + [n for n in names if n in latest]
     )
