@@ -528,30 +528,234 @@ def copurchase_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two LEFT SEMI joins keyed on the node — no windows, no
     sorts; data strictly shrinks per round. The edge list is the
     persisted co-purchase build shared by the other graph queries, so
-    peeling adds no new scan of lineitem.
+    peeling adds no new scan of lineitem. ``localCheckpoint`` between
+    rounds truncates lineage so each round's plan is two joins deep
+    regardless of round count — without it the optimizer re-expands
+    the whole peel history every round (round-3 finding; the same
+    rule the BFS/CC loops in graph/queries.py already follow).
     """
     edges = _copurchase_edges(spark, sf_dir)
-
-    def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("pa").alias("node"))
-            .unionAll(e.select(F.col("pb").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-
-    def peel(e: DataFrame) -> DataFrame:
-        keep = degrees(e).filter(F.col("deg") >= KCORE_K).select("node")
-        return (
-            e.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
-            .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
-            .select("pa", "pb")
-        )
-
-    e2 = peel(peel(edges))
-    return degrees(e2).select(
+    e2 = _peel_rounds(edges, KCORE_K, rounds=2)
+    return _degrees(e2).select(
         F.col("node").alias("part_key"),
         F.col("deg").cast("bigint").alias("residual_degree"),
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _peel_once(e: DataFrame, k: int) -> DataFrame:
+    keep = _degrees(e).filter(F.col("deg") >= k).select("node")
+    return (
+        e.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
+        .select("pa", "pb")
+    )
+
+
+def _peel_rounds(e: DataFrame, k: int, rounds: int) -> DataFrame:
+    for _ in range(rounds):
+        e = _peel_once(e, k).localCheckpoint(eager=True)
+    return e
+
+
+KCORE_FIX_K = 3
+# Oracle unroll depth for the fixpoint peel. Peeling is monotone and
+# idempotent at the fixpoint, so an oracle unrolled to N rounds equals
+# the true fixpoint whenever convergence takes <= N rounds; measured
+# convergence is 11 rounds at sf0.01 and 3 at sf0.1
+# (tests/test_graph.py pins the <= bound at the fixture scales).
+KCORE_FIX_UNROLL = 20
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Generate the N-round-unrolled DuckDB peel (e0 .. eN CTEs)."""
+    # MATERIALIZED stops DuckDB from re-inlining each round's CTE at
+    # every reference — inlined, the e0..eN chain re-expands the
+    # parquet scan exponentially ("too many open files" at N=20).
+    parts = [_EDGES_SQL, "e0 AS MATERIALIZED (SELECT pa, pb FROM edges)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT pa AS node FROM e{i - 1} UNION ALL SELECT pb FROM e{i - 1}
+      ) GROUP BY node
+    ), v{i} AS MATERIALIZED (
+      SELECT node FROM d{i} WHERE deg >= {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT pa, pb FROM e{i - 1}
+      WHERE pa IN (SELECT node FROM v{i}) AND pb IN (SELECT node FROM v{i})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS residual_degree
+    FROM (
+      SELECT pa AS node FROM e{rounds} UNION ALL SELECT pb FROM e{rounds}
+    ) GROUP BY node
+    """
+    )
+
+
+@register(
+    "copurchase_kcore_fixpoint",
+    oracle=_kcore_unrolled_sql(KCORE_FIX_K, KCORE_FIX_UNROLL),
+)
+def copurchase_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact k-core of the co-purchase graph (k = 3): peel nodes
+    with degree < k and repeat UNTIL NO EDGE IS DROPPED — the
+    peel-to-fixpoint generalization the fixed-depth ``peel2`` query
+    unrolls (round-3 verdict item 3/4: iterate-to-convergence with
+    bounded lineage).
+
+    Convergence: each round ends in an eager ``localCheckpoint`` whose
+    job also evaluates an ``observe`` edge count, so the
+    round-boundary action doubles as the convergence probe — one Spark
+    job per round, no extra count pass, and the driver only ever holds
+    a scalar. The peel is monotone (edge set strictly shrinks until
+    fixpoint), so "count unchanged" IS the fixpoint test.
+
+    Oracle: DuckDB can't iterate to a data-dependent fixpoint, so the
+    oracle is the same peel unrolled ``KCORE_FIX_UNROLL`` (20) rounds —
+    equal to the fixpoint whenever true convergence needs <= 20 rounds
+    (measured: 11 at sf0.01; a test pins the bound at fixture scales,
+    and the implementation raises if it ever exceeds the unroll depth
+    so a silent oracle divergence is impossible).
+
+    Scale: identical per-round shape to peel2 (one endpoint-count hash
+    aggregate + two LEFT SEMI joins), lineage O(1) via per-round
+    checkpoints, total work bounded by rounds x shrinking edge list —
+    the standard distributed k-core decomposition loop.
+    """
+    from pyspark.sql import Observation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    e = edges.localCheckpoint(eager=True)
+    n_prev = e.count()
+    for rnd in range(KCORE_FIX_UNROLL):
+        obs = Observation(f"kcore_edges_{rnd}_{id(e)}")
+        e2 = (
+            _peel_once(e, KCORE_FIX_K)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_now = obs.get["n"]
+        e = e2
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge within {KCORE_FIX_UNROLL} rounds; "
+            "raise KCORE_FIX_UNROLL (and regenerate the oracle unroll)"
+        )
+    return _degrees(e).select(
+        F.col("node").alias("part_key"),
+        F.col("deg").cast("bigint").alias("residual_degree"),
+    )
+
+
+@register(
+    "copurchase_cc_converged",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    sym AS (
+      SELECT pa AS a, pb AS b FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    walk(node, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(MIN(comp) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def copurchase_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph, iterated TO
+    CONVERGENCE (round-3 verdict item 4): every part labeled with the
+    minimum part key reachable from it.
+
+    Algorithm: HashMin label propagation accelerated with TWO pointer
+    jumps per round (component <- label(component), twice) — the
+    path-doubling idea from Kiveris et al.'s "Connected Components in
+    MapReduce and Beyond" (SOCC'14) large-star/small-star family —
+    which cuts rounds from O(diameter) to O(log d): measured 6 rounds
+    instead of 11 on the sf0.01 graph (diameter ~11). Labels only ever
+    DECREASE, so the per-round convergence signature is just
+    sum(component): unchanged sum <=> no label moved <=> fixpoint.
+    The signature is evaluated by an ``observe`` on the same job that
+    materializes the round's ``localCheckpoint``, so each round is one
+    Spark job and the driver holds only a scalar.
+
+    Oracle: DuckDB WITH RECURSIVE min-reachability closure (node,
+    seed) pairs, then MIN per node — exact, order-independent, but
+    quadratic in component size, which is why it is the ORACLE (gate
+    runs at sf0.01: ~1.9k nodes) and the HashMin loop is the engine.
+
+    Scale: per round, one shuffle-on-node aggregate over the
+    symmetrized edges plus broadcast-sized label joins; state is one
+    row per node; lineage O(1) via per-round checkpoints. The min
+    aggregate is skew-tolerant (map-side combine), and pointer
+    jumping bounds rounds by log of the longest path.
+    """
+    from pyspark.sql import Observation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .unionByName(edges.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    sig = None
+    for rnd in range(64):  # hard backstop; convergence test is the signature
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        m = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        for _ in range(2):  # pointer jumps: component <- label(component)
+            lk = m.select(F.col("id").alias("cid"), F.col("component").alias("cc"))
+            m = m.join(lk, m["component"] == lk["cid"], "left").select(
+                "id", F.coalesce("cc", "component").alias("component")
+            )
+        obs = Observation(f"cc_sig_{rnd}_{id(labels)}")
+        new = m.observe(obs, F.sum("component").alias("s")).localCheckpoint(
+            eager=True
+        )
+        s_now = obs.get["s"]
+        labels = new
+        if s_now == sig:
+            break
+        sig = s_now
+    else:
+        raise RuntimeError("connected components did not converge in 64 rounds")
+    return labels.select(
+        F.col("id").cast("bigint").alias("part_key"),
+        F.col("component").cast("bigint").alias("component"),
     )
 
 

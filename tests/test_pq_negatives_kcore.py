@@ -9,7 +9,11 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.operators.graphalgo import (
+    KCORE_FIX_K,
+    KCORE_FIX_UNROLL,
     KCORE_K,
+    copurchase_cc_converged,
+    copurchase_kcore_fixpoint,
     copurchase_kcore_peel2,
 )
 from node_gedcom_graph_spark.operators.similarity import (
@@ -130,3 +134,84 @@ def test_kcore_peel_matches_pure_python(spark):
         for r in copurchase_kcore_peel2(spark, SF_DIR).collect()
     }
     assert got == dict(deg)
+
+
+def _copurchase_pairs(spark):
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_w = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_w[(a, b)] += 1
+    return {p for p, w in pair_w.items() if w >= 2}
+
+
+def test_kcore_fixpoint_matches_pure_python(spark):
+    edges = _copurchase_pairs(spark)
+
+    def peel(es, k):
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        return {(a, b) for a, b in es if a in keep and b in keep}
+
+    es, rounds = edges, 0
+    while True:
+        nxt = peel(es, KCORE_FIX_K)
+        rounds += 1
+        if nxt == es:
+            break
+        es = nxt
+    assert rounds <= KCORE_FIX_UNROLL, "oracle unroll depth too shallow"
+    deg = Counter()
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    result = copurchase_kcore_fixpoint(spark, SF_DIR)
+    got = {r.part_key: r.residual_degree for r in result.collect()}
+    assert got == dict(deg)
+    # Lineage is truncated: the returned plan reads the last
+    # checkpoint, not a 2*rounds-deep join tree over the parquet scan.
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan and len(plan.splitlines()) < 30
+
+
+def test_cc_converged_matches_union_find(spark):
+    edges = _copurchase_pairs(spark)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # normalize: every node -> min id in its component
+    comp_min = defaultdict(lambda: None)
+    for n in parent:
+        r = find(n)
+        comp_min[r] = n if comp_min[r] is None else min(comp_min[r], n)
+    expected = {n: comp_min[find(n)] for n in parent}
+    result = copurchase_cc_converged(spark, SF_DIR)
+    got = {r.part_key: r.component for r in result.collect()}
+    assert got == expected
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan and len(plan.splitlines()) < 30

@@ -739,3 +739,32 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     if progress is not None:
         rows_read = progress["sources"][0]["numInputRows"]
         assert rows_read == second.count()
+
+
+def test_late_data_drops_nonzero(spark):
+    """The late-arrival fixture must actually exercise the watermark
+    drop path: the engine reports dropped rows, and every window in
+    the emitted table closes at or before the final watermark."""
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        LATE_WM_HOURS,
+        _drain_late_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    table, dropped = _drain_late_stream(spark, sf_dir)
+    assert dropped > 0, "no rows were dropped by the watermark"
+    rows = table.collect()
+    assert rows, "append drain emitted nothing"
+    # every emitted window closed: end <= max(ts) - watermark delay
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .collect()[0][0]
+    )
+    import datetime
+
+    bound = mx - datetime.timedelta(hours=LATE_WM_HOURS)
+    for r in rows:
+        assert r.window_start + datetime.timedelta(hours=1) <= bound

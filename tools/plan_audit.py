@@ -227,6 +227,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "customer_rfm_segments": {
         "SinglePartition": "one-row anchor-date branch (broadcast back)"
     },
+    "customer_rfm_quantile": {
+        "SinglePartition": "one-row anchor-date + one-row 6-threshold "
+        "pivot branches (both broadcast back)"
+    },
     "dedup_savings_report": {
         "SinglePartition": "one-row rollup of the fingerprint-group table"
     },
