@@ -111,3 +111,90 @@ def test_png_rejects_unsupported_profiles():
     payload[-5] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(payload))
+
+
+@settings(deadline=None, max_examples=20)
+@given(
+    w8=st.integers(1, 3),
+    h8=st.integers(1, 3),
+    seed=st.integers(0, 10_000),
+)
+def test_jpeg_ones_quant_bounded_error(w8, h8, seed):
+    """All-ones quant tables: the only losses are the YCbCr integer
+    transform and DCT-coefficient rounding (±0.5 per coefficient →
+    ≤4 per pixel); assert the decoded image sits within that bound of
+    the pure color-transform roundtrip."""
+    from node_gedcom_graph_spark.operators.multimodal import (
+        JPEG_QUANT_ONES,
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h8 * 8, w8 * 8, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, JPEG_QUANT_ONES, JPEG_QUANT_ONES))
+    ref = _ycbcr_to_rgb(_rgb_to_ycbcr(img))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - ref.astype(int)).max()) <= 4
+
+
+@settings(deadline=None, max_examples=10)
+@given(doc_id=st.integers(0, 100_000))
+def test_jpeg_block_constant_exact(doc_id):
+    """Constant 8x8 blocks have a DC-only DCT: with all-ones quant the
+    decode must equal the YCbCr roundtrip EXACTLY (the invariant the
+    multimodal_jpeg_features oracle relies on)."""
+    from node_gedcom_graph_spark.operators.multimodal import (
+        JPEG_QUANT_ONES,
+        _block_constant_raster,
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _block_constant_raster(doc_id)
+    dec = decode_jpeg(encode_jpeg(img, JPEG_QUANT_ONES, JPEG_QUANT_ONES))
+    assert np.array_equal(dec, _ycbcr_to_rgb(_rgb_to_ycbcr(img)))
+
+
+def test_jpeg_annexk_smooth_image_low_error():
+    """Annex-K (quality ~50) tables on a genuinely smooth image: the
+    classic-JPEG regime, where error should stay small (this is NOT
+    true for wrapping sawtooth gradients, whose discontinuities ring)."""
+    from node_gedcom_graph_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x, y = np.meshgrid(np.arange(16), np.arange(16))
+    img = np.stack(
+        [
+            (64 + 4 * x).astype(np.uint8),
+            (32 + 3 * y).astype(np.uint8),
+            (100 + 2 * x + y).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    dec = decode_jpeg(encode_jpeg(img))
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 12
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    from node_gedcom_graph_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        _block_constant_raster,
+    )
+    import pytest as _pytest
+
+    enc = bytearray(encode_jpeg(_block_constant_raster(1)))
+    # rewrite SOF0 (0xFFC0) to SOF2 (progressive) and expect the honest error
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with _pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
