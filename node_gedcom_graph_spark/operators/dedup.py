@@ -517,7 +517,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GEMM_BROADCAST_CAP_ROWS = 1_000_000  # ~500 MB at dim=64 float64
+# Cap for the exact GEMM prefilter. Bounds BOTH resources the path
+# consumes: broadcast memory (rows * dim * 8 B ~ 51 MB at dim=64) and,
+# more binding, the quadratic compute — per scanned row the matmul is
+# cap * dim flops, so the cap is the knob that keeps the exact path's
+# total work ~ n * cap * dim instead of quietly exploding. The old
+# 1M-row value was memory-safe but compute-absurd (n=1M -> 6e16 flops);
+# the sf1 (10x) bench run exposed the trend at just 20k rows.
+GEMM_BROADCAST_CAP_ROWS = 100_000
 
 
 def _srp_candidate_pairs(emb: DataFrame) -> DataFrame:
@@ -610,12 +617,21 @@ def cosine_candidate_pairs(
             q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1)[:, None]
             qids = pdf["vec_id"].to_numpy()
-            sims = q @ b_mat.T
-            rows, cols = np.nonzero(sims >= cutoff)
-            keep = qids[rows] < b_ids[cols]
-            yield pd.DataFrame(
-                {"id_a": qids[rows][keep], "id_b": b_ids[cols][keep]}
-            )
+            # chunk the query side: the sims slab is chunk x |corpus|
+            # doubles (~800 MB for a 5k-row batch against 20k rows if
+            # unchunked — the sf1 bench regression); 1024 rows bounds
+            # it to ~160 MB at the 100k-row corpus cap.
+            for lo in range(0, len(q), 1024):
+                sims = q[lo : lo + 1024] @ b_mat.T
+                rows, cols = np.nonzero(sims >= cutoff)
+                ids_chunk = qids[lo : lo + 1024]
+                keep = ids_chunk[rows] < b_ids[cols]
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids_chunk[rows][keep],
+                        "id_b": b_ids[cols][keep],
+                    }
+                )
 
     return emb.select("vec_id", "embedding").mapInPandas(
         scan, "id_a long, id_b long"

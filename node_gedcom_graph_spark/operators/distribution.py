@@ -1436,9 +1436,7 @@ def part_name_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "customer_balance_mannwhitney",
-    oracle=f"""
+_MANNWHITNEY_ORACLE = f"""
     WITH labeled AS (
       SELECT r.r_name AS region_name,
              CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
@@ -1472,8 +1470,10 @@ def part_name_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS rank_biserial
     FROM ranked
     GROUP BY region_name
-    """,
-)
+    """
+
+
+@register("customer_balance_mannwhitney", oracle=_MANNWHITNEY_ORACLE)
 def customer_balance_mannwhitney(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1522,6 +1522,125 @@ def customer_balance_mannwhitney(
         (F.sum("c_here").over(wcum) - F.col("c_here")).alias("cum_before"),
         F.sum("a_here").over(wall).alias("na"),
         F.sum("c_here").over(wall).alias("n_all"),
+    )
+    two_r = F.sum(
+        F.col("a_here") * (2 * F.col("cum_before") + F.col("c_here") + 1)
+    )
+    na, nb = F.max("na"), F.max(F.col("n_all") - F.col("na"))
+    u2 = two_r - na * (na + 1)
+    return ranked.groupBy("region_name").agg(
+        na.cast("bigint").alias("n_segment"),
+        nb.cast("bigint").alias("n_rest"),
+        u2.cast("bigint").alias("u2"),
+        F.round(u2.cast("double") / (na * nb) - 1.0, 6).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+# Escape hatch for low-cardinality window keys (round-3 verdict item 10):
+# the cumulative pass above parallelizes only per region (5 tasks at any
+# scale). The bucketed variant range-partitions the VALUE DOMAIN into
+# DIST_CUM_BUCKETS cells, computes intra-bucket prefix sums in a window
+# partitioned by (region, bucket) — regions x buckets tasks — and
+# re-bases each bucket with per-bucket totals rolled up in a second,
+# bucket-count-sized window. Same result, bounded by distinct values,
+# no rangepartitioning; pinned equal to the plain kernel by
+# tests/test_distribution.py::test_mannwhitney_bucketed_equals_plain.
+DIST_CUM_BUCKETS = 32
+DIST_CUM_BUCKET_WIDTH = 400  # c_acctbal in [-999.99, 9999.99] -> ~28 cells
+
+
+def _bucketed_cumsum(
+    per_val: DataFrame,
+    part_col: str,
+    value_col: str,
+    sum_col: str,
+    width: int,
+) -> DataFrame:
+    """Add ``cum`` = prefix sum of ``sum_col`` over ``value_col`` order
+    within ``part_col``, via range-bucketed two-phase prefix sums."""
+    bucket = F.floor(F.col(value_col) / width).alias("_bucket")
+    pv = per_val.withColumn("_bucket", bucket)
+    w_intra = (
+        W.partitionBy(part_col, "_bucket")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    intra = pv.withColumn("_intra", F.sum(sum_col).over(w_intra))
+    totals = pv.groupBy(part_col, "_bucket").agg(
+        F.sum(sum_col).alias("_btot")
+    )
+    w_buckets = (
+        W.partitionBy(part_col)
+        .orderBy("_bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.select(
+        part_col,
+        "_bucket",
+        (F.sum("_btot").over(w_buckets) - F.col("_btot")).alias("_boff"),
+    )
+    return (
+        intra.join(F.broadcast(offsets), [part_col, "_bucket"])
+        .withColumn("cum", F.col("_intra") + F.col("_boff"))
+        .drop("_bucket", "_intra", "_boff")
+    )
+
+
+@register("customer_balance_mannwhitney_bucketed", oracle=_MANNWHITNEY_ORACLE)
+def customer_balance_mannwhitney_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Mann-Whitney kernel re-run through the bucketed prefix-sum
+    escape hatch (see _bucketed_cumsum): identical statistic, identical
+    oracle, but the heavy cumulative window is partitioned by
+    (region, value-bucket) — parallelism scales with the value domain
+    instead of pinning to the 5 region keys. The per-bucket re-basing
+    pass runs over |regions| x |buckets| rows (~140), broadcast back.
+
+    Scale: this is the shape to reach for when the group key is
+    low-cardinality OR skewed — the same two-phase decomposition the
+    SemDedup rank fanout uses (similarity.py), specialized to ordered
+    prefix sums. Kept alongside the plain kernel (the right default
+    for 5-region TPC-H, where a second pass buys nothing).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    labeled = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+            F.when(F.col("c_mktsegment") == KS_SEGMENT, 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+    )
+    per_val = labeled.groupBy("region_name", "bal").agg(
+        F.sum("in_a").cast("bigint").alias("a_here"),
+        F.count(F.lit(1)).cast("bigint").alias("c_here"),
+    )
+    cum = _bucketed_cumsum(
+        per_val, "region_name", "bal", "c_here", DIST_CUM_BUCKET_WIDTH
+    )
+    # per-region totals as an aggregate + broadcast join, not a
+    # region-partitioned window — keeps every operator off the 5-key
+    # parallelism ceiling the escape hatch exists to avoid.
+    totals = F.broadcast(
+        per_val.groupBy("region_name").agg(
+            F.sum("a_here").alias("na"), F.sum("c_here").alias("n_all")
+        )
+    )
+    ranked = cum.join(totals, "region_name").select(
+        "region_name",
+        "a_here",
+        "c_here",
+        (F.col("cum") - F.col("c_here")).alias("cum_before"),
+        "na",
+        "n_all",
     )
     two_r = F.sum(
         F.col("a_here") * (2 * F.col("cum_before") + F.col("c_here") + 1)
