@@ -23,8 +23,8 @@ from node_gedcom_graph_spark.operators import register
 from node_gedcom_graph_spark.sources.tables import load_table
 
 _EDGES_SQL = """
-    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM op a
       JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -74,7 +74,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "copurchase_triangles",
     oracle=f"""
     WITH {_EDGES_SQL},
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
       FROM edges e1
       JOIN edges e2 ON e2.pa = e1.pb
@@ -173,14 +173,14 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     "copurchase_pagerank_3iter",
     oracle=f"""
     WITH {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT pa AS src, pb AS dst FROM edges
       UNION ALL
       SELECT pb AS src, pa AS dst FROM edges
     ),
-    degs AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM degs),
-    sym2 AS (SELECT s.src, s.dst, g.d FROM sym s JOIN degs g ON g.src = s.src),
+    degs AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM degs),
+    sym2 AS MATERIALIZED (SELECT s.src, s.dst, g.d FROM sym s JOIN degs g ON g.src = s.src),
     r0 AS (SELECT src AS p, 1.0 / (SELECT n FROM nn) AS r FROM degs),
     {_pr_iter_sql('r0', 'r1').replace('sym s', 'sym2 s').lstrip()},
     {_pr_iter_sql('r1', 'r2').replace('sym s', 'sym2 s').lstrip()},
@@ -263,7 +263,7 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
     "copurchase_label_propagation_3iter",
     oracle=f"""
     WITH {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT pa AS src, pb AS dst FROM edges
       UNION ALL
       SELECT pb AS src, pa AS dst FROM edges
@@ -339,7 +339,7 @@ def copurchase_label_propagation_3iter(
     "copurchase_bfs_2hop",
     oracle=f"""
     WITH {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT pa AS src, pb AS dst FROM edges
       UNION ALL
       SELECT pb AS src, pa AS dst FROM edges
@@ -410,7 +410,7 @@ def copurchase_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "copurchase_jaccard_similar_parts",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
       FROM op a
@@ -490,22 +490,22 @@ KCORE_K = 4
     "copurchase_kcore_peel2",
     oracle=f"""
     WITH {_EDGES_SQL},
-    d0 AS (
+    d0 AS MATERIALIZED (
       SELECT node, COUNT(*) AS deg FROM (
         SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
       ) GROUP BY node
-    ), v1 AS (
+    ), v1 AS MATERIALIZED (
       SELECT node FROM d0 WHERE deg >= {{k}}
-    ), e1 AS (
+    ), e1 AS MATERIALIZED (
       SELECT pa, pb FROM edges
       WHERE pa IN (SELECT node FROM v1) AND pb IN (SELECT node FROM v1)
-    ), d1 AS (
+    ), d1 AS MATERIALIZED (
       SELECT node, COUNT(*) AS deg FROM (
         SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1
       ) GROUP BY node
-    ), v2 AS (
+    ), v2 AS MATERIALIZED (
       SELECT node FROM d1 WHERE deg >= {{k}}
-    ), e2 AS (
+    ), e2 AS MATERIALIZED (
       SELECT pa, pb FROM e1
       WHERE pa IN (SELECT node FROM v2) AND pb IN (SELECT node FROM v2)
     )
@@ -668,7 +668,7 @@ def copurchase_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "copurchase_cc_converged",
     oracle=f"""
     WITH RECURSIVE {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT pa AS a, pb AS b FROM edges
       UNION ALL SELECT pb, pa FROM edges
     ),
@@ -812,11 +812,11 @@ def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "copurchase_assortativity",
     oracle=f"""
     WITH {_EDGES_SQL},
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT p, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
       GROUP BY p
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT da.d AS dx, db.d AS dy
       FROM edges e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb
       UNION ALL
