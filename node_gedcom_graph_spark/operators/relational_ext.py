@@ -1024,15 +1024,20 @@ def _skyline_local_front(batches):
 @register(
     "pareto_front_orders",
     oracle="""
-    SELECT o_orderkey, o_totalprice, o_orderdate
-    FROM orders o
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders d
-      WHERE (d.o_totalprice > o.o_totalprice
-             AND d.o_orderdate >= o.o_orderdate)
-         OR (d.o_totalprice >= o.o_totalprice
-             AND d.o_orderdate > o.o_orderdate)
+    WITH pergroup AS MATERIALIZED (
+      SELECT o_totalprice, MAX(o_orderdate) AS gmax
+      FROM orders GROUP BY 1
+    ), run AS (
+      SELECT o_totalprice, gmax,
+             MAX(gmax) OVER (ORDER BY o_totalprice DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS d1
+      FROM pergroup
     )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN run r ON r.o_totalprice = o.o_totalprice
+    WHERE (r.d1 IS NULL OR r.d1 < o.o_orderdate)
+      AND o.o_orderdate = r.gmax
     """,
 )
 def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
