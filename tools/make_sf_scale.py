@@ -55,14 +55,19 @@ def main() -> None:
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # Offset by the key-range SIZE (max - min + 1), not max: 0-based key
+    # spaces (doc_id, vec_id, event_id) would otherwise duplicate their
+    # boundary id across adjacent copies (caught by the sf1 gate run:
+    # spark=5000 vs duck=4999 group counts on documents).
     maxes: dict[str, int] = {}
     for table, rules in COPY_RULES.items():
         for ref in rules.values():
             t, c = ref.split(".")
             if ref not in maxes:
-                maxes[ref] = con.execute(
-                    f"SELECT MAX({c}) FROM '{src}/{t}.parquet'"
-                ).fetchone()[0]
+                lo, hi = con.execute(
+                    f"SELECT MIN({c}), MAX({c}) FROM '{src}/{t}.parquet'"
+                ).fetchone()
+                maxes[ref] = hi - lo + 1
     for table, rules in COPY_RULES.items():
         src_path = f"{src}/{table}.parquet"
         dst_path = f"{dst}/{table}.parquet"
