@@ -1174,3 +1174,180 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rnk") <= 5)
+
+
+# ------------------------------------------------- Lloyd k-means (2 rounds)
+
+
+def _assign_nearest(n: DataFrame, cent: DataFrame, dot) -> DataFrame:
+    """E-step: nearest centroid per vector by cosine (ties -> smaller
+    cid), carrying the member embedding for a following M-step. The
+    argmax is a hash-agg MAX over (cos, -cid, payload) structs — cid is
+    unique, so the struct comparison is deterministic and never reaches
+    the payload; no per-vector window sort."""
+    cos = dot(F.col("embedding"), F.col("c_emb")).cast("double") / (
+        F.col("nm") * F.col("c_nm")
+    )
+    return (
+        n.crossJoin(cent)
+        .select(
+            "vec_id",
+            F.struct(
+                cos.alias("cos"),
+                (-F.col("cid")).alias("ncid"),
+                F.col("embedding").alias("emb"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "vec_id",
+            (-F.col("s.ncid")).alias("cid"),
+            F.col("s.cos").alias("cos"),
+            F.col("s.emb").alias("embedding"),
+        )
+    )
+
+
+def dot_fold64(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (left fold). Matches
+    DuckDB's `list_reduce(list_transform(list_zip(a, b), p -> p[1]*p[2]),
+    (x, y) -> x + y)` bit-for-bit: products round identically in both
+    engines (one double multiply each) and both folds add left-to-right
+    from the same starting element (Spark's extra leading 0.0 + x1 is
+    exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "embedding_kmeans_lloyd2",
+    oracle="""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS c_nm
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), n AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), s1 AS (
+      SELECT n.vec_id, n.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY CAST(list_dot_product(n.embedding, c.c_emb) AS DOUBLE)
+                        / (n.nm * c.c_nm) DESC,
+                        c.cid ASC) AS rn
+      FROM n CROSS JOIN cent0 c
+    ), asn1 AS (
+      SELECT vec_id, embedding, cid FROM s1 WHERE rn = 1
+    ), comp AS (
+      SELECT cid, u.pos,
+             CAST(SUM(CAST(CAST(embedding[u.pos + 1] AS DOUBLE)
+                           AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+      FROM asn1 CROSS JOIN (SELECT unnest(range(64)) AS pos) u
+      GROUP BY cid, u.pos
+    ), cent1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cvec FROM comp GROUP BY cid
+    ), cent1n AS (
+      SELECT cid, cvec,
+             sqrt(list_reduce(list_transform(cvec, v -> v * v),
+                              (x, y) -> x + y)) AS c_nm
+      FROM cent1
+    ), s2 AS (
+      SELECT n.vec_id, c.cid,
+             list_reduce(list_transform(list_zip(n.embedding, c.cvec),
+                                        p -> CAST(p[1] AS DOUBLE) * p[2]),
+                         (x, y) -> x + y) / (n.nm * c.c_nm) AS cos
+      FROM n CROSS JOIN cent1n c
+    ), s3 AS (
+      SELECT vec_id, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM s2
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(cos AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+             AS mean_cos
+    FROM s3 WHERE rn = 1 GROUP BY cid
+    """,
+)
+def embedding_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations of cosine k-means (assign -> recompute
+    means -> reassign), extending the fixpoint-iteration layer
+    (copurchase_cc_converged / kcore_fixpoint) to embeddings in
+    oracle-checkable form. Reference parity: the reference has no ML
+    surface; this is LLM-curation machinery (cluster-then-prune feeds
+    semdedup_cluster_prune, `operators/similarity.py` SemDedup notes).
+
+    Determinism chain (every float bit-matched to the DuckDB oracle):
+    round-1 cosines use the sequential f32 fold (dot_f32 ==
+    list_dot_product); the M-step mean is an order-independent
+    DECIMAL(28,14) SUM over (cid, pos) groups — Spark's SUM widens to
+    DECIMAL(38,14) with no precision loss, same as DuckDB — divided in
+    double; round-2 cosines and centroid norms use dot_fold64, a
+    left-fold double accumulation both engines execute in the same
+    order.
+
+    Scale shape: centroids are FIXED-K (16) at any corpus size —
+    TakeOrderedAndProject init, broadcast E-steps, and an M-step that
+    posexplodes to (cid, pos) keyed partials (map-side combine to at
+    most k*64 rows per task before the shuffle; final state is k*64
+    rows). Nothing in the plan grows faster than corpus * k. A
+    peel-to-fixpoint variant would localCheckpoint() each round exactly
+    as copurchase_kcore_fixpoint does; two rounds keeps the whole
+    iteration oracle-expressible (k-means is not monotone, so the
+    unrolled-CTE convergence argument used for k-core does not apply).
+
+    Empty clusters simply drop out of the M-step (no rows to average) in
+    both engines identically.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    n = _normed(emb)
+    cent0 = F.broadcast(_fixed_centroids(emb))
+    asn1 = _assign_nearest(n, cent0, dot_f32)
+
+    comp = (
+        asn1.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,14)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cent1 = (
+        comp.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cid",
+            F.transform("pm", lambda s: s["m"]).alias("c_emb"),
+        )
+        .select(
+            "cid",
+            "c_emb",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("c_emb", lambda v: v * v),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("c_nm"),
+        )
+    )
+    asn2 = _assign_nearest(n, F.broadcast(cent1), dot_fold64)
+    return asn2.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        (
+            F.sum(F.col("cos").cast("decimal(28,14)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cos"),
+    )

@@ -466,3 +466,52 @@ def test_semdedup_cluster_cap_binds(spark, monkeypatch):
     assert len(rows) == 500  # every vector still gets a verdict row
     # one admitted member per cluster -> no pairs -> nothing pruned
     assert sum(r.pruned for r in rows) == 0
+
+
+def test_kmeans_lloyd2_monotone_improvement_and_partition(spark):
+    """Two Lloyd rounds on the real corpus: the reassignment must
+    (a) still partition the corpus (counts sum to N), and (b) not
+    degrade the corpus-wide mean assigned cosine vs the single E-step
+    against the raw init centroids — recomputing means is exactly the
+    M-step that maximizes summed cosine-to-centroid for fixed
+    assignments (up to centroid renormalization)."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        embedding_centroid_assign,
+        embedding_kmeans_lloyd2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_total = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    one = embedding_centroid_assign(spark, sf).toPandas()
+    two = embedding_kmeans_lloyd2(spark, sf).toPandas()
+    assert int(two["n_assigned"].sum()) == n_total
+    mean1 = (one["mean_cos"] * one["n_assigned"]).sum() / n_total
+    mean2 = (two["mean_cos"] * two["n_assigned"]).sum() / n_total
+    assert mean2 >= mean1 - 1e-12
+
+
+def test_dot_fold64_matches_duckdb_left_fold(spark):
+    """dot_fold64's double left fold must bit-match the DuckDB
+    list_zip/list_reduce expression the lloyd2 oracle uses."""
+    import duckdb
+
+    from node_gedcom_graph_spark.operators.similarity import dot_fold64
+
+    a = [0.1, -2.7, 3.14159, 1e-9, 123.456, -0.001, 7.7, 0.333] * 8
+    b = [1.9, 0.004, -6.02, 2.718, -1e-7, 55.5, 0.25, -9.9] * 8
+    spark_val = (
+        spark.range(1)
+        .select(
+            dot_fold64(
+                F.array(*[F.lit(x) for x in a]),
+                F.array(*[F.lit(x) for x in b]),
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    duck_val = duckdb.sql(
+        "SELECT list_reduce(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]),"
+        " p -> p[1] * p[2]), (x, y) -> x + y)",
+        params={"a": a, "b": b},
+    ).fetchone()[0]
+    assert spark_val == duck_val
