@@ -86,22 +86,32 @@ def main() -> None:
         "hypervisor steal (col 8, /proc/stat) recorded per sweep point; "
         "a nonzero delta means wall-clock includes host contention"
     )
+    def _stat() -> tuple[int, int]:
+        """(steal, busy) jiffies from the aggregate cpu line — busy is
+        user+nice+system, so steal/(steal+busy) is the fraction of
+        demanded CPU time the hypervisor withheld during the window
+        (the interpretable number; absolute jiffies scale with how long
+        the point ran x 32 cpus)."""
+        try:
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()
+            return int(f[8]), int(f[1]) + int(f[2]) + int(f[3])
+        except (OSError, IndexError, ValueError):
+            return 0, 0
+
     sweep = {}
     for n in (500_000, 2_000_000, 5_000_000):
-        def _steal() -> int:
-            try:
-                with open("/proc/stat") as fh:
-                    return int(fh.readline().split()[8])
-            except (OSError, IndexError, ValueError):
-                return 0
-
-        one_iteration(spark, n)  # warm
-        s0 = _steal()
-        best = min(one_iteration(spark, n)["total_s"] for _ in range(2))
+        one_iteration(spark, n)  # warm (plan construction + JIT)
+        one_iteration(spark, n)  # warm 2 — first sweep point pays C2 JIT
+        s0, b0 = _stat()
+        best = min(one_iteration(spark, n)["total_s"] for _ in range(3))
+        s1, b1 = _stat()
+        ds, db = s1 - s0, b1 - b0
         sweep[str(n)] = {
             "best_warm_s": best,
             "krec_per_s": round(n / best / 1000, 1),
-            "steal_jiffies": _steal() - s0,
+            "steal_jiffies": ds,
+            "steal_pct_of_cpu": round(100.0 * ds / max(ds + db, 1), 2),
         }
     out["scaling_sweep"] = sweep
     print(json.dumps(out, indent=1))
