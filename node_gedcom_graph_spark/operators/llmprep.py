@@ -566,3 +566,66 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("padding_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval chunking: fixed-size overlapping windows
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(u.s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           md5(substr(d.text, u.s + 1, {CHUNK_SIZE})) AS chunk_md5,
+           CAST(length(substr(d.text, u.s + 1, {CHUNK_SIZE})) AS BIGINT)
+             AS chunk_len
+    FROM documents d
+    CROSS JOIN LATERAL (
+      SELECT unnest(range(0, GREATEST(CAST(length(d.text) AS BIGINT), 1),
+                          {CHUNK_STRIDE})) AS s
+    ) u
+    WHERE length(d.text) > 0
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size overlapping character chunks
+    (size 200, stride 150 -> 50-char overlap) — the
+    retrieval/RAG indexing primitive that feeds embedding and ANN stages
+    (ann_topk_cosine). Chunks are identified by (doc_id, chunk_idx) and
+    fingerprinted with md5 so the chunk table joins back to dedup
+    surfaces (doc_fingerprint) without carrying text.
+
+    Scale shape: pure map-side generate-and-explode — `sequence()` +
+    `explode()` emits ceil(len/stride) rows per document inside the scan
+    stage with NO shuffle anywhere in the plan (the oracle's LATERAL
+    unnest is the same shape). Chunk count is bounded by corpus
+    characters / stride, i.e. output is a constant factor of input
+    bytes, never quadratic. On a real cluster the chunk table inherits
+    the scan's partitioning, so the downstream embed step is
+    embarrassingly parallel.
+
+    Uses length(text) live rather than trusting the n_chars metadata
+    column, so the operator is correct on any documents table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text").cast("bigint"), F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.substring(F.col("text"), F.col("s") + 1, CHUNK_SIZE)
+    return (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.md5(chunk).alias("chunk_md5"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )

@@ -121,3 +121,39 @@ def test_tfidf_every_source_gets_five(spark):
     for src, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_chunk_overlap_tiling_contract(spark):
+    """Chunks tile each document: stride-spaced indices 0..ceil(len/150)-1,
+    every chunk but the last is exactly 200 chars, consecutive chunks
+    overlap by 50 (verified on reconstructed text), and chunk_md5 matches
+    a locally computed md5 of the same substring."""
+    import hashlib
+    import math
+
+    from node_gedcom_graph_spark.operators.llmprep import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    rows = doc_chunk_overlap(spark, sf).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs.items():
+        if not text:
+            assert doc_id not in per
+            continue
+        chunks = sorted(per[doc_id], key=lambda r: r.chunk_idx)
+        n_expected = math.ceil(len(text) / CHUNK_STRIDE)
+        assert [c.chunk_idx for c in chunks] == list(range(n_expected))
+        for c in chunks:
+            sub = text[c.chunk_idx * CHUNK_STRIDE :][:CHUNK_SIZE]
+            assert c.chunk_len == len(sub)
+            assert c.chunk_md5 == hashlib.md5(sub.encode()).hexdigest()

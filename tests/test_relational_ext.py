@@ -155,3 +155,51 @@ def test_cross_source_overlap_counts_shared_fingerprints(spark, tmp_path):
         for r in cross_source_overlap(spark, str(tmp_path)).collect()
     }
     assert got == {("A", "B"): 2, ("A", "C"): 1}
+
+
+def test_runtime_bloom_filter_injection_preserves_results(spark):
+    """Spark's runtime bloom-filter injection — the 100 TB path for a
+    shuffle join whose build side carries a selective non-key filter
+    (Catalyst plants a bloom_filter_agg on the build side and a
+    BloomFilterMightContain probe on the stream side's scan, cutting
+    shuffle volume before the join). Default thresholds
+    (applicationSideScanSizeThreshold=10GB) are sized for clusters and
+    never fire at test SF, so this pins the mechanism on an isolated
+    newSession() with the thresholds floored: the filter must inject AND
+    must not change the join result. Engine sessions are untouched —
+    ENGINE_CONFS stays at Spark defaults for runtime filters."""
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    iso.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    # broadcast would bypass the shuffle join the bloom filter serves
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
+
+    sf = "/root/testdata/sf0.01"
+
+    def q(sess):
+        li = sess.read.parquet(f"{sf}/lineitem.parquet")
+        orders = sess.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("qty"),
+            )
+        )
+
+    plan = q(iso)._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan.replace(
+        "mightcontain", "BloomFilterMightContain"
+    ), f"runtime bloom filter did not inject:\n{plan[:2000]}"
+
+    got = {tuple(r) for r in q(iso).collect()}
+    want = {tuple(r) for r in q(spark).collect()}
+    assert got == want
