@@ -151,14 +151,14 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
-               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -218,14 +218,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment_ngram",
     oracle="""
-    WITH sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
-               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -644,14 +644,14 @@ def cosine_candidate_pairs(
 @register(
     "dedup_cluster_canonical",
     oracle="""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
-               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+    WITH RECURSIVE toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -719,14 +719,14 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate_ngram_overlap",
     oracle="""
-    WITH sh AS (
-      SELECT doc_id, source,
-             unnest(list_distinct(list_transform(
-               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
-               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+3]))) AS shingle
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
     )
     SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
     FROM sh t
