@@ -991,13 +991,15 @@ def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _skyline_local_front(batches):
-    """Per-partition 2-D skyline kernel for pareto_front_orders: sort
-    the partition by (price desc, day desc) and keep, per price group,
-    the max-day rows that strictly beat the running best day of all
-    better-priced groups. groupby(sort=False) iterates groups in the
-    sorted (desc) order, so strictly-better prices are always processed
-    before the current group. Property-tested against brute-force
-    dominance in tests/test_property_algorithms.py."""
+    """Per-partition 2-D skyline kernel for pareto_front_orders, fully
+    vectorized: per price group take gmax = max day, over the
+    descending-price group axis take the shifted running max d1 (best
+    day among STRICTLY better-priced groups), and keep the rows whose
+    day equals their group's gmax where gmax beats d1. A row-level
+    Python loop over ~|distinct prices| groups took ~8 s at sf0.1; the
+    three groupwise primitives (groupby-max, cummax, map) are C-speed.
+    Property-tested against brute-force dominance in
+    tests/test_property_algorithms.py."""
     import pandas as pd
 
     chunks = list(batches)
@@ -1007,18 +1009,16 @@ def _skyline_local_front(batches):
     if part.empty:
         yield part
         return
-    part = part.sort_values(
-        ["price_key", "day_key"], ascending=[False, False]
+    gmax = part.groupby("price_key")["day_key"].max().sort_index(
+        ascending=False
     )
-    keep_idx = []
-    best_day = None  # max day over strictly-better-priced rows
-    for price, grp in part.groupby("price_key", sort=False):
-        gmax = int(grp["day_key"].max())
-        if best_day is None or gmax > best_day:
-            keep_idx.extend(grp.index[grp["day_key"] == gmax])
-            best_day = gmax
-        # else: gmax <= best_day — the running best cannot rise here
-    yield part.loc[keep_idx]
+    d1 = gmax.cummax().shift(1)  # best day over strictly-better prices
+    row_gmax = part["price_key"].map(gmax)
+    row_d1 = part["price_key"].map(d1)
+    keep = (part["day_key"] == row_gmax) & (
+        row_d1.isna() | (part["day_key"] > row_d1)
+    )
+    yield part[keep]
 
 
 @register(
