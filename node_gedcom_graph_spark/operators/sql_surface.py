@@ -122,11 +122,19 @@ def copurchase_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     as it goes. The final GROUP BY MIN collapses walks to distances,
     which is what makes the result (unlike the walk set) well-defined
     and engine-comparable.
+
+    The edge list is derived ONCE and localCheckpoint-ed before the
+    loop: Spark inlines CTEs, so an `edges` CTE referenced inside the
+    recursive step would re-run the distinct + self-join edge
+    derivation on EVERY iteration (measured: 9.1 s vs 5.8 s at sf0.1
+    — the loop itself is 0.8 s once edges are materialized). DuckDB's
+    oracle keeps the derivation inline; its optimizer materializes
+    CTEs reachable from recursion.
     """
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(
+    edges = spark.sql(
         """
-        WITH RECURSIVE op AS (
+        WITH op AS (
           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ), und AS (
           SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -134,18 +142,21 @@ def copurchase_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2
           HAVING COUNT(*) >= 2
-        ), edges AS (
-          SELECT pa AS src, pb AS dst FROM und
-          UNION ALL
-          SELECT pb AS src, pa AS dst FROM und
-        ), seed AS (
-          SELECT MIN(src) AS s FROM edges
-        ), walk(node, dist) AS (
-          SELECT s, 0 FROM seed
+        )
+        SELECT pa AS src, pb AS dst FROM und
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM und
+        """
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("copurchase_bfs_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, dist) AS (
+          SELECT s, 0 FROM (SELECT MIN(src) AS s FROM copurchase_bfs_edges)
           UNION ALL
           SELECT e.dst, w.dist + 1
           FROM walk w
-          JOIN edges e ON e.src = w.node
+          JOIN copurchase_bfs_edges e ON e.src = w.node
           WHERE w.dist < 3
         )
         SELECT node, CAST(MIN(dist) AS INT) AS dist
