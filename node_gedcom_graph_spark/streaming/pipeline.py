@@ -1284,3 +1284,168 @@ def stream_late_data_watermark_drops(
     """
     table, _ = _drain_late_stream(spark, sf_dir)
     return table
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state streaming dedup gate: dropDuplicatesWithinWatermark under
+# forced arrival order — the 11th streaming gate, covering the one
+# stateful API (time-bounded dedup) the other ten don't execute.
+# ---------------------------------------------------------------------------
+
+DEDUPWM_DELAY_H = 24
+DEDUPWM_RANKS = 4
+
+
+def _write_dedupwm_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(user_id, event_type) ranked-arrival fixture: file k holds
+    each key's k-th earliest event (k = 1..4, ROW_NUMBER over
+    (ts, event_id)), files arriving in rank order by forced mtime. One
+    row per key per file, so every dedup decision is cross-batch state
+    — never an order-dependent within-batch race — and the whole
+    fixture is a pure function of the events table (idempotent
+    rewrite, same as the late-data fixture)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import Window as W
+
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_LATE_FIXTURE_ROOT, tag, "dedupwm")
+    _shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ranked = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DEDUPWM_RANKS)
+    )
+    for k in range(1, DEDUPWM_RANKS + 1):
+        tmp = os.path.join(base, f"t{k}")
+        (
+            ranked.filter(F.col("rk") == k)
+            .drop("rk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(data_dir, f"f{k}.parquet")
+        _shutil.copy(part, dst)
+        # FileStreamSource orders by modification time: force arrival order.
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    return data_dir
+
+
+@_register(
+    "stream_dedup_within_watermark",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value
+      FROM events
+    ), rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rk
+      FROM ev
+    ), r4 AS (
+      SELECT * FROM rk WHERE rk <= {DEDUPWM_RANKS}
+    ), fm AS (
+      SELECT rk AS k, date_trunc('ms', MAX(ts)) AS m FROM r4 GROUP BY rk
+    ), w AS (
+      SELECT (SELECT m FROM fm WHERE k = 1)
+               - INTERVAL {DEDUPWM_DELAY_H} HOUR AS w3,
+             GREATEST((SELECT m FROM fm WHERE k = 1),
+                      (SELECT m FROM fm WHERE k = 2))
+               - INTERVAL {DEDUPWM_DELAY_H} HOUR AS w4
+    ), piv AS (
+      SELECT user_id, event_type,
+             MAX(CASE WHEN rk = 1 THEN ts END) AS a1,
+             MAX(CASE WHEN rk = 3 THEN ts END) AS a3
+      FROM r4 GROUP BY user_id, event_type
+    ), dec AS (
+      SELECT p.user_id, p.event_type,
+             (p.a3 IS NOT NULL AND p.a3 > w.w3
+              AND p.a1 + INTERVAL {DEDUPWM_DELAY_H} HOUR <= w.w3) AS emit3,
+             CASE WHEN (p.a3 IS NOT NULL AND p.a3 > w.w3
+                        AND p.a1 + INTERVAL {DEDUPWM_DELAY_H} HOUR <= w.w3)
+                  THEN p.a3 ELSE p.a1 END AS e4
+      FROM piv p, w
+    )
+    SELECT r.event_id, r.ts, r.user_id, r.event_type, r.value
+    FROM r4 r
+    JOIN dec d ON d.user_id = r.user_id AND d.event_type = r.event_type
+    CROSS JOIN w
+    WHERE (r.rk = 1)
+       OR (r.rk = 3 AND d.emit3)
+       OR (r.rk = 4 AND r.ts > w.w4
+           AND d.e4 + INTERVAL {DEDUPWM_DELAY_H} HOUR <= w.w4)
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` drained over the ranked-arrival
+    fixture (one event per key per batch, 24 h delay): at-least-once-
+    source dedup whose state is TIME-BOUNDED — a key recurring after its
+    state expires is a new observation, and rows below the watermark are
+    discarded as late before dedup sees them.
+
+    The oracle unrolls the exact per-batch semantics, pinned against the
+    engine's per-batch progress metrics (stateOperators rows
+    updated/removed/droppedByWatermark at every batch):
+
+    - the LATE filter of batch N uses the watermark metadata of batch
+      N-1, which reflects data through batch N-2 (same one-batch lag the
+      late-data gate measured) — so batch 3 filters with
+      trunc_ms(max ts of file 1) - 24 h and batch 4 with data through
+      file 2; batches 1-2 filter nothing;
+    - the DUPLICATE check of batch N sees state as evicted at the END of
+      batch N-1 with the watermark reflecting data through N-2:
+      a duplicate is dropped iff its key's last-emitted expiry
+      (emit ts + 24 h) still exceeds that watermark, and a drop does
+      NOT extend the stored expiry;
+    - therefore file-2 rows are always duplicates (no eviction has
+      happened when batch 2 runs), file-3 rows emit iff on time and the
+      file-1 state expired, file-4 rows emit iff on time and the
+      last-emitted state expired.
+
+    At sf0.01 every branch is exercised: 750 + 62 + 22 = 834 emitted,
+    686 + 718 late-dropped, 2 + 9 duplicate-dropped (engine metrics and
+    oracle agree row-for-row).
+
+    Scale: state is O(live keys), bounded by key cardinality per delay
+    window regardless of stream length — the entire point of the
+    within-watermark variant vs unbounded dropDuplicates
+    (stream_dedup_exact). The drain is one stateful operator, no
+    shuffle beyond the key partitioning.
+    """
+    apply_engine_confs(spark)
+    data_dir = _write_dedupwm_fixture(spark, sf_dir)
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    dedup = stream.withWatermark(
+        "ts", f"{DEDUPWM_DELAY_H} hours"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    sink = "stream_dedupwm_gate"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

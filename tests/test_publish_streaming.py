@@ -768,3 +768,57 @@ def test_late_data_drops_nonzero(spark):
     bound = mx - datetime.timedelta(hours=LATE_WM_HOURS)
     for r in rows:
         assert r.window_start + datetime.timedelta(hours=1) <= bound
+
+
+def test_dedup_within_watermark_accounting(spark):
+    """The ranked-arrival dedup fixture must exercise every branch of
+    dropDuplicatesWithinWatermark at sf0.01: rows dropped as LATE
+    (below the lagged watermark), rows dropped as DUPLICATES (key state
+    alive), and re-emissions after state expiry — with the engine's
+    per-batch metrics accounting exactly for fixture size vs emitted."""
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        _write_dedupwm_fixture,
+        stream_dedup_within_watermark,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    table = stream_dedup_within_watermark(spark, sf_dir)
+    emitted = table.count()
+    fixture_rows = spark.read.parquet(
+        _write_dedupwm_fixture(spark, sf_dir)
+    ).count()
+    # batch-1 keys all emit; later ranks re-emit only after expiry
+    n_keys = table.select("user_id", "event_type").distinct().count()
+    assert emitted > n_keys, "no post-expiry re-emission happened"
+    assert emitted < fixture_rows, "nothing was ever dropped"
+    # progress metrics: the drain already terminated, so re-run the
+    # same stream to capture per-batch accounting
+    data_dir = _write_dedupwm_fixture(spark, sf_dir)
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    dedup = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    sq = (
+        dedup.writeStream.format("memory")
+        .queryName("dedupwm_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    late = updated = inputs = 0
+    for pr in sq.recentProgress:
+        inputs += pr["numInputRows"]
+        for so in pr.get("stateOperators") or []:
+            late += so.get("numRowsDroppedByWatermark") or 0
+            updated += so.get("numRowsUpdated") or 0
+    assert late > 0, "late-drop branch never exercised"
+    assert updated == emitted, "every emitted row must store key state"
+    dups = inputs - late - updated
+    assert dups > 0, "duplicate-drop branch never exercised"
+    assert spark.table("dedupwm_metrics").count() == emitted
