@@ -1351,3 +1351,91 @@ def embedding_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_cos"),
     )
+
+
+def lloyd_iterate(
+    emb: DataFrame,
+    k: int = CENTROID_K,
+    max_rounds: int = 20,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, int]:
+    """Cosine k-means Lloyd iteration TO CONVERGENCE: (assignments,
+    rounds_run). The convergence layer's k-means member, alongside
+    connected_components (HashMin) and the k-core fixpoint peel.
+
+    Each round is exactly the oracle-gated embedding_kmeans_lloyd2
+    step pair — broadcast E-step against the current fixed-k centroid
+    set, (cid, pos)-keyed decimal-exact M-step — with the centroid
+    table ``localCheckpoint``-ed per round so lineage stays O(1) deep
+    no matter how many rounds run (the k-core lesson: an iterating
+    DataFrame loop without checkpoints accretes two joins and an
+    aggregate of plan per round). Convergence is measured on the
+    k-row centroid table itself — max L-inf movement of any centroid
+    below ``tol`` — so the probe job touches k*dim values, never the
+    corpus.
+
+    Scale: per round, one broadcast E-step over the corpus (no
+    shuffle), one posexplode partial-agg shuffle bounded by k*64 rows
+    per task, and a k-row driver collect for the movement probe.
+    State between rounds is the k-row centroid table only.
+    """
+    n = _normed(emb)
+    cent = F.broadcast(_fixed_centroids(emb, k)).localCheckpoint(eager=True)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        asn = _assign_nearest(n, F.broadcast(cent), dot_fold64)
+        comp = (
+            asn.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(28,14)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        new_cent = (
+            comp.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c_emb"))
+            .select(
+                "cid",
+                "c_emb",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("c_emb", lambda v: v * v),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("c_nm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # movement probe on the k-row tables (never touches the corpus)
+        moved = (
+            new_cent.alias("n")
+            .join(cent.alias("o"), "cid")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("n.c_emb"),
+                        F.col("o.c_emb"),
+                        lambda a, b: F.abs(a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                ).alias("linf")
+            )
+            .agg(F.max("linf"))
+            .collect()[0][0]
+        )
+        dropped = new_cent.count() < cent.count()  # empty cluster vanished
+        cent = new_cent
+        if not dropped and moved is not None and moved < tol:
+            break
+    final = _assign_nearest(n, F.broadcast(cent), dot_fold64)
+    return final.select("vec_id", "cid", "cos"), rounds

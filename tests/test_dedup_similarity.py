@@ -515,3 +515,31 @@ def test_dot_fold64_matches_duckdb_left_fold(spark):
         params={"a": a, "b": b},
     ).fetchone()[0]
     assert spark_val == duck_val
+
+
+def test_lloyd_iterate_converges_and_improves(spark):
+    """The fixpoint Lloyd loop must terminate before the round cap on
+    the real corpus, partition the corpus, be deterministic across
+    runs, and not score below the oracle-gated 2-round variant on mean
+    assigned cosine (more M-steps can only refine the fit)."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        embedding_kmeans_lloyd2,
+        lloyd_iterate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_total = emb.count()
+    asn, rounds = lloyd_iterate(emb, max_rounds=20)
+    rows = asn.collect()
+    assert 2 <= rounds < 20, f"did not converge early (rounds={rounds})"
+    assert len(rows) == n_total
+    again, rounds2 = lloyd_iterate(emb, max_rounds=20)
+    assert rounds2 == rounds
+    assert sorted((r.vec_id, r.cid) for r in rows) == sorted(
+        (r.vec_id, r.cid) for r in again.collect()
+    )
+    mean_conv = sum(r.cos for r in rows) / n_total
+    two = embedding_kmeans_lloyd2(spark, sf).collect()
+    mean_two = sum(r.mean_cos * r.n_assigned for r in two) / n_total
+    assert mean_conv >= mean_two - 1e-9
