@@ -157,3 +157,61 @@ def test_chunk_overlap_tiling_contract(spark):
             sub = text[c.chunk_idx * CHUNK_STRIDE :][:CHUNK_SIZE]
             assert c.chunk_len == len(sub)
             assert c.chunk_md5 == hashlib.md5(sub.encode()).hexdigest()
+
+
+def test_chunk_overlap_property_random_unicode(spark):
+    """Property: for arbitrary unicode documents (including multi-byte
+    and empty strings), the chunker emits exactly the pure-Python
+    reference decomposition — same indices, lengths, and md5s computed
+    over UTF-8 bytes of codepoint slices (pins Spark's
+    character-not-byte substring semantics)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from node_gedcom_graph_spark.operators.llmprep import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_overlap,
+    )
+
+    def reference(text):
+        return [
+            (
+                i // CHUNK_STRIDE,
+                hashlib.md5(text[i : i + CHUNK_SIZE].encode()).hexdigest(),
+                len(text[i : i + CHUNK_SIZE]),
+            )
+            for i in range(0, len(text), CHUNK_STRIDE)
+        ]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=0, max_size=700),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(texts):
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df = spark.createDataFrame(
+                [(i, t, "xx", "src", len(t)) for i, t in enumerate(texts)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            got = {}
+            for r in doc_chunk_overlap(spark, d).collect():
+                got.setdefault(r.doc_id, []).append(
+                    (r.chunk_idx, r.chunk_md5, r.chunk_len)
+                )
+            for i, t in enumerate(texts):
+                assert sorted(got.get(i, [])) == sorted(reference(t)), (
+                    f"doc {i!r} len {len(t)}"
+                )
+
+    check()
