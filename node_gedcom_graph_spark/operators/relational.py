@@ -1188,7 +1188,24 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking is what makes fuzzy matching tractable at scale — the
     quadratic comparison runs only within blocks, and the block join is
     an ordinary shuffle/broadcast hash join (salt hot blocks via
-    operators.scale.salted_join when a block dominates)."""
+    operators.scale.salted_join when a block dominates).
+
+    The distance runs as the THREE-ARG ``levenshtein(a, b, 5)`` —
+    Spark's banded DP computes only the |i-j| <= threshold diagonal
+    (O(len*k) not O(len^2)) and early-exits to -1 the moment the band
+    minimum exceeds it, which is the common case for non-matching
+    pairs (measured ~5x per-pair at sf1 block sizes).
+
+    Honest scale bound, surfaced by the sf1 sweep: with a FIXED number
+    of brands the block size grows O(n) and the within-block pair count
+    O(n^2) — brand blocking alone caps out. Character-level pigeonhole
+    blocking (PassJoin segments / q-chunks) is unsound to prune further
+    HERE because part names draw from a ~90-word vocabulary, so exact
+    chunk keys collide across most of a block (candidates ~ all pairs).
+    At real scale the contract to reach for is the LSH family
+    (dedup_minhash_lsh) or a richer blocking key; this operator's job
+    is the exact within-block semantics, now at the cheapest per-pair
+    cost the engine offers."""
     part = load_table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
@@ -1199,8 +1216,10 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "p_brand")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
-        .filter(F.col("edit_dist") <= 5)
+        .withColumn(
+            "edit_dist", F.expr("levenshtein(name_a, name_b, 5)").cast("int")
+        )
+        .filter(F.col("edit_dist") >= 0)
         .select("key_a", "key_b", "edit_dist")
     )
 
