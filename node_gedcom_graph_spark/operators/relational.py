@@ -1205,8 +1205,12 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     At real scale the contract to reach for is the LSH family
     (dedup_minhash_lsh) or a richer blocking key; this operator's job
     is the exact within-block semantics, now at the cheapest per-pair
-    cost the engine offers."""
-    part = load_table(spark, sf_dir, "part")
+    cost the engine offers.
+
+    ``spread=True`` on the probe side: a single-file part table gives
+    the block join ONE input split, and with only 25 block keys the
+    whole O(n^2) comparison otherwise lands on a couple of cores."""
+    part = load_table(spark, sf_dir, "part", spread=True)
     a = part.select(
         F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
     )

@@ -531,8 +531,14 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential float32 fold (dot_f32) that matches DuckDB's
     list_dot_product bit-for-bit, so the rank boundary cannot flip
     between engines; the purity fractions are small int/10.0 divisions.
+
+    ``spread=True`` is load-bearing: the query-broadcast probe streams
+    the corpus side, so its parallelism IS the scan's split count — a
+    single-file corpus would run the whole |queries| x |corpus| fold
+    loop on one core (the sf1 sweep measured exactly that: 953 s on
+    one split vs ~30x less spread).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     # one scan, label carried through the projection — no self-join to
     # re-attach it.
     n = emb.select(
@@ -1150,7 +1156,14 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("s").alias("s"))
         .select("vec_id", (-F.col("s.ncid")).alias("cid"))
     )
-    mem = assign.join(n, "vec_id")
+    # REPARTITION_BY_NUM survives AQE: the joined member table is only
+    # kilobytes by AQE's size estimate, but each of its rows carries a
+    # 64-step fold against every broadcast query in its cell — letting
+    # AQE coalesce it to one partition serializes the whole probe
+    # (sf1 sweep: 48 s single-task vs seconds spread).
+    mem = assign.join(n, "vec_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = _cap_queries(mem.filter(F.col("vec_id") % 4 == 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid"),
@@ -1160,8 +1173,14 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
         F.col("q_nm") * F.col("nm")
     )
+    # Broadcast the capped query side: the cell id has only k=16
+    # distinct values, so a shuffle join on cid caps parallelism at 16
+    # tasks no matter the cluster — broadcasting keeps the streamed
+    # member side at the scan's full partitioning (sf1 sweep: 48 s
+    # key-limited vs seconds broadcast).
     scored = (
-        q.join(mem, "cid")
+        F.broadcast(q)
+        .join(mem, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
