@@ -958,3 +958,93 @@ def copurchase_clustering_global(
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
         ).alias("global_clustering"),
     )
+
+
+# ------------------------------------------------- BFS to fixpoint
+
+BFS_FIX_UNROLL = 20
+
+
+@register(
+    "copurchase_bfs_converged",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL.strip()},
+    und AS MATERIALIZED (
+      SELECT pa AS s, pb AS d FROM edges
+      UNION ALL
+      SELECT pb, pa FROM edges
+    ), seed AS (
+      SELECT MIN(pa) AS m FROM edges
+    ), walk(node, dist) AS (
+      SELECT m, 0 FROM seed
+      UNION
+      SELECT u.d, w.dist + 1
+      FROM walk w JOIN und u ON u.s = w.node
+      WHERE w.dist < {BFS_FIX_UNROLL}
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def copurchase_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS run to FIXPOINT (frontier iteration until the
+    frontier empties) from the smallest co-purchase part — completing
+    the traversal family's convergence tier alongside
+    copurchase_cc_converged (HashMin) and copurchase_kcore_fixpoint
+    (peel): fixed-depth (bfs_2hop), engine-loop recursive SQL
+    (bfs_recursive_sql), and now the distance map of the seed's whole
+    component.
+
+    Per round: frontier ⋈ edges (one shuffle on the node key), distinct,
+    LEFT ANTI against the settled distance set (first arrival IS the
+    BFS distance, so no re-expansion — each node expands exactly once
+    across the whole run, giving total work O(E) like the textbook
+    queue algorithm, not O(E * rounds)). Both the frontier and the
+    settled set are localCheckpoint-ed every round, so lineage depth
+    is O(1) and the convergence probe (frontier count, read off the
+    checkpoint job via Observation) costs no extra job.
+
+    The oracle is DuckDB's recursive walk bounded at {BFS_FIX_UNROLL}
+    hops with MIN(dist): min-over-walks equals BFS distance once the
+    bound exceeds the component's eccentricity from the seed (walks
+    only ever overestimate), and the engine raises if convergence
+    takes longer — the same monotone unroll-bound argument the k-core
+    fixpoint gate uses (dedup-UNION recursion keeps the oracle's state
+    to distinct (node, dist) pairs, never the walk set).
+    """
+    from pyspark.sql import Observation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.agg(F.min("pa")).collect()[0][0]
+    dist = spark.createDataFrame(
+        [(int(seed), 0)], "node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for rnd in range(1, BFS_FIX_UNROLL + 1):
+        obs = Observation(f"bfs_frontier_{rnd}_{id(frontier)}")
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(rnd).cast("int").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if obs.get["n"] == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"BFS did not converge within {BFS_FIX_UNROLL} rounds; raise "
+            "BFS_FIX_UNROLL (and regenerate the oracle bound)"
+        )
+    return dist

@@ -215,3 +215,34 @@ def test_cc_converged_matches_union_find(spark):
     assert got == expected
     plan = result._jdf.queryExecution().optimizedPlan().toString()
     assert "lineitem" not in plan and len(plan.splitlines()) < 30
+
+
+def test_bfs_converged_matches_pure_python(spark):
+    """The frontier-to-fixpoint BFS must produce exactly the textbook
+    BFS distance map of the seed's component, and its returned lineage
+    must be checkpoint-truncated (no lineitem scan in the plan)."""
+    from collections import deque
+
+    from node_gedcom_graph_spark.operators.graphalgo import (
+        copurchase_bfs_converged,
+    )
+
+    edges = _copurchase_pairs(spark)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seed = min(a for a, _ in edges)
+    expected = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in expected:
+                expected[v] = expected[u] + 1
+                dq.append(v)
+    result = copurchase_bfs_converged(spark, SF_DIR)
+    got = {r.node: r.dist for r in result.collect()}
+    assert got == expected
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan and len(plan.splitlines()) < 30
