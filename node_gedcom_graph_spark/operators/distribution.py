@@ -2647,3 +2647,129 @@ def customer_balance_trimmed_mean(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate outliers: Mahalanobis distance on (balance, revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_mahalanobis_outliers",
+    oracle="""
+    WITH pts AS (
+      SELECT c.c_custkey,
+             CAST(c.c_acctbal AS DOUBLE) AS x,
+             CAST(COALESCE(o.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+      ) o ON o.o_custkey = c.c_custkey
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM pts
+    ), cov AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS vx,
+             syy / n - (sy / n) * (sy / n) AS vy,
+             sxy / n - (sx / n) * (sy / n) AS cxy
+      FROM m
+    )
+    SELECT p.c_custkey, p.x AS acctbal, p.y AS revenue,
+           ROUND(
+             ((p.x - c.mx) * (p.x - c.mx) * c.vy
+              - 2 * (p.x - c.mx) * (p.y - c.my) * c.cxy
+              + (p.y - c.my) * (p.y - c.my) * c.vx)
+             / (c.vx * c.vy - c.cxy * c.cxy), 6) AS d2
+    FROM pts p CROSS JOIN cov c
+    WHERE ((p.x - c.mx) * (p.x - c.mx) * c.vy
+           - 2 * (p.x - c.mx) * (p.y - c.my) * c.cxy
+           + (p.y - c.my) * (p.y - c.my) * c.vx)
+          / (c.vx * c.vy - c.cxy * c.cxy) > 9
+    """,
+)
+def customer_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIVARIATE outliers: customers outside the 3-sigma Mahalanobis
+    ellipse of the (account balance, lifetime revenue) distribution —
+    the joint-distribution complement of the univariate MAD/z-score
+    detectors (customer_balance_mad_outliers, events_anomaly_zscore): a
+    point can be unremarkable on each axis yet far off the correlation
+    ridge, which is exactly what d^2 = (p-mu)' Sigma^-1 (p-mu) > 9
+    flags.
+
+    Determinism chain: the five moments are order-independent DECIMAL
+    sums (x, y in DECIMAL(28,14); the squares/cross terms in
+    DECIMAL(38,12) — x*x is computed in DOUBLE first, one rounding,
+    identical in both engines, then cast); means/variances/covariance
+    derive from those identical doubles, and the closed-form 2x2
+    inverse keeps the whole pipeline in arithmetic both engines execute
+    bit-identically. The d^2 > 9 threshold compares identical doubles,
+    so the kept set cannot differ.
+
+    Scale: one pass for the per-customer revenue rollup (shuffle on
+    custkey), one pass for the moment aggregate (map-side partials to a
+    ONE-ROW result, broadcast back via crossJoin — the audited one-row
+    scalar pattern), one map-side distance filter. Nothing holds state
+    beyond six scalars.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    pts = (
+        cust.join(rev, cust["c_custkey"] == rev["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("x"),
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,14)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,14)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = m.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("vx"),
+        (F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("vy"),
+        (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("cxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
+    d2 = (
+        dx * dx * F.col("vy") - F.lit(2) * dx * dy * F.col("cxy") + dy * dy * F.col("vx")
+    ) / det
+    return (
+        pts.crossJoin(F.broadcast(cov))
+        .filter(d2 > 9)
+        .select(
+            "c_custkey",
+            F.col("x").alias("acctbal"),
+            F.col("y").alias("revenue"),
+            F.round(d2, 6).alias("d2"),
+        )
+    )

@@ -231,6 +231,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "SinglePartition": "one-row anchor-date + one-row 6-threshold "
         "pivot branches (both broadcast back)"
     },
+    "customer_mahalanobis_outliers": {
+        "SinglePartition": "one-row five-moment aggregate (map-side "
+        "partials), broadcast back as six scalars"
+    },
     "dedup_savings_report": {
         "SinglePartition": "one-row rollup of the fingerprint-group table"
     },
