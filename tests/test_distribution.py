@@ -919,3 +919,42 @@ def test_mannwhitney_bucketed_equals_plain(spark):
         for r in customer_balance_mannwhitney_bucketed(spark, sf).collect()
     }
     assert plain == bucketed
+
+
+def test_mahalanobis_catches_joint_only_outliers(spark):
+    """The multivariate detector must flag at least one customer that
+    BOTH univariate 3-sigma z-scores miss (|z| < 3 on balance AND on
+    revenue) — the correlation-ridge case that justifies the operator
+    over the MAD/z-score family — and every flagged row must satisfy
+    its own d2 > 9 contract."""
+    from node_gedcom_graph_spark.operators.distribution import (
+        customer_mahalanobis_outliers,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = customer_mahalanobis_outliers(spark, sf).collect()
+    assert rows and all(r.d2 > 9 for r in rows)
+    import statistics
+
+    cust = {
+        r.c_custkey: r.c_acctbal
+        for r in spark.read.parquet(f"{sf}/customer.parquet").collect()
+    }
+    rev = {}
+    for r in (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_custkey")
+        .sum("o_totalprice")
+        .collect()
+    ):
+        rev[r[0]] = r[1]
+    xs = list(cust.values())
+    ys = [rev.get(k, 0.0) for k in cust]
+    mx, sdx = statistics.fmean(xs), statistics.pstdev(xs)
+    my, sdy = statistics.fmean(ys), statistics.pstdev(ys)
+    joint_only = [
+        r
+        for r in rows
+        if abs(r.acctbal - mx) / sdx < 3 and abs(r.revenue - my) / sdy < 3
+    ]
+    assert joint_only, "no outlier was exclusive to the joint distribution"
