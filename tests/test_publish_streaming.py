@@ -822,3 +822,83 @@ def test_dedup_within_watermark_accounting(spark):
     dups = inputs - late - updated
     assert dups > 0, "duplicate-drop branch never exercised"
     assert spark.table("dedupwm_metrics").count() == emitted
+
+
+def test_dedup_within_watermark_restart_recovery(spark, tmp_path):
+    """Stopping the dedup stream after its first batch and restarting
+    from the checkpoint must (a) not re-emit batch-1 rows (exactly-once
+    across the restart: no duplicate event_ids in the file sink) and
+    (b) recover the key-expiry STATE — provable because some post-
+    restart rows are duplicate-dropped against state that only the
+    pre-restart run built.
+
+    Bit-equality with the continuous drain is deliberately NOT asserted:
+    availableNow ends every run with a no-data flush batch that commits
+    the advanced watermark, so a restarted run's first batch filters
+    with a watermark the continuous drain only reaches one batch later
+    — a real, documented semantic of restart, not a defect."""
+    import os
+    import shutil
+
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        DEDUPWM_DELAY_H,
+        _write_dedupwm_fixture,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    src = _write_dedupwm_fixture(spark, sf)
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(stage)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        q = (
+            stream.withWatermark("ts", f"{DEDUPWM_DELAY_H} hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.recentProgress
+
+    dst = os.path.join(stage, "f1.parquet")
+    shutil.copy(os.path.join(src, "f1.parquet"), dst)
+    os.utime(dst, (1_000_000_001, 1_000_000_001))
+    drain()  # first batch, then the query stops
+    run1 = {r.event_id for r in spark.read.parquet(out).collect()}
+    n_keys = spark.read.parquet(os.path.join(src, "f1.parquet")).count()
+    assert len(run1) == n_keys  # batch 1 emits one row per key
+
+    for k in (2, 3, 4):
+        dst = os.path.join(stage, f"f{k}.parquet")
+        shutil.copy(os.path.join(src, f"f{k}.parquet"), dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    progress = drain()  # restart from checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "restart re-emitted rows (sink not exactly-once)"
+    assert run1 <= set(ids), "batch-1 emissions lost across restart"
+    assert len(ids) > len(run1), "no post-restart emission at all"
+    # state recovery: the first restarted batch must duplicate-drop at
+    # least one row against state ONLY run 1 built (inputs that were
+    # neither late-dropped nor stored as new state)
+    first = next(p for p in progress if p["numInputRows"] > 0)
+    so = (first.get("stateOperators") or [{}])[0]
+    dup_drops = (
+        first["numInputRows"]
+        - (so.get("numRowsDroppedByWatermark") or 0)
+        - (so.get("numRowsUpdated") or 0)
+    )
+    assert dup_drops > 0, "no duplicate was dropped against recovered state"
