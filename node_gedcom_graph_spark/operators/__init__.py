@@ -50,6 +50,7 @@ def _load_all() -> None:
         graphalgo,
         llmprep,
         llmprep2,
+        llmprep3,
         multimodal,
         relational,
         relational_ext,

@@ -1188,3 +1188,122 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ------------------------------------- prefix-filtered similarity join
+
+PREFIX_JACCARD_T_NUM, PREFIX_JACCARD_T_DEN = 3, 5  # t = 0.6, kept rational
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard join at threshold 0.6 via PREFIX
+    FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07;
+    Xiao et al. ppjoin) — the scalable exact-similarity-join physical
+    strategy: order every document's shingles by ascending global
+    document frequency, index only each doc's first
+    ``n - ceil(t*n) + 1`` shingles (its "prefix" of rarest shingles),
+    and generate candidates ONLY from prefix-prefix collisions. Any
+    pair with J >= t must share >= ceil(t*max(|A|,|B|)) shingles, so
+    by the prefix-filtering lemma their prefixes intersect — no
+    recall loss — while hot shingles (which sit at the END of the
+    frequency order, hence outside most prefixes) stop generating the
+    quadratic candidate blowup that the plain shingle-join baseline
+    (``dedup_ngram_jaccard``) suffers.
+
+    The oracle is the full-candidate brute join at the same
+    threshold, so identical output PROVES the prefix rewrite loses no
+    pairs — the same verify-a-physical-rewrite pattern as the
+    degree-oriented triangle count.
+
+    ceil(t*n) is computed in pure integer arithmetic
+    ((3n + 4) DIV 5), never via double multiplication (0.6*5 -> 3.0
+    + 4e-16 would mis-round the prefix length).
+
+    Scale: df ranking is one window partitioned BY DOC (uniform
+    small partitions); the candidate join is keyed on prefix
+    shingles only; verification joins touch candidate pairs x their
+    shingle lists. Candidates scale with true near-dup density, not
+    with hot-shingle df^2.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = shingled_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length = n - ceil(t*n) + 1, integer-exact for t = 3/5
+    prefix_len = F.col("n") - F.expr(
+        f"(({PREFIX_JACCARD_T_NUM} * n + {PREFIX_JACCARD_T_DEN - 1}) "
+        f"DIV {PREFIX_JACCARD_T_DEN})"
+    ) + F.lit(1)
+    pref = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b"])
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )

@@ -34,7 +34,9 @@ _EDGES_SQL = """
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, keep_weight: bool = False
+) -> DataFrame:
     """Canonical (pa < pb) co-purchase edges with weight >= 2.
 
     Scale: the per-order pair fan-out is bounded by lines-per-order
@@ -65,7 +67,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
-        .select("pa", "pb")
+        .select(*(["pa", "pb", "w"] if keep_weight else ["pa", "pb"]))
         .persist()
     )
 
@@ -1048,3 +1050,132 @@ def copurchase_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "BFS_FIX_UNROLL (and regenerate the oracle bound)"
         )
     return dist
+
+
+# ------------------------------------- weighted SSSP to fixpoint
+
+SSSP_FIX_UNROLL = 40
+SSSP_DIST_CAP = 192
+
+
+@register(
+    "copurchase_sssp_weighted",
+    oracle=f"""
+    WITH RECURSIVE
+    op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    wedges AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT pa AS s, pb AS d, w FROM wedges
+      UNION ALL
+      SELECT pb, pa, w FROM wedges
+    ),
+    seed AS (SELECT MIN(pa) AS m FROM wedges),
+    walk(node, dist) AS (
+      SELECT m, CAST(0 AS BIGINT) FROM seed
+      UNION
+      SELECT u.d, w.dist + u.w
+      FROM walk w JOIN sym u ON u.s = w.node
+      WHERE w.dist + u.w <= {SSSP_DIST_CAP}
+    )
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def copurchase_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the WEIGHTED co-purchase graph
+    (edge cost = co-occurrence count), iterated to fixpoint — the
+    Bellman-Ford frontier ("delta") relaxation: each round expands only
+    the nodes whose tentative distance improved last round, so settled
+    regions are never re-relaxed and total work is O(E x improvement
+    rounds) with the frontier typically collapsing geometrically.
+
+    Completes the convergence tier's weighted member next to
+    copurchase_bfs_converged (unit weights), copurchase_cc_converged
+    (HashMin), copurchase_kcore_fixpoint (peel), and
+    embedding_kmeans_lloyd2 (EM).
+
+    Per round: frontier ⋈ symmetric weighted edges (shuffle on node
+    key), min-combine per destination (map-side partials), a LEFT join
+    against the current distance map to keep strict improvements, and
+    an anti-join + union to write them back. Frontier and distance map
+    are localCheckpoint-ed per round (O(1) lineage); the convergence
+    probe (improved-count) rides the checkpoint job via Observation.
+    All distances are BIGINT sums of BIGINT weights — exact.
+
+    Oracle: DuckDB recursive walk enumerating distinct (node, dist)
+    pairs with dist <= {SSSP_DIST_CAP}, then MIN per node. Positive
+    weights make path prefixes monotone, so capping at
+    {SSSP_DIST_CAP} cannot lose any path whose total is within the
+    cap — the capped MIN equals true SSSP wherever the true distance
+    is <= cap, and the engine RAISES if any settled distance exceeds
+    the cap, making silent divergence impossible (the k-core/BFS
+    unroll-bound argument, applied to distance instead of depth).
+    """
+    from pyspark.sql import Observation
+
+    edges = _copurchase_edges(spark, sf_dir, keep_weight=True)
+    sym = (
+        edges.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("w")
+        )
+        .unionByName(
+            edges.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.agg(F.min("pa")).collect()[0][0]
+    dist = spark.createDataFrame(
+        [(int(seed), 0)], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _rnd in range(SSSP_FIX_UNROLL):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (frontier["dist"] + sym["w"]).alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        obs = Observation(f"sssp_improved_{_rnd}_{id(frontier)}")
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "cur"), "node", "left")
+            .filter(F.col("cur").isNull() | (F.col("nd") < F.col("cur")))
+            .select("node", F.col("nd").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if obs.get["n"] == 0:
+            break
+        dist = (
+            dist.join(improved, "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"SSSP did not converge within {SSSP_FIX_UNROLL} rounds; raise "
+            "SSSP_FIX_UNROLL"
+        )
+    max_dist = dist.agg(F.max("dist")).collect()[0][0]
+    if max_dist > SSSP_DIST_CAP:
+        raise RuntimeError(
+            f"settled SSSP distance {max_dist} exceeds oracle cap "
+            f"{SSSP_DIST_CAP}; raise SSSP_DIST_CAP"
+        )
+    return dist.select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

@@ -1,0 +1,545 @@
+"""Training-data pipeline surface, part 3: published quality-filter
+rules (Gopher), an inverted-index/BM25 retrieval layer, integer-exact
+weighted sampling, and a columnar-format roundtrip source/sink check.
+
+Reference parity note: the reference (node-gedcom-graph) has no
+text-corpus surface — these operators extend the engine with the
+large-scale pretraining-data operations the build brief lists as
+first-class (dedup/quality/sampling/retrieval), expressed with
+built-in column functions so they stay JVM-side and codegen'd.
+
+All oracles restrict themselves to arithmetic whose results are
+bit-identical across Spark and DuckDB: integer aggregates, int/int
+double divisions, and fixed-shape double expression trees evaluated
+in the same order (IEEE 754 ops are deterministic given identical
+operands and ordering; only transcendentals differ by libm, so BM25
+here uses the *rational* idf variant (N-df+0.5)/(df+0.5) — a strictly
+monotone transform of the classic log idf that preserves ranking).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_gedcom_graph_spark.functions.scalar import tokens
+from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.operators.textstats import STOPWORDS, _sql_list
+from node_gedcom_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1).
+# Thresholds are the published ones; the symbol-to-word rule is adapted
+# to total punctuation (this corpus contains no '#'/'...' symbols).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+# Bitmask bits for fail_reasons (stable public contract).
+_BIT_WORDS, _BIT_MWL, _BIT_SYM, _BIT_ALPHA, _BIT_STOP = 1, 2, 4, 8, 16
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, n_symbols,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS sum_word_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha_words,
+             len(list_filter(toks, x -> list_contains({_sql_list("en")}, x)))
+               AS stop_hits
+      FROM base
+      WHERE len(toks) > 0
+    ),
+    r AS (
+      SELECT doc_id, source, n_words,
+             CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+             CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+             CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_frac,
+             stop_hits
+      FROM m
+    )
+    SELECT doc_id, source, n_words, mean_word_len, symbol_ratio,
+           alpha_frac, stop_hits,
+           CAST(
+             (CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                     OR n_words > {GOPHER_MAX_WORDS} THEN {_BIT_WORDS}
+                   ELSE 0 END)
+           + (CASE WHEN mean_word_len < {GOPHER_MIN_MEAN_WORD_LEN}
+                     OR mean_word_len > {GOPHER_MAX_MEAN_WORD_LEN}
+                   THEN {_BIT_MWL} ELSE 0 END)
+           + (CASE WHEN symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO}
+                   THEN {_BIT_SYM} ELSE 0 END)
+           + (CASE WHEN alpha_frac < {GOPHER_MIN_ALPHA_FRAC}
+                   THEN {_BIT_ALPHA} ELSE 0 END)
+           + (CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS}
+                   THEN {_BIT_STOP} ELSE 0 END)
+           AS BIGINT) AS fail_reasons,
+           (    n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM r
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality filter: per-doc signals, a
+    fail-reason bitmask (bit 1 word count, 2 mean word length,
+    4 symbol ratio, 8 alpha fraction, 16 stopword hits), and the
+    final keep flag.
+
+    The production shape for pretraining curation: keep/drop must be
+    *explainable*, so the reasons travel with the decision and a
+    downstream groupBy(fail_reasons) audits exactly why the corpus
+    shrank. All signals are single-pass per-row column expressions
+    (one scan, no shuffle until the caller aggregates); ratios are
+    int/int double divisions, bit-exact across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias("n_alpha_words"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "stop_hits"
+        ),
+        F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")).alias(
+            "n_symbols"
+        ),
+    ).filter(F.col("n_words") > 0)
+    m = base.select(
+        "doc_id",
+        "source",
+        "n_words",
+        (F.col("sum_word_len").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        (F.col("n_symbols").cast("double") / F.col("n_words")).alias("symbol_ratio"),
+        (F.col("n_alpha_words").cast("double") / F.col("n_words")).alias(
+            "alpha_frac"
+        ),
+        "stop_hits",
+    )
+    fail_words = (F.col("n_words") < GOPHER_MIN_WORDS) | (
+        F.col("n_words") > GOPHER_MAX_WORDS
+    )
+    fail_mwl = (F.col("mean_word_len") < GOPHER_MIN_MEAN_WORD_LEN) | (
+        F.col("mean_word_len") > GOPHER_MAX_MEAN_WORD_LEN
+    )
+    fail_sym = F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO
+    fail_alpha = F.col("alpha_frac") < GOPHER_MIN_ALPHA_FRAC
+    fail_stop = F.col("stop_hits") < GOPHER_MIN_STOP_HITS
+    mask = (
+        F.when(fail_words, _BIT_WORDS).otherwise(0)
+        + F.when(fail_mwl, _BIT_MWL).otherwise(0)
+        + F.when(fail_sym, _BIT_SYM).otherwise(0)
+        + F.when(fail_alpha, _BIT_ALPHA).otherwise(0)
+        + F.when(fail_stop, _BIT_STOP).otherwise(0)
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_frac",
+        "stop_hits",
+        mask.cast("bigint").alias("fail_reasons"),
+        (
+            ~fail_words & ~fail_mwl & ~fail_sym & ~fail_alpha & ~fail_stop
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + BM25 — the retrieval layer a decontamination /
+# curation pipeline runs against the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_inverted_index_stats",
+    oracle="""
+    WITH td AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT token, doc_id, COUNT(*) AS c FROM td GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT) AS tf_total,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM tf GROUP BY token
+    """,
+)
+def token_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics: per token, document frequency, total
+    term frequency, and the min/max posting. The dictionary half of an
+    inverted index build (the posting lists themselves are the
+    ``tf`` intermediate, partitioned by token).
+
+    Scale: explode is map-side; the (token, doc) pre-aggregation is
+    the classic two-level combine — partial per partition, then one
+    shuffle keyed by (token, doc), then a second map-side-combined
+    shuffle on token alone. Per-token state is four scalars (never a
+    collected posting list), so a hot token ("the") costs a counter,
+    not memory.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    td = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = td.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tf_total"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "query", "window")
+
+
+def _bm25_oracle() -> str:
+    per_doc = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    scores = [
+        f"((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * ((tf_{t} * ({BM25_K1} + 1.0))"
+        f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * (dl / avgdl))))"
+        for t in BM25_TERMS
+    ]
+    total = " + ".join(f"score_{t}" for t in BM25_TERMS)
+    named = ", ".join(f"{s} AS score_{t}" for s, t in zip(scores, BM25_TERMS))
+    tf_cols = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, toks, len(toks) AS dl, {per_doc}
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {dfs}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, dl, {tf_cols}, {named}
+      FROM per_doc, stats
+    )
+    SELECT doc_id, dl, {tf_cols},
+           {total} AS bm25_rational
+    FROM scored
+    WHERE {total} > 0
+    """
+
+
+@register("bm25_doc_scores", oracle=_bm25_oracle())
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed conjunctive query
+    (terms {spark, query, window}), k1=1.2 b=0.75 — the retrieval
+    scoring used to find benchmark-contaminated / topic-matched
+    documents in a corpus.
+
+    Uses the *rational idf* variant (N-df+0.5)/(df+0.5): the classic
+    idf is the log of that ratio, a strictly monotone transform, so
+    rankings are identical — but the rational form is pure IEEE
+    +,*,/ arithmetic, which is bit-exact across engines, where libm
+    ``ln`` is not.
+
+    Scale: per-doc tf/dl are map-side; the corpus stats (N, avgdl,
+    per-term df) are ONE row produced by a single global aggregate and
+    broadcast back — O(#terms) state, no second scan of the corpus
+    (Spark reuses the exchange), no collect.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        # NB: the lambda must be unary — F.filter treats a second
+        # parameter as the element-index request.
+        *[
+            F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))).alias(
+                f"tf_{t}"
+            )
+            for t in BM25_TERMS
+        ],
+    ).filter(F.col("dl") > 0)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    score_cols = []
+    for t in BM25_TERMS:
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        norm = tf + k1 * (
+            F.lit(1.0) - b + b * (F.col("dl") / F.col("avgdl"))
+        )
+        score_cols.append((idf * ((tf * (k1 + F.lit(1.0))) / norm)).alias(f"s_{t}"))
+    scored = scored.select(
+        "doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS], *score_cols
+    )
+    total = F.col(f"s_{BM25_TERMS[0]}")
+    for t in BM25_TERMS[1:]:
+        total = total + F.col(f"s_{t}")
+    return scored.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in BM25_TERMS],
+        total.alias("bm25_rational"),
+    ).filter(F.col("bm25_rational") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact weighted sampling (no transcendentals).
+# ---------------------------------------------------------------------------
+
+
+WEIGHTED_SAMPLE_K = 20
+
+
+@register(
+    "sample_weighted_minhash_replication",
+    oracle=f"""
+    WITH rep AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS INTEGER) AS w,
+             md5(concat_ws('-', l_orderkey, l_linenumber, r)) AS sample_key
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                   UNNEST(generate_series(1, CAST(l_quantity AS INTEGER))) AS r
+            FROM lineitem)
+    ),
+    best AS (
+      SELECT l_orderkey, l_linenumber, w,
+             MIN(sample_key) AS sample_key
+      FROM rep GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey, l_linenumber, w, sample_key
+    FROM best
+    ORDER BY sample_key, l_orderkey, l_linenumber
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_minhash_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted random sample of k={WEIGHTED_SAMPLE_K} lineitems with
+    inclusion probability proportional to integer weight (l_quantity),
+    using *hash replication*: each item is replicated once per unit of
+    weight with a distinct deterministic hash key, and the global k
+    smallest keys win. An item of weight w holds w lottery tickets, so
+    P(item contributes the minimum) is proportional to w — the
+    integer-exact analogue of Efraimidis-Spirakis u^(1/w) priority
+    sampling, chosen because it needs NO pow/ln (bit-exact oracle).
+
+    Scale: the explode factor is bounded by max weight (50 here; at
+    100 TB bound the replication by bucketing weights or switching to
+    the u^(1/w) float variant). The global top-k is
+    TakeOrderedAndProject: per-partition partial top-k, k rows to the
+    driver — never a full sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("w"),
+    )
+    rep = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
+    )
+    keyed = rep.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        F.md5(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("r"))
+        ).alias("sample_key"),
+    )
+    best = keyed.groupBy("l_orderkey", "l_linenumber", "w").agg(
+        F.min("sample_key").alias("sample_key")
+    )
+    return best.orderBy("sample_key", "l_orderkey", "l_linenumber").limit(
+        WEIGHTED_SAMPLE_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Columnar-format roundtrip: ORC sink + source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_orc_roundtrip_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS max_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def source_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip: write lineitem to ORC, read it
+    back, aggregate — proving the second columnar format (after
+    parquet) preserves decimals, timestamps, and row counts exactly.
+    The oracle aggregates the ORIGINAL parquet, so any roundtrip
+    corruption (type coercion, timestamp shifting, decimal rescale)
+    breaks the hash.
+
+    Scale: ORC writes are per-partition (no shuffle); the read-back
+    scan enjoys the same predicate pushdown/column pruning the parquet
+    path gets (ORC carries min/max stride indexes).
+    """
+    out = os.path.join(
+        "/tmp/ngg_roundtrip_orc",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+_ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+_ORDERS_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS min_date,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+@register("source_json_roundtrip_agg", oracle=_ORDERS_ROUNDTRIP_ORACLE)
+def source_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source roundtrip for the orders table: write
+    newline-delimited JSON, read it back under an EXPLICIT schema
+    (JSON carries no types — the read schema is the contract that
+    restores bigint/double/timestamp_ntz), aggregate, and compare
+    against the original parquet via the oracle. Doubles survive
+    because Spark's JSON writer emits shortest-roundtrip
+    representations; sums go through DECIMAL(18,2) so the aggregate
+    is order-independent.
+
+    Scale: JSONL is the interchange format of LLM data pipelines;
+    writes are per-partition (no shuffle) and the read is splittable
+    by line.
+    """
+    out = os.path.join(
+        "/tmp/ngg_roundtrip_json",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").json(out)
+    back = spark.read.schema(_ORDERS_SCHEMA).json(out)
+    return _roundtrip_agg(back)
+
+
+@register("source_csv_roundtrip_agg", oracle=_ORDERS_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip for the orders table (header on,
+    explicit read schema, default ISO timestamp format). CSV is the
+    reference's native sink format (schema-first headers,
+    publish/neo4j_csv.py is the bulk-load path); this query proves the
+    generic csv source/sink preserves numerics and timestamps
+    bit-exactly under a declared schema.
+    """
+    out = os.path.join(
+        "/tmp/ngg_roundtrip_csv",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    back = (
+        spark.read.schema(_ORDERS_SCHEMA)
+        .option("header", "true")
+        .csv(out)
+    )
+    return _roundtrip_agg(back)

@@ -31,6 +31,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.functions.scalar import tokens
@@ -1122,4 +1123,80 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nxt",
         F.col("c").alias("n_transitions"),
         (F.col("c").cast("double") / F.col("row_total")).alias("probability"),
+    )
+
+
+# ------------------------------------------------ time-weighted average
+
+
+@register(
+    "events_twap_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, value, event_id,
+             LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, day,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(nxt) - epoch_us(ts) AS dur_us
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(CAST(SUM(v * dur_us) AS DOUBLE)
+                / CAST(SUM(dur_us) AS DOUBLE) AS DOUBLE) AS twap
+    FROM seg
+    GROUP BY user_id, day
+    HAVING SUM(dur_us) > 0
+    """,
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user per day — the
+    hypertable/financial TWAP: each observation holds from its own
+    timestamp until the next observation of the same (user, day), and
+    is weighted by that holding duration. The last observation of a
+    day has no holding interval and contributes no weight (interval
+    TWAP over observed segments).
+
+    Exactness: value has 2 decimals -> DECIMAL(18,2); the weighted sum
+    SUM(value_dec * duration_us) is decimal x bigint = exact decimal,
+    so the aggregate is order-independent and bit-equal across
+    engines; only the final division happens in double.
+
+    Scale: one window pass partitioned by (user_id, day) — high
+    cardinality, uniformly sized partitions (a user's events within
+    one day), then a hash aggregate on the same key, which reuses the
+    window's partitioning (no second shuffle). No global sort.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dur = F.expr("unix_micros(CAST(nxt AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+    )
+    seg = seq.select(
+        "user_id",
+        "day",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        dur.alias("dur_us"),
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_us").alias("total_us"),
+            (
+                F.sum(F.col("v") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+            ).alias("twap"),
+        )
+        .filter(F.col("total_us") > 0)
     )

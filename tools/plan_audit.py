@@ -67,6 +67,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_mixture_weights": {
         "SinglePartition": "one-row corpus-total branch (broadcast back)"
     },
+    "bm25_doc_scores": {
+        "SinglePartition": "one-row corpus-stats branch (N/avgdl/df broadcast back)"
+    },
     "orders_benford_first_digit": {
         "SinglePartition": "one-row order-total branch (broadcast back)"
     },
