@@ -2773,3 +2773,151 @@ def customer_mahalanobis_outliers(
             F.round(d2, 6).alias("d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: price-vs-quantity line per brand.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regression_brand_slopes",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l.l_extendedprice, l.l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l.l_extendedprice, l.l_quantity), 6)
+             AS intercept,
+           ROUND(regr_r2(l.l_extendedprice, l.l_quantity), 6) AS r2
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def regression_brand_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares line of extended price over
+    quantity (slope ~ the brand's effective unit price, r2 ~ how
+    linear its pricing is) — the grouped-regression shape of a
+    many-models feature pipeline, computed entirely from the built-in
+    regr_* moment aggregates: one scan, map-side partial moments, one
+    shuffle on brand. Moment-sum drift across engines sits far inside
+    the 6-dp round (token_zipf_fit precedent).
+
+    Scale: the part join is broadcast (dimension table); brands are
+    low-cardinality but each group's state is five scalars, so skew is
+    irrelevant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = F.col("l_extendedprice")
+    x = F.col("l_quantity").cast("double")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA leading component by fixed-step power iteration.
+# ---------------------------------------------------------------------------
+
+PCA_DIM = 64  # embeddings are FLOAT[64]; 1/sqrt(64) = 0.125 is exact
+PCA_ITERS = 3
+
+
+def _pca_power_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"""
+    u{k} AS (
+      SELECT c.di AS dim, SUM(c.c * p.v) AS u
+      FROM cov c JOIN {prev} p ON p.dim = c.dj
+      GROUP BY c.di
+    ),
+    n{k} AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u{k}),
+    v{k} AS (SELECT dim, u / (SELECT nrm FROM n{k}) AS v FROM u{k})"""
+        )
+        prev = f"v{k}"
+    chain = ",".join(steps)
+    return f"""
+    WITH dims AS (SELECT i FROM generate_series(1, {PCA_DIM}) t(i)),
+    pairs AS (SELECT a.i AS di, b.i AS dj FROM dims a, dims b),
+    cov AS MATERIALIZED (
+      SELECT di, dj,
+             covar_pop(CAST(embedding[di] AS DOUBLE),
+                       CAST(embedding[dj] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN pairs
+      GROUP BY di, dj
+    ),
+    v0 AS (SELECT i AS dim, 0.125 AS v FROM dims),{chain},
+    rayleigh AS (
+      SELECT SUM(c.c * a.v * b.v) AS lam
+      FROM cov c
+      JOIN v{PCA_ITERS} a ON a.dim = c.di
+      JOIN v{PCA_ITERS} b ON b.dim = c.dj
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           ROUND(v, 6) AS loading,
+           ROUND((SELECT lam FROM rayleigh), 6) AS eigval
+    FROM v{PCA_ITERS}
+    """
+
+
+@register("embedding_pca_power3", oracle=_pca_power_oracle())
+def embedding_pca_power3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding covariance by a
+    FIXED 3-step power iteration from the exact uniform start
+    v0 = 1/sqrt(64) = 0.125 — the whitening/compression primer of an
+    embedding pipeline, and the eigen-sibling of the k-means
+    (embedding_kmeans_lloyd2) and Bellman-Ford (copurchase_sssp)
+    fixed-iteration operators. Output: the 64 loadings after step 3
+    plus the Rayleigh-quotient eigenvalue estimate.
+
+    Determinism: the iteration count and start vector are pinned, so
+    both engines run the SAME affine recurrence; float drift from
+    summation order (~1e-10) sits inside the 6-dp round. sqrt is
+    IEEE-correctly-rounded in both engines (unlike ln/exp, which the
+    engine-wide oracle rules avoid).
+
+    Scale: the covariance is ONE distributed scan (d^2 = 4096
+    map-side-combined aggregates via a broadcast literal pair table);
+    the driver handles only the d x d matrix (32 kB) and O(d^2) flops
+    per step — corpus size never touches the driver. At larger d,
+    swap the materialized covariance for X^T(Xv) matvec passes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = [
+        (i, j)
+        for i in range(1, PCA_DIM + 1)
+        for j in range(1, PCA_DIM + 1)
+    ]
+    pair_df = F.broadcast(
+        emb.sparkSession.createDataFrame(pairs, "di int, dj int")
+    )
+    x = F.element_at("embedding", F.col("di")).cast("double")
+    y = F.element_at("embedding", F.col("dj")).cast("double")
+    cov_rows = (
+        emb.crossJoin(pair_df)
+        .groupBy("di", "dj")
+        .agg(F.covar_pop(x, y).alias("c"))
+        .collect()
+    )
+    import numpy as np
+
+    C = np.zeros((PCA_DIM, PCA_DIM))
+    for r in cov_rows:
+        C[r.di - 1, r.dj - 1] = r.c
+    v = np.full(PCA_DIM, 0.125)
+    for _ in range(PCA_ITERS):
+        u = C @ v
+        v = u / float(np.sqrt(u @ u))
+    lam = float(v @ C @ v)
+    out = [(i + 1, round(float(v[i]), 6), round(lam, 6)) for i in range(PCA_DIM)]
+    return spark.createDataFrame(out, "dim int, loading double, eigval double")

@@ -1449,3 +1449,163 @@ def stream_dedup_within_watermark(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join gate (12th streaming gate): matched
+# pairs plus watermark-evicted null rows for view-less purchases.
+# ---------------------------------------------------------------------------
+
+LOJ_WM_HOURS = 2
+
+
+def _write_two_batch_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file arrival fixture (cut at max ts - 6h) so the left-outer
+    join buffers cross-batch state: batch 1's purchases must wait in
+    state while batch 2's views arrive, and the null-side rows only
+    flush in the final no-data batch. Overwritten each call
+    (idempotent pure function of the events table)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_LATE_FIXTURE_ROOT, tag, "loj2")
+    _shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cut = F.lit(mx) - F.expr("INTERVAL 6 HOURS")
+    slices = {1: ev.filter(F.col("ts") <= cut), 2: ev.filter(F.col("ts") > cut)}
+    for i, df in slices.items():
+        tmp = os.path.join(base, f"t{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(data_dir, f"f{i}.parquet")
+        _shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return data_dir
+
+
+@_register(
+    "stream_view_purchase_left_outer",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'view'
+    ),
+    wm AS (
+      SELECT date_trunc('ms', LEAST((SELECT MAX(ts) FROM v),
+                                    (SELECT MAX(ts) FROM p)))
+             - INTERVAL {LOJ_WM_HOURS} HOUR AS w
+    ),
+    matched AS (
+      SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+             p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts,
+             p.value AS amount
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), p.value
+    FROM p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+                      AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+    """,
+)
+def stream_view_purchase_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join drained over a
+    two-batch arrival fixture: every purchase joined to the preceding
+    hour's views; purchases with NO view emit a null-side row — but
+    only once the watermark proves no matching view can still arrive.
+
+    Pinned semantics (measured on the planned join, and what the
+    oracle unrolls): inner matches emit in the batch that completes
+    them; null-side rows emit on state EVICTION, which happens for
+    purchases with ``purchase_ts < final global watermark``, where the
+    global watermark is the MIN over both sides' per-column watermarks
+    (ms-truncated max event time minus the {LOJ_WM_HOURS}h delay) —
+    here the view side's max, which trails the purchase side's.
+    availableNow runs a final no-data micro-batch after the last file,
+    so the last watermark advance DOES flush eviction-pending rows;
+    unmatched purchases above the final watermark stay buffered and
+    are never emitted (both outcomes exercised: the sf0.01 fixture
+    holds 1941 view-less purchases, 1934 below the cutoff).
+
+    Scale: join state is keyed by user and bounded by the watermark
+    horizon per side (the time-range predicate gives Spark the
+    eviction bound); the outer side adds no extra state beyond the
+    inner join — eviction just also emits the null row.
+    """
+    apply_engine_confs(spark)
+    data_dir = _write_two_batch_fixture(spark, sf_dir)
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", f"{LOJ_WM_HOURS} hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", f"{LOJ_WM_HOURS} hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id", "p_user", "purchase_ts", "view_id", "view_ts", "amount"
+    )
+    sink = "stream_loj_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "purchase_id",
+        "p_user",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "amount",
+    )

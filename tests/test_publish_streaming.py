@@ -902,3 +902,35 @@ def test_dedup_within_watermark_restart_recovery(spark, tmp_path):
         - (so.get("numRowsUpdated") or 0)
     )
     assert dup_drops > 0, "no duplicate was dropped against recovered state"
+
+
+def test_left_outer_join_gate_emits_and_withholds(spark):
+    """Both eviction outcomes must be exercised: some view-less
+    purchases emit null rows (below the final watermark), at least one
+    stays buffered (above it) and never emits."""
+    from pyspark.sql import functions as F
+
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        stream_view_purchase_left_outer,
+    )
+
+    out = stream_view_purchase_left_outer(spark, SF_DIR)
+    nulls = out.filter(F.col("view_id").isNull())
+    n_nulls = nulls.count()
+    assert n_nulls > 0
+    # recompute the total unmatched set in batch; the stream must have
+    # withheld the ones above the watermark
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    ) if dict(ev.dtypes).get("ts") in ("bigint", "long") else ev
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    unmatched_total = p.join(
+        v,
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("v.ts") < F.col("p.ts"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    ).count()
+    assert n_nulls < unmatched_total
