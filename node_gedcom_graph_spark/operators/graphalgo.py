@@ -1179,3 +1179,118 @@ def copurchase_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part_key"),
         F.col("dist").cast("bigint").alias("dist"),
     )
+
+
+# --------------------------------- multi-source BFS / harmonic centrality
+
+HARMONIC_N_SEEDS = 8
+
+
+@register(
+    "copurchase_harmonic_centrality_seeds",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL.strip()},
+    und AS MATERIALIZED (
+      SELECT pa AS s, pb AS d FROM edges
+      UNION ALL
+      SELECT pb, pa FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM und),
+    seeds AS (SELECT n FROM nodes ORDER BY n LIMIT {HARMONIC_N_SEEDS}),
+    walk(seed, node, dist) AS (
+      SELECT n, n, 0 FROM seeds
+      UNION
+      SELECT w.seed, u.d, w.dist + 1
+      FROM walk w JOIN und u ON u.s = w.node
+      WHERE w.dist < {BFS_FIX_UNROLL}
+    ),
+    best AS (
+      SELECT seed, node, MIN(dist) AS dist
+      FROM walk GROUP BY seed, node
+    )
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching,
+           CAST(SUM(CAST(CAST(1 AS DOUBLE) / dist AS DECIMAL(28,14)))
+                AS DOUBLE) AS harmonic
+    FROM best
+    WHERE dist > 0
+    GROUP BY node
+    """,
+)
+def copurchase_harmonic_centrality_seeds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed-set harmonic centrality: one MULTI-SOURCE BFS from the
+    {HARMONIC_N_SEEDS} smallest part keys, then per node the count of
+    seeds reaching it and the harmonic sum of 1/distance — the
+    landmark-sample estimator for closeness/harmonic centrality
+    (exact centrality needs all-pairs distances; the standard scale
+    play is a fixed seed sample, cf. Boldi & Vigna's centrality
+    survey and HyperBall's further sketch step).
+
+    The distributed pattern is the interesting part: ALL seeds run in
+    the SAME frontier loop with composite state key (seed, node) —
+    k BFS traversals for the price of one loop's scheduling, each
+    round one shuffle join + one anti-join over a frontier that holds
+    every seed's wave at once. Per-seed expansion stays O(E), total
+    O(k*E) state-bounded work, rounds bounded by the max seed
+    eccentricity (raises past {BFS_FIX_UNROLL} — the oracle's
+    recursion bound — so silent divergence is impossible).
+
+    The harmonic sum uses the engine-standard order-independent
+    idiom: each 1/dist term is cast to DECIMAL(28,14) before SUM
+    (the PageRank contribution pattern), so the aggregate is
+    bit-equal across engines.
+    """
+    from pyspark.sql import Observation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = [
+        r.src
+        for r in sym.select("src").distinct().orderBy("src").limit(
+            HARMONIC_N_SEEDS
+        ).collect()
+    ]
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in seeds], "seed long, node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for rnd in range(1, BFS_FIX_UNROLL + 1):
+        obs = Observation(f"msbfs_{rnd}_{id(frontier)}")
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(rnd).cast("int").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if obs.get["n"] == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"multi-source BFS did not converge within {BFS_FIX_UNROLL} "
+            "rounds; raise BFS_FIX_UNROLL (and the oracle bound)"
+        )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy(F.col("node").cast("bigint").alias("part_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seeds_reaching"),
+            F.sum(
+                (F.lit(1.0) / F.col("dist")).cast("decimal(28,14)")
+            )
+            .cast("double")
+            .alias("harmonic"),
+        )
+    )

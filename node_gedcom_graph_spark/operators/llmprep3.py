@@ -353,18 +353,14 @@ WEIGHTED_SAMPLE_K = 20
 @register(
     "sample_weighted_minhash_replication",
     oracle=f"""
-    WITH rep AS (
+    WITH best AS (
       SELECT l_orderkey, l_linenumber,
              CAST(l_quantity AS INTEGER) AS w,
-             md5(concat_ws('-', l_orderkey, l_linenumber, r)) AS sample_key
-      FROM (SELECT l_orderkey, l_linenumber, l_quantity,
-                   UNNEST(generate_series(1, CAST(l_quantity AS INTEGER))) AS r
-            FROM lineitem)
-    ),
-    best AS (
-      SELECT l_orderkey, l_linenumber, w,
-             MIN(sample_key) AS sample_key
-      FROM rep GROUP BY 1, 2, 3
+             list_min(list_transform(
+               generate_series(1, CAST(l_quantity AS INTEGER)),
+               r -> md5(concat_ws('-', l_orderkey, l_linenumber, r))
+             )) AS sample_key
+      FROM lineitem
     )
     SELECT l_orderkey, l_linenumber, w, sample_key
     FROM best
@@ -384,33 +380,33 @@ def sample_weighted_minhash_replication(
     integer-exact analogue of Efraimidis-Spirakis u^(1/w) priority
     sampling, chosen because it needs NO pow/ln (bit-exact oracle).
 
-    Scale: the explode factor is bounded by max weight (50 here; at
-    100 TB bound the replication by bucketing weights or switching to
-    the u^(1/w) float variant). The global top-k is
-    TakeOrderedAndProject: per-partition partial top-k, k rows to the
-    driver — never a full sort.
+    Scale: the per-item min ticket is computed MAP-SIDE with
+    array_min over a generated [1..w] array — the replication never
+    leaves the row, so there is no explode fan-out and NO shuffle
+    before the top-k (an earlier explode+groupBy draft shuffled
+    sum(w) ~ 25x the table; this form is shuffle-free). The work is
+    still O(sum(w)) hashes, bounded by max weight (50 here; at 100 TB
+    bound it by bucketing weights or the u^(1/w) float variant). The
+    global top-k is TakeOrderedAndProject: per-partition partial
+    top-k, k rows to the driver — never a full sort.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("w"),
     )
-    rep = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "w",
-        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.col("w")),
+            lambda r: F.md5(
+                F.concat_ws(
+                    "-", F.col("l_orderkey"), F.col("l_linenumber"), r
+                )
+            ),
+        )
     )
-    keyed = rep.select(
-        "l_orderkey",
-        "l_linenumber",
-        "w",
-        F.md5(
-            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("r"))
-        ).alias("sample_key"),
-    )
-    best = keyed.groupBy("l_orderkey", "l_linenumber", "w").agg(
-        F.min("sample_key").alias("sample_key")
+    best = li.select(
+        "l_orderkey", "l_linenumber", "w", key.alias("sample_key")
     )
     return best.orderBy("sample_key", "l_orderkey", "l_linenumber").limit(
         WEIGHTED_SAMPLE_K
