@@ -1294,3 +1294,87 @@ def copurchase_harmonic_centrality_seeds(
             .alias("harmonic"),
         )
     )
+
+
+# --------------------------------- HITS on the customer->part bipartite graph
+
+HITS_TOPK = 50
+
+
+@register(
+    "bipartite_hits_parts2",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p),
+    h1 AS MATERIALIZED (
+      SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c
+    ),
+    a2 AS MATERIALIZED (
+      SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p
+    ),
+    mx AS (SELECT MAX(a) AS mxa FROM a2)
+    SELECT p AS part_key, a AS authority_raw,
+           CAST(a AS DOUBLE) / CAST(mxa AS DOUBLE) AS authority
+    FROM a2, mx
+    ORDER BY a DESC, p
+    LIMIT 50
+    """,
+)
+def bipartite_hits_parts2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) on the customer->part
+    purchase bipartite graph, unrolled to two authority updates:
+    customers are hubs, parts are authorities, and with h0 = 1 the
+    iterates are a1(p) = in-degree, h1(c) = sum of a1 over the
+    customer's parts, a2(p) = sum of h1 over the part's buyers — the
+    (A^T A) power step that separates "bought by many BIG buyers" from
+    plain popularity. Per-iteration L2 normalization is deliberately
+    deferred: it rescales every score by the same constant and so
+    cannot change the iterate directions; one division by max(a2) at
+    the end reproduces the usual [0,1] presentation. The payoff is
+    that every intermediate is an exact integer — no float sum order
+    to disagree on — and the oracle matches bit-for-bit.
+
+    Scale shape: two shuffle GROUP BYs per iteration (keyed by part
+    then customer), each a map-side-combinable integer SUM over the
+    distinct edge list; the normalizing max is a one-row aggregate
+    broadcast back (the engine's scalar crossJoin pattern), and the
+    top-50 is TakeOrderedAndProject — per-partition partial top-k,
+    never a global sort. State per iteration is O(V); edges are
+    re-streamed, not re-derived (single cached edge DataFrame).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = e.join(h1, "c").groupBy("p").agg(F.sum("h").alias("a"))
+    mx = a2.agg(F.max("a").alias("mxa"))
+    out = (
+        a2.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p").alias("part_key"),
+            F.col("a").alias("authority_raw"),
+            (F.col("a").cast("double") / F.col("mxa").cast("double")).alias(
+                "authority"
+            ),
+        )
+        .orderBy(F.desc("authority_raw"), F.asc("part_key"))
+        .limit(HITS_TOPK)
+    )
+    return out

@@ -539,3 +539,111 @@ def source_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return _roundtrip_agg(back)
+
+
+# ----------------------- Neyman-allocation stratified sampling
+
+NEYMAN_TOTAL = 1000
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH st AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS DOUBLE) AS s1,
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) AS s2
+      FROM documents
+      GROUP BY source
+      HAVING COUNT(*) > 1
+    ),
+    w AS MATERIALIZED (
+      SELECT source, nh,
+             CAST(nh AS DOUBLE)
+               * sqrt((CAST(nh AS DOUBLE) * s2 - s1 * s1)
+                      / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1)))
+               AS wh
+      FROM st
+    ),
+    t AS (SELECT CAST(SUM(CAST(wh AS DECIMAL(28,14))) AS DOUBLE) AS tw FROM w),
+    alloc AS (
+      SELECT source, nh,
+             CAST(FLOOR(CAST({NEYMAN_TOTAL} AS DOUBLE) * wh / tw) AS BIGINT)
+               AS alloc
+      FROM w, t
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+      FROM documents d JOIN alloc a ON a.source = d.source
+    )
+    SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk, a.alloc
+    FROM ranked r JOIN alloc a ON a.source = r.source
+    WHERE r.rnk <= a.alloc
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with NEYMAN (optimal) allocation: the
+    {NEYMAN_TOTAL}-doc budget is split across source strata in
+    proportion to N_h * sigma_h (stratum size times stddev of
+    n_chars), the allocation that minimizes the variance of the
+    stratified mean estimator — high-variance sources get
+    proportionally MORE rows than plain proportional allocation gives
+    them. Selection within a stratum is the engine's deterministic
+    hash-rank sample (order by md5(doc_id)), so the drawn set is
+    reproducible and oracle-checkable.
+
+    Determinism across engines: the per-stratum moments are exact
+    integer sums cast to double; sigma uses one fixed-shape IEEE
+    expression tree (identical operand order on both sides); the
+    cross-strata weight total is summed via per-term DECIMAL(28,14)
+    casts (order-independent); and the floor() allocation then sees
+    bit-identical doubles, so the integer budgets cannot disagree.
+
+    Scale shape: stratum stats are one map-side-combinable aggregate;
+    the weight table is O(#strata) rows, broadcast back onto the scan.
+    The in-stratum rank is a per-source window — fine for a handful of
+    sources holding ~alloc rows each after the scan, but a
+    low-cardinality window key caps parallelism (the distribution
+    family's documented ceiling); at 100 TB use the two-phase
+    threshold refine: sample md5 quantiles to pick an approximate
+    per-stratum hash cutoff, filter, then rank only the ~alloc
+    survivors (the SEMDEDUP_RANK_FANOUT salting pattern is the in-repo
+    precedent).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "n_chars"
+    )
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").cast("double").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias("s2"),
+    ).filter(F.col("nh") > 1)
+    nh = F.col("nh").cast("double")
+    wh = nh * F.sqrt(
+        (nh * F.col("s2") - F.col("s1") * F.col("s1")) / (nh * (nh - F.lit(1.0)))
+    )
+    w = st.select("source", "nh", wh.alias("wh"))
+    t = w.agg(
+        F.sum(F.col("wh").cast("decimal(28,14)")).cast("double").alias("tw")
+    )
+    alloc = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.floor(
+            F.lit(float(NEYMAN_TOTAL)) * F.col("wh") / F.col("tw")
+        ).alias("alloc"),
+    )
+    rank_w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(alloc), "source")
+        .withColumn("rnk", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rnk") <= F.col("alloc"))
+        .select("doc_id", "source", "rnk", "alloc")
+    )

@@ -1458,3 +1458,115 @@ def lloyd_iterate(
             break
     final = _assign_nearest(n, F.broadcast(cent), dot_fold64)
     return final.select("vec_id", "cid", "cos"), rounds
+
+
+# ------------------------------------------------- PQ asymmetric-distance scan
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), sub AS (
+      SELECT unnest([0, 1, 2, 3]) AS m
+    ), cb AS MATERIALIZED (
+      SELECT m, cid,
+             list_slice(c_emb, m * 16 + 1, m * 16 + 16) AS sub_c
+      FROM cent CROSS JOIN sub
+    ), v AS MATERIALIZED (
+      SELECT vec_id, m,
+             list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sub_v
+      FROM embeddings CROSS JOIN sub
+    ), scored AS (
+      SELECT v.vec_id, v.m, cb.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.m
+               ORDER BY CAST(list_dot_product(sub_v, sub_c) AS DOUBLE) DESC,
+                        cb.cid ASC) AS rn
+      FROM v JOIN cb ON cb.m = v.m
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM scored WHERE rn = 1
+    ), lut AS (
+      SELECT q.vec_id AS query_id, cb.m, cb.cid,
+             CAST(list_dot_product(q.sub_v, cb.sub_c) AS DOUBLE) AS dot
+      FROM v q JOIN cb ON cb.m = q.m
+      WHERE q.vec_id < 5
+    ), adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(l.dot AS DECIMAL(28,14))) AS DOUBLE) AS adc
+      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k scan (Jegou et al.) — the
+    other half of the IVF-PQ pattern whose encoding step is
+    embedding_pq_assign: queries stay full-precision, the corpus is
+    represented ONLY by its 4-byte PQ code rows, and each candidate's
+    score is the sum over subspaces of a per-query lookup-table entry
+    dot(q_sub, codeword). This is the memory-bound billion-scale scan:
+    the corpus-side state is the code table, never the raw vectors.
+
+    Scale shape: the LUT is queries x PQ_M x 16 rows (tiny at any
+    corpus size) and is broadcast; the code table streams through the
+    broadcast hash join, and the (query_id, vec_id) score aggregation
+    is a map-side-combinable SUM keyed by pairs whose count is
+    queries x corpus — linear in the corpus for a bounded query set
+    (the same ANN_QUERY_CAP contract as the exact scan). The top-10 is
+    a rank-limit window (WindowGroupLimit partial top-k per
+    partition), never a global sort.
+
+    Determinism: subspace dots reuse the sequential-f32 fold
+    (dot_f32 == DuckDB list_dot_product bit-for-bit) and the 4-term
+    ADC sum is cast per-term to DECIMAL(28,14) — order-independent,
+    so scores and rank boundaries agree with the oracle exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    codes = embedding_pq_assign(spark, sf_dir).select(
+        "vec_id", F.col("subspace").alias("m"), "code"
+    )
+    cb = _subspaced(
+        _fixed_centroids(emb).select("cid", "c_emb"), "c_emb", "sub_c"
+    ).select("m", "cid", "sub_c")
+    q = _subspaced(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "embedding",
+        "q_sub",
+    ).select("query_id", "m", "q_sub")
+    lut = F.broadcast(
+        q.join(cb, "m").select(
+            "query_id",
+            F.col("m").alias("lm"),
+            F.col("cid").alias("lcid"),
+            dot_f32(F.col("q_sub"), F.col("sub_c")).cast("double").alias("dot"),
+        )
+    )
+    scored = (
+        codes.join(
+            lut, (codes["m"] == lut["lm"]) & (codes["code"] == lut["lcid"])
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("dot").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )

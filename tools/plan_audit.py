@@ -91,6 +91,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "part_type_brand_cramers_v": {
         "SinglePartition": "one-row association result (grid-sized merge)"
     },
+    "bipartite_hits_parts2": {
+        "SinglePartition": "one-row max-authority branch (broadcast back)"
+    },
+    "sample_stratified_neyman": {
+        "SinglePartition": "one-row weight-total branch (broadcast back)"
+    },
     "copurchase_degree_powerlaw": {
         "SinglePartition": "one-row degree-summary result"
     },
