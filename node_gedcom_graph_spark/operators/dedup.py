@@ -1307,3 +1307,118 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
+
+
+# -------------------- sparse TF-IDF cosine pairs (inverted-index join)
+
+# Posting-list cap: tokens in more than this many docs are pruned from
+# the vector space (the classic stop-token cut). This is the SCALE
+# bound: per token the pair fan-out is <= cap^2, so candidates grow
+# with true lexical overlap, never with corpus size alone.
+TFIDF_DF_CAP = 50
+TFIDF_COS_T = 0.5
+
+
+@register(
+    "doc_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    dfv AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+    ),
+    post AS MATERIALIZED (
+      SELECT t.doc_id, t.token,
+             CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS w
+      FROM tok t JOIN dfv d ON d.token = t.token
+      WHERE d.df <= {TFIDF_DF_CAP}
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,14))) AS DOUBLE)) AS nm
+      FROM post GROUP BY doc_id
+    ),
+    unit AS MATERIALIZED (
+      SELECT p.doc_id, p.token, p.w / n.nm AS u
+      FROM post p JOIN nrm n ON n.doc_id = p.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(CAST(a.u * b.u AS DECIMAL(28,14))) AS DOUBLE) AS cosine
+    FROM unit a JOIN unit b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING CAST(SUM(CAST(a.u * b.u AS DECIMAL(28,14))) AS DOUBLE)
+             >= {TFIDF_COS_T}
+    """,
+)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity JOIN over the inverted index:
+    document pairs whose idf-weighted bags of words have cosine >=
+    {TFIDF_COS_T}, found by joining postings on token — never by
+    comparing documents pairwise. The weight is tf/df (the constant-N
+    factor of classic tf*N/df cancels in cosine, and dropping it keeps
+    every squared weight inside DECIMAL(28,14) range); vectors are
+    unit-normalized BEFORE pairing so the pair aggregate IS the
+    cosine — one shuffle keyed by token, one keyed by the pair, no
+    norm join on the blown-up candidate set.
+
+    Scale shape: tokens with df > {TFIDF_DF_CAP} are pruned (stop-token
+    cut), bounding per-token fan-out at cap^2 postings pairs — the
+    same candidates-scale-with-true-overlap contract as the MinHash
+    band join; thresholds and cap are the recall/cost dials. All sums
+    are per-term DECIMAL(28,14) casts (order-independent, bit-equal
+    to the oracle); tf/df and w/nm are single IEEE divisions with
+    identical operand trees on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfv = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    post = (
+        tok.join(dfv.filter(F.col("df") <= TFIDF_DF_CAP), "token")
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
+                "w"
+            ),
+        )
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,14)")).cast(
+                "double"
+            )
+        ).alias("nm")
+    )
+    unit = post.join(nrm, "doc_id").select(
+        "doc_id", "token", (F.col("w") / F.col("nm")).alias("u")
+    )
+    a = unit.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("u").alias("ub")
+    )
+    return (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("ua") * F.col("ub")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("cosine")
+        )
+        .filter(F.col("cosine") >= TFIDF_COS_T)
+    )

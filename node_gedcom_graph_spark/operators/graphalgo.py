@@ -1378,3 +1378,109 @@ def bipartite_hits_parts2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HITS_TOPK)
     )
     return out
+
+
+# --------------------------------- deterministic hash-seeded random walks
+
+WALK_STEPS = 4
+
+
+@register(
+    "copurchase_hash_walks4",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS MATERIALIZED (
+      SELECT pa AS s, pb AS d FROM edges
+      UNION ALL
+      SELECT pb, pa FROM edges
+    ),
+    stps AS (SELECT unnest([0, 1, 2, 3]) AS stp),
+    trans AS MATERIALIZED (
+      SELECT s AS cur, stp,
+             CAST(substr(MIN(md5(s || '-' || stp || '-' || d)
+                             || '#' || CAST(d AS VARCHAR)), 34)
+                  AS BIGINT) AS nxt
+      FROM und CROSS JOIN stps
+      GROUP BY s, stp
+    ),
+    w0 AS (SELECT DISTINCT s AS wid FROM und),
+    w1 AS (SELECT w0.wid, t.nxt FROM w0 JOIN trans t
+           ON t.cur = w0.wid AND t.stp = 0),
+    w2 AS (SELECT w1.wid, t.nxt FROM w1 JOIN trans t
+           ON t.cur = w1.nxt AND t.stp = 1),
+    w3 AS (SELECT w2.wid, t.nxt FROM w2 JOIN trans t
+           ON t.cur = w2.nxt AND t.stp = 2),
+    w4 AS (SELECT w3.wid, t.nxt FROM w3 JOIN trans t
+           ON t.cur = w3.nxt AND t.stp = 3)
+    SELECT wid AS walk_id, CAST(stp AS BIGINT) AS step, node FROM (
+      SELECT wid, 0 AS stp, wid AS node FROM w0
+      UNION ALL SELECT wid, 1, nxt FROM w1
+      UNION ALL SELECT wid, 2, nxt FROM w2
+      UNION ALL SELECT wid, 3, nxt FROM w3
+      UNION ALL SELECT wid, 4, nxt FROM w4
+    )
+    """,
+)
+def copurchase_hash_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {WALK_STEPS}-step random walks from EVERY node of
+    the co-purchase graph — the DeepWalk/node2vec corpus-generation
+    step, made oracle-checkable by replacing the RNG with a hash
+    draw: at step t from node u the walker moves to the neighbor
+    minimizing md5(u-t-v). Because the draw depends only on (u, t),
+    the whole step is a per-(node, step) ARGMIN over the edge list —
+    a transition TABLE, not a per-walker sample — and the walk layer
+    is {WALK_STEPS} unrolled joins against it. (Shared randomness
+    across walkers visiting the same node at the same step is the
+    documented trade: it preserves the per-walk marginal exactly and
+    is what makes the operator a pure dataflow.)
+
+    Scale shape: the transition table is |V| x {WALK_STEPS} rows built
+    by one map-side-combinable MIN over edges x steps (the argmin is a
+    MIN over 'md5#node' strings — fixed-width hash prefix, node
+    payload extracted by substr, no window); each walk step is one
+    shuffle join keyed by the current node. Total O(steps * E) work,
+    O(steps * V) state — the same bound as the BFS family, and walks
+    extend by adding joins, never by widening rows.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("d")
+    ).unionByName(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+    stps = F.explode(
+        F.array(*[F.lit(i) for i in range(WALK_STEPS)])
+    ).alias("stp")
+    key = F.concat(
+        F.md5(
+            F.concat_ws(
+                "-", F.col("s"), F.col("stp"), F.col("d")
+            )
+        ),
+        F.lit("#"),
+        F.col("d").cast("string"),
+    )
+    trans = (
+        sym.select("s", "d", stps)
+        .groupBy(F.col("s").alias("cur"), "stp")
+        .agg(
+            F.substring(F.min(key), 34, 32).cast("bigint").alias("nxt")
+        )
+        .persist()
+    )
+    cur = sym.select("s").distinct().select(F.col("s").alias("wid"))
+    out = cur.select(
+        "wid", F.lit(0).cast("bigint").alias("step"), F.col("wid").alias("node")
+    )
+    pos = cur.select("wid", F.col("wid").alias("node"))
+    for t in range(WALK_STEPS):
+        step_t = trans.filter(F.col("stp") == t).select("cur", "nxt")
+        pos = pos.join(step_t, pos["node"] == step_t["cur"]).select(
+            "wid", F.col("nxt").alias("node")
+        )
+        out = out.unionByName(
+            pos.select(
+                "wid",
+                F.lit(t + 1).cast("bigint").alias("step"),
+                "node",
+            )
+        )
+    return out.select(F.col("wid").alias("walk_id"), "step", "node")
