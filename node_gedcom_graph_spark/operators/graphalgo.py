@@ -1484,3 +1484,112 @@ def copurchase_hash_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out.select(F.col("wid").alias("walk_id"), "step", "node")
+
+
+# --------------------------------- personalized PageRank (seeded restart)
+
+PPR_N_SEEDS = 4
+_PPR_ALPHA_OVER_S = 0.15 / PPR_N_SEEDS  # 0.0375, exact in both engines
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    c_{out} AS (
+      SELECT s.dst AS p,
+             CAST(SUM(CAST(r.r / s.d AS DECIMAL(28,14))) AS DOUBLE) AS sc
+      FROM sym2 s JOIN {prev} r ON r.p = s.src
+      GROUP BY s.dst
+    ),
+    {out} AS (
+      SELECT COALESCE(c.p, sd.sp) AS p,
+             (CASE WHEN sd.sp IS NOT NULL
+                   THEN CAST({_PPR_ALPHA_OVER_S} AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END)
+             + CAST(0.85 AS DOUBLE) * COALESCE(c.sc, CAST(0 AS DOUBLE)) AS r
+      FROM c_{out} c FULL OUTER JOIN seeds sd ON sd.sp = c.p
+    )"""
+
+
+@register(
+    "copurchase_ppr_seeds3",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM edges
+    ),
+    degs AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+    sym2 AS MATERIALIZED (
+      SELECT s.src, s.dst, g.d FROM sym s JOIN degs g ON g.src = s.src
+    ),
+    seeds AS MATERIALIZED (
+      SELECT src AS sp FROM degs ORDER BY src LIMIT {PPR_N_SEEDS}
+    ),
+    r0 AS (SELECT sp AS p, CAST(0.25 AS DOUBLE) AS r FROM seeds),
+    {_ppr_iter_sql('r0', 'r1').lstrip()},
+    {_ppr_iter_sql('r1', 'r2').lstrip()},
+    {_ppr_iter_sql('r2', 'r3').lstrip()}
+    SELECT p AS p_partkey, r AS ppr FROM r3
+    """,
+)
+def copurchase_ppr_seeds3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: the restart mass (alpha = 0.15) returns
+    to a fixed {PPR_N_SEEDS}-seed set instead of spreading uniformly —
+    the recommender-system workhorse ("parts relevant to THIS
+    basket"), unrolled to 3 synchronous iterations like the global
+    PageRank. The rank relation stays SPARSE: it starts as
+    {PPR_N_SEEDS} rows and only ever holds nodes already reached, so
+    early iterations touch a neighborhood, not the graph — at 100 TB
+    this locality is the whole point of PPR over global PR (work
+    scales with the seed set's expanding frontier, and teleportation
+    never manufactures mass at unreached nodes).
+
+    Determinism: identical shape to copurchase_pagerank_3iter —
+    per-edge contributions r/deg cast to DECIMAL(28,14) before the
+    per-node sum, restart term 0.15/{PPR_N_SEEDS} written as the exact
+    double literal on both engines, damping mix the same IEEE tree.
+    The per-iteration FULL OUTER join with the seed table keeps seeds
+    alive even when no mass flows back to them yet.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        )
+    )
+    degs = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    sym2 = sym.join(degs, "src").persist()
+    seeds = degs.select("src").orderBy("src").limit(PPR_N_SEEDS).select(
+        F.col("src").alias("sp")
+    ).persist()
+    ranks = seeds.select(
+        F.col("sp").alias("p"), F.lit(1.0 / PPR_N_SEEDS).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            sym2.join(ranks, sym2.src == ranks.p)
+            .select(
+                "dst",
+                (F.col("r") / F.col("d")).cast("decimal(28,14)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("sc"))
+        )
+        ranks = (
+            contrib.join(seeds, contrib["dst"] == seeds["sp"], "full_outer")
+            .select(
+                F.coalesce(F.col("dst"), F.col("sp")).alias("p"),
+                (
+                    F.when(
+                        F.col("sp").isNotNull(),
+                        F.lit(_PPR_ALPHA_OVER_S),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(0.85) * F.coalesce(F.col("sc"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("p").alias("p_partkey"), F.col("r").alias("ppr"))

@@ -647,3 +647,57 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("alloc"))
         .select("doc_id", "source", "rnk", "alloc")
     )
+
+
+# ----------------------------------------- k-anonymity privacy audit
+
+KANON_K = 5
+KANON_BAL_WIDTH = 1000
+
+
+@register(
+    "kanon_quasi_identifier_groups",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / {KANON_BAL_WIDTH})
+                AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < {KANON_K} AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def kanon_quasi_identifier_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-ANONYMITY audit over the quasi-identifier tuple
+    (nation, market segment, account-balance bucket): every
+    equivalence class with its population, flagged when fewer than
+    k = {KANON_K} records share the tuple — those rows are
+    re-identifiable by linking the quasi-identifiers to an external
+    dataset (Sweeney's attack), and a release pipeline must suppress
+    or generalize them. Complements the column-level text_pii_redact:
+    that removes direct identifiers, this measures the joint-
+    distribution leak that survives redaction.
+
+    Scale shape: one map-side-combinable COUNT keyed by the
+    quasi-identifier tuple — the audit is exactly one shuffle at any
+    corpus size, and the risky-class report it emits is bounded by
+    the quasi-identifier domain, not the row count. The balance
+    bucketing (FLOOR of one IEEE division, identical tree both
+    engines) is the generalization dial: widen the bucket and classes
+    merge until they clear k.
+    """
+    cust = load_table(spark, sf_dir, "customer", spread=True).select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    return cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.col("c_acctbal").cast("double") / F.lit(KANON_BAL_WIDTH)
+        ).alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) < KANON_K).alias("at_risk"),
+    )
