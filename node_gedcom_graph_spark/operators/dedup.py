@@ -1311,9 +1311,9 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------- sparse TF-IDF cosine pairs (inverted-index join)
 
-# Posting-list cap: tokens in more than this many docs are pruned from
-# the vector space (the classic stop-token cut). This is the SCALE
-# bound: per token the pair fan-out is <= cap^2, so candidates grow
+# Posting-list cap: terms in more than this many docs are pruned from
+# the vector space (the classic stop-term cut). This is the SCALE
+# bound: per term the pair fan-out is <= cap^2, so candidates grow
 # with true lexical overlap, never with corpus size alone.
 TFIDF_DF_CAP = 50
 TFIDF_COS_T = 0.5
@@ -1322,21 +1322,25 @@ TFIDF_COS_T = 0.5
 @register(
     "doc_tfidf_cosine_pairs",
     oracle=f"""
-    WITH tok AS MATERIALIZED (
-      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    WITH toksrc AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (SELECT doc_id,
-                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                     AS token
-            FROM documents)
-      GROUP BY doc_id, token
+                   unnest(list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS term
+            FROM toksrc)
+      GROUP BY doc_id, term
     ),
     dfv AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term
     ),
     post AS MATERIALIZED (
-      SELECT t.doc_id, t.token,
+      SELECT t.doc_id, t.term,
              CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS w
-      FROM tok t JOIN dfv d ON d.token = t.token
+      FROM tok t JOIN dfv d ON d.term = t.term
       WHERE d.df <= {TFIDF_DF_CAP}
     ),
     nrm AS (
@@ -1345,13 +1349,13 @@ TFIDF_COS_T = 0.5
       FROM post GROUP BY doc_id
     ),
     unit AS MATERIALIZED (
-      SELECT p.doc_id, p.token, p.w / n.nm AS u
+      SELECT p.doc_id, p.term, p.w / n.nm AS u
       FROM post p JOIN nrm n ON n.doc_id = p.doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(SUM(CAST(a.u * b.u AS DECIMAL(28,14))) AS DOUBLE) AS cosine
     FROM unit a JOIN unit b
-      ON a.token = b.token AND a.doc_id < b.doc_id
+      ON a.term = b.term AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING CAST(SUM(CAST(a.u * b.u AS DECIMAL(28,14))) AS DOUBLE)
              >= {TFIDF_COS_T}
@@ -1359,37 +1363,58 @@ TFIDF_COS_T = 0.5
 )
 def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity JOIN over the inverted index:
-    document pairs whose idf-weighted bags of words have cosine >=
-    {TFIDF_COS_T}, found by joining postings on token — never by
-    comparing documents pairwise. The weight is tf/df (the constant-N
-    factor of classic tf*N/df cancels in cosine, and dropping it keeps
-    every squared weight inside DECIMAL(28,14) range); vectors are
-    unit-normalized BEFORE pairing so the pair aggregate IS the
-    cosine — one shuffle keyed by token, one keyed by the pair, no
-    norm join on the blown-up candidate set.
+    document pairs whose idf-weighted term vectors have cosine >=
+    {TFIDF_COS_T}, found by joining postings on term — never by
+    comparing documents pairwise. Terms are word 3-gram shingles, NOT
+    unigrams: this corpus has a 31-word vocabulary, so every unigram
+    is a stop word (df ~ N) and the unigram space is empty after any
+    sane cut, while the ~30k trigram space discriminates at every SF
+    (same reasoning as the MinHash shingles). The weight is tf/df
+    (the constant-N factor of classic tf*N/df cancels in cosine, and
+    dropping it keeps every squared weight inside DECIMAL(28,14)
+    range); vectors are unit-normalized BEFORE pairing so the pair
+    aggregate IS the cosine — one shuffle keyed by term, one keyed by
+    the pair, no norm join on the blown-up candidate set.
 
-    Scale shape: tokens with df > {TFIDF_DF_CAP} are pruned (stop-token
-    cut), bounding per-token fan-out at cap^2 postings pairs — the
+    Scale shape: terms with df > {TFIDF_DF_CAP} are pruned (stop-term
+    cut), bounding per-term fan-out at cap^2 postings pairs — the
     same candidates-scale-with-true-overlap contract as the MinHash
-    band join; thresholds and cap are the recall/cost dials. All sums
-    are per-term DECIMAL(28,14) casts (order-independent, bit-equal
-    to the oracle); tf/df and w/nm are single IEEE divisions with
-    identical operand trees on both engines.
+    band join; threshold and cap are the recall/cost dials (on the
+    duplicate-heavy synthetic sf1 the cap drops cross-group common
+    trigrams but keeps each dup group's df~10 private ones, so true
+    near-dup pairs survive). All sums are per-term DECIMAL(28,14)
+    casts (order-independent, bit-equal to the oracle); tf/df and
+    w/nm are single IEEE divisions with identical operand trees on
+    both engines.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", "text"
+        "doc_id", tokens(F.col("text")).alias("toks")
     )
+    n = F.size(F.col("toks"))
+    grams = F.when(
+        n >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), n - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), i + j + 1)
+                    for j in range(SHINGLE_K)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tok = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "token")
+        docs.select("doc_id", F.explode(grams).alias("term"))
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfv = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfv = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     post = (
-        tok.join(dfv.filter(F.col("df") <= TFIDF_DF_CAP), "token")
+        tok.join(dfv.filter(F.col("df") <= TFIDF_DF_CAP), "term")
         .select(
             "doc_id",
-            "token",
+            "term",
             (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
                 "w"
             ),
@@ -1403,16 +1428,16 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nm")
     )
     unit = post.join(nrm, "doc_id").select(
-        "doc_id", "token", (F.col("w") / F.col("nm")).alias("u")
+        "doc_id", "term", (F.col("w") / F.col("nm")).alias("u")
     )
     a = unit.select(
-        F.col("doc_id").alias("doc_a"), "token", F.col("u").alias("ua")
+        F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua")
     )
     b = unit.select(
-        F.col("doc_id").alias("doc_b"), "token", F.col("u").alias("ub")
+        F.col("doc_id").alias("doc_b"), "term", F.col("u").alias("ub")
     )
     return (
-        a.join(b, "token")
+        a.join(b, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(

@@ -380,33 +380,44 @@ def sample_weighted_minhash_replication(
     integer-exact analogue of Efraimidis-Spirakis u^(1/w) priority
     sampling, chosen because it needs NO pow/ln (bit-exact oracle).
 
-    Scale: the per-item min ticket is computed MAP-SIDE with
-    array_min over a generated [1..w] array — the replication never
-    leaves the row, so there is no explode fan-out and NO shuffle
-    before the top-k (an earlier explode+groupBy draft shuffled
-    sum(w) ~ 25x the table; this form is shuffle-free). The work is
-    still O(sum(w)) hashes, bounded by max weight (50 here; at 100 TB
-    bound it by bucketing weights or the u^(1/w) float variant). The
-    global top-k is TakeOrderedAndProject: per-partition partial
-    top-k, k rows to the driver — never a full sort.
+    Scale: the [1..w] replication is exploded, but it NEVER reaches a
+    shuffle — the per-item MIN is a hash aggregate whose map-side
+    partial combine collapses the fan-out back to one row per item
+    inside the scan stage, and md5/concat on exploded rows runs in
+    whole-stage codegen. (A prior draft computed the same min ticket
+    map-side with array_min over a transform() lambda — zero explode,
+    but higher-order-function lambdas are interpreted per element,
+    and the sf1 sweep measured it 10x SLOWER than codegen'd explode:
+    139 s vs ~14 s for ~150M hashes. Lesson recorded: shuffle-free is
+    not the goal when the shuffle never materializes anyway.) Work is
+    O(sum(w)) hashes, bounded by max weight (50 here; at 100 TB bound
+    it by bucketing weights or the u^(1/w) float variant). The global
+    top-k is TakeOrderedAndProject: per-partition partial top-k,
+    k rows to the driver — never a full sort.
     """
     li = load_table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("w"),
     )
-    key = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.col("w")),
-            lambda r: F.md5(
-                F.concat_ws(
-                    "-", F.col("l_orderkey"), F.col("l_linenumber"), r
-                )
-            ),
-        )
+    rep = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
     )
-    best = li.select(
-        "l_orderkey", "l_linenumber", "w", key.alias("sample_key")
+    keyed = rep.select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        F.md5(
+            F.concat_ws(
+                "-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("r")
+            )
+        ).alias("sample_key"),
+    )
+    best = keyed.groupBy("l_orderkey", "l_linenumber", "w").agg(
+        F.min("sample_key").alias("sample_key")
     )
     return best.orderBy("sample_key", "l_orderkey", "l_linenumber").limit(
         WEIGHTED_SAMPLE_K
