@@ -361,6 +361,7 @@ WEIGHTED_SAMPLE_K = 20
                r -> md5(concat_ws('-', l_orderkey, l_linenumber, r))
              )) AS sample_key
       FROM lineitem
+      WHERE CAST(l_quantity AS INTEGER) >= 1
     )
     SELECT l_orderkey, l_linenumber, w, sample_key
     FROM best
@@ -395,10 +396,18 @@ def sample_weighted_minhash_replication(
     top-k is TakeOrderedAndProject: per-partition partial top-k,
     k rows to the driver — never a full sort.
     """
-    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("int").alias("w"),
+    li = (
+        load_table(spark, sf_dir, "lineitem", spread=True)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("w"),
+        )
+        # w >= 1 guard: Spark's sequence(1, w) defaults to step -1 when
+        # w < 1 (emitting tickets 1..w DESCENDING, e.g. [1, 0] for w=0)
+        # while the oracle's generate_series(1, w) is empty — filter so
+        # zero/negative weights produce no tickets in BOTH engines.
+        .filter(F.col("w") >= 1)
     )
     rep = li.select(
         "l_orderkey",

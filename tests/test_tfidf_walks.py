@@ -10,6 +10,7 @@ import re
 from collections import Counter, defaultdict
 
 from node_gedcom_graph_spark.operators.dedup import (
+    SHINGLE_K,
     TFIDF_COS_T,
     TFIDF_DF_CAP,
     doc_tfidf_cosine_pairs,
@@ -26,9 +27,20 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+def _grams(text: str) -> Counter:
+    """Word 3-gram shingle terms, mirroring tokens() + the `grams`
+    expression in doc_tfidf_cosine_pairs (space-joined sliding windows
+    of SHINGLE_K consecutive alphanumeric tokens)."""
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    return Counter(
+        " ".join(toks[i : i + SHINGLE_K])
+        for i in range(len(toks) - SHINGLE_K + 1)
+    )
+
+
 def test_tfidf_pairs_match_pure_python(spark):
     docs = {
-        r.doc_id: Counter(re.findall(r"[a-z0-9]+", r.text.lower()))
+        r.doc_id: _grams(r.text)
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
     }
     df = Counter()
