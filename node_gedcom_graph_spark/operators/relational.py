@@ -1220,6 +1220,14 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "p_brand")
         .filter(F.col("key_a") < F.col("key_b"))
+        # length-band prefilter: |len(a)-len(b)| <= 5 is a NECESSARY
+        # condition for edit distance <= 5 (each unit of length gap
+        # costs one insert/delete), and length() is a cheap codegen'd
+        # expression — prunes most within-block pairs before the
+        # banded DP ever runs. Same result set, strictly less work.
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(5)
+        )
         .withColumn(
             "edit_dist", F.expr("levenshtein(name_a, name_b, 5)").cast("int")
         )

@@ -263,6 +263,17 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partitions shuffle once on user_id; per-partition ordering
     is the engine's sort, state is O(1) per live session; output is
     session-count-sized. Arrow-batched (engine-wide UDTF eval pin).
+
+    Two measured fixes (sf0.1: 19 s -> 2.3 s warm): (1) the TABLE arg
+    projects (user_id, ts) instead of TABLE(events) — every unread
+    column, notably the wide `props` map, was being Arrow-shipped and
+    materialized into a Python Row per event; (2) a
+    REPARTITION(32, user_id) hint inside the subquery — the pruned
+    shuffle is ~1.6 MB, so AQE's coalescer fed the whole Python UDTF
+    ONE partition (the small-bytes/big-COMPUTE hazard). The hint's
+    HashPartitioning(user_id, 32) satisfies the TABLE arg's required
+    ClusteredDistribution, so no second exchange is added and the pin
+    survives AQE.
     """
     from pyspark.sql.functions import udtf
 
@@ -316,10 +327,17 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield from self._flush()
 
     spark.udtf.register("sessionize_udtf", Sessionize)
+    # Project to the two columns the UDTF reads BEFORE the TABLE arg:
+    # TABLE(events) would Arrow-ship and materialize a Python Row for
+    # every column — including the wide `props` map — per event. The
+    # inner SELECT prunes at the scan (ReadSchema: user_id, ts), which
+    # is most of this operator's wall time at sf0.1.
     return spark.sql(
         """
         SELECT * FROM sessionize_udtf(
-          TABLE(events) PARTITION BY user_id ORDER BY ts
+          TABLE(SELECT /*+ REPARTITION(32, user_id) */ user_id, ts
+                FROM events)
+          PARTITION BY user_id ORDER BY ts
         )
         """
     )
