@@ -1027,6 +1027,17 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes from continuous data, identical doubles on both
     engines, so the >0 test cannot disagree.
     """
+    scored = _srp_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
+
+
+def _srp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-bucket cosine-scored SRP candidates (query_id, bucket,
+    neighbor_id, cosine) for the vec_id % 4 == 0 query set — the shared
+    candidate stage of ann_srp_bucket_topk and retrieval_recall_at_k."""
     from node_gedcom_graph_spark.operators.dedup import dot_f32
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
@@ -1061,7 +1072,7 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot_f32(F.col("q_emb"), F.col("embedding")).cast("double") / (
         F.col("q_nm") * F.col("nm")
     )
-    scored = q.join(bucketed, "bucket").filter(
+    return q.join(bucketed, "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
@@ -1069,10 +1080,120 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         cosine.alias("cosine"),
     )
+
+
+RECALL_K = 10
+
+
+@register(
+    "retrieval_recall_at_k",
+    oracle=f"""
+    WITH n AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.embedding, n.embedding)
+                               AS DOUBLE) / (q.nm * n.nm) DESC,
+                          n.vec_id) AS rnk
+        FROM (SELECT * FROM n WHERE vec_id % 4 = 0) q
+        JOIN n ON n.vec_id <> q.vec_id
+      ) WHERE rnk <= {RECALL_K}
+    ), sig AS (
+      SELECT vec_id, embedding,
+             {_SRP_BITS_SQL}
+      FROM embeddings
+    ), bucketed AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             CAST({_SRP_BUCKET_SQL} AS BIGINT) AS bucket,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
+               AS nm
+      FROM sig
+    ), ann AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.embedding, c.embedding)
+                               AS DOUBLE) / (q.nm * c.nm) DESC,
+                          c.vec_id) AS rnk
+        FROM (SELECT * FROM bucketed WHERE vec_id % 4 = 0) q
+        JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {RECALL_K}
+    ), annk AS (
+      SELECT query_id, COUNT(*) AS ann_candidates FROM ann GROUP BY query_id
+    ), hit AS (
+      SELECT e.query_id, COUNT(*) AS hits
+      FROM exact e JOIN ann a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT g.query_id,
+           CAST(COALESCE(k.ann_candidates, 0) AS BIGINT) AS ann_candidates,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / {RECALL_K}.0 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) g
+    LEFT JOIN annk k ON k.query_id = g.query_id
+    LEFT JOIN hit h ON h.query_id = g.query_id
+    """,
+)
+def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval QUALITY gate: per-query recall@{RECALL_K} of
+    the SRP-bucketed ANN method against the exact brute-force cosine
+    ground truth, over the same vec_id % 4 == 0 query set the ANN
+    query serves. This turns "the ANN query runs" into "the ANN
+    method is measurably good": every query gets the fraction of its
+    true top-{RECALL_K} neighbors that the bucket-pruned search
+    recovered, and a pytest pins the corpus-mean recall floor.
+
+    Scale shape: the exact side is the EVAL harness, not the serving
+    path — O(queries x corpus) dots with the query side sampled
+    (%4 + the module's hash-rank cap), exactly how one scores recall
+    on a sampled query panel at 100 TB. The ANN side reuses the
+    equi-keyed bucket join. Hits are an integer pair-join count and
+    recall a single division of integers, so the value hash cannot
+    wobble; ranking ties break on neighbor_id with bit-identical
+    doubles on both engines (the module's established fold pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = topk_cosine(
+        emb, emb.filter(F.col("vec_id") % 4 == 0), k=RECALL_K
+    ).select("query_id", "neighbor_id")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn(
-        "rnk", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rnk") <= 5)
+    ann = (
+        _srp_scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    annk = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("ann_candidates")
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(annk, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("ann_candidates", F.lit(0)).cast("bigint").alias(
+                "ann_candidates"
+            ),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            (
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.lit(float(RECALL_K))
+            ).alias("recall_at_k"),
+        )
+    )
 
 
 @register(
