@@ -101,17 +101,13 @@ def bench_gedcom_pipeline(spark) -> None:
     g.unpersist()
 
 
-def main() -> None:
-    spark = get_spark(
-        app_name="bench",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=int(CPUS),
-        extra_conf={"spark.ui.enabled": "false"},
-    )
-    import __spark_entry__ as ent
+# A measured suite run whose /proc/stat steal delta exceeds this is
+# considered polluted by hypervisor contention and re-run once; the
+# run with the LOWER steal is published (both stay in the artifact).
+STEAL_RERUN_S = 2.0
 
-    qs = ent.queries()
 
+def _measure(spark, qs) -> dict:
     # Warm + time each query back-to-back (JMH-style steady state). The
     # warm run amortizes JVM/JIT warmup, codegen compilation, and
     # first-scan file-index costs; running the timed iteration
@@ -152,22 +148,54 @@ def main() -> None:
     )
     total += timings["gedcom_pipeline_synth50k"]
     steal_s = round((_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1)
+    return {
+        "value": round(total, 3),
+        "queries": timings,
+        "gedcom_pipeline_synth50k_cold": cold,
+        "host_steal_s": steal_s,
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+
+    # Steal-aware selection: one measured pass normally; if the host
+    # stole > STEAL_RERUN_S of CPU during it (observed bursts have made
+    # a best-ever suite read as a regression), measure once more and
+    # publish the lower-steal pass. Every pass stays in the artifact
+    # under "runs" with the selection rule, so a polluted number can
+    # never silently become the round's record.
+    runs = [_measure(spark, qs)]
+    if runs[0]["host_steal_s"] > STEAL_RERUN_S:
+        runs.append(_measure(spark, qs))
+    best = min(runs, key=lambda r: r["host_steal_s"])
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "gedcom_pipeline_synth50k_cold": cold,
-                "host_steal_s": steal_s,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": best["value"],
+        "unit": "sec",
+        "queries": best["queries"],
+        "gedcom_pipeline_synth50k_cold": best["gedcom_pipeline_synth50k_cold"],
+        "host_steal_s": best["host_steal_s"],
+        "sf": sf,
+    }
+    if len(runs) > 1:
+        out["runs"] = [
+            {"value": r["value"], "host_steal_s": r["host_steal_s"]}
+            for r in runs
+        ]
+        out["selection"] = f"lower-steal pass (rerun when steal > {STEAL_RERUN_S}s)"
+    print(json.dumps(out))
     spark.stop()
 
 
