@@ -1113,7 +1113,7 @@ RECALL_K = 10
              sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
                AS nm
       FROM sig
-    ), ann AS MATERIALIZED (
+    ), srp_ann AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (
@@ -1124,65 +1124,116 @@ RECALL_K = 10
         FROM (SELECT * FROM bucketed WHERE vec_id % 4 = 0) q
         JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
       ) WHERE rnk <= {RECALL_K}
+    ), cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS c_nm
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(list_dot_product(n.embedding, c.c_emb) AS DOUBLE)
+                          / (n.nm * c.c_nm) DESC,
+                          c.cid ASC) AS rn
+        FROM n CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ), ivf_ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(nq.embedding, nc.embedding)
+                               AS DOUBLE) / (nq.nm * nc.nm) DESC,
+                          c.vec_id) AS rnk
+        FROM (SELECT * FROM assign WHERE vec_id % 4 = 0) q
+        JOIN assign c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+        JOIN n nq ON nq.vec_id = q.vec_id
+        JOIN n nc ON nc.vec_id = c.vec_id
+      ) WHERE rnk <= {RECALL_K}
+    ), ann AS MATERIALIZED (
+      SELECT 'srp' AS method, query_id, neighbor_id FROM srp_ann
+      UNION ALL
+      SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf_ann
     ), annk AS (
-      SELECT query_id, COUNT(*) AS ann_candidates FROM ann GROUP BY query_id
+      SELECT method, query_id, COUNT(*) AS ann_candidates
+      FROM ann GROUP BY method, query_id
     ), hit AS (
-      SELECT e.query_id, COUNT(*) AS hits
+      SELECT a.method, e.query_id, COUNT(*) AS hits
       FROM exact e JOIN ann a
         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-      GROUP BY e.query_id
+      GROUP BY a.method, e.query_id
     )
-    SELECT g.query_id,
+    SELECT g.method, g.query_id,
            CAST(COALESCE(k.ann_candidates, 0) AS BIGINT) AS ann_candidates,
            CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
            CAST(COALESCE(h.hits, 0) AS DOUBLE) / {RECALL_K}.0 AS recall_at_k
-    FROM (SELECT DISTINCT query_id FROM exact) g
-    LEFT JOIN annk k ON k.query_id = g.query_id
-    LEFT JOIN hit h ON h.query_id = g.query_id
+    FROM (SELECT m.method, q.query_id
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          CROSS JOIN (SELECT 'srp' AS method UNION ALL SELECT 'ivf') m) g
+    LEFT JOIN annk k ON k.method = g.method AND k.query_id = g.query_id
+    LEFT JOIN hit h ON h.method = g.method AND h.query_id = g.query_id
     """,
 )
 def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end retrieval QUALITY gate: per-query recall@{RECALL_K} of
-    the SRP-bucketed ANN method against the exact brute-force cosine
-    ground truth, over the same vec_id % 4 == 0 query set the ANN
-    query serves. This turns "the ANN query runs" into "the ANN
-    method is measurably good": every query gets the fraction of its
-    true top-{RECALL_K} neighbors that the bucket-pruned search
-    recovered, and a pytest pins the corpus-mean recall floor.
+    """End-to-end retrieval QUALITY gate: per-query recall@{RECALL_K}
+    of BOTH pruned-ANN geometries — SRP hyperplane buckets ('srp') and
+    fixed-centroid IVF Voronoi cells ('ivf') — against the exact
+    brute-force cosine ground truth, over the same vec_id % 4 == 0
+    query panel both serving queries use. This turns "the ANN queries
+    run" into "each ANN method is measurably good": every
+    (method, query) pair gets the fraction of the true top-{RECALL_K}
+    neighbors the pruned search recovered, and a pytest pins each
+    method's corpus-mean recall floor.
 
     Scale shape: the exact side is the EVAL harness, not the serving
     path — O(queries x corpus) dots with the query side sampled
     (%4 + the module's hash-rank cap), exactly how one scores recall
-    on a sampled query panel at 100 TB. The ANN side reuses the
-    equi-keyed bucket join. Hits are an integer pair-join count and
-    recall a single division of integers, so the value hash cannot
-    wobble; ranking ties break on neighbor_id with bit-identical
-    doubles on both engines (the module's established fold pattern).
+    on a sampled query panel at 100 TB. The ANN sides reuse the
+    serving queries' equi-keyed candidate stages (_srp_scored,
+    _ivf_fixed_scored), so the eval grades the exact plans that
+    serve. Hits are an integer pair-join count and recall a single
+    division of integers, so the value hash cannot wobble; ranking
+    ties break on neighbor_id with bit-identical doubles on both
+    engines (the module's established fold pattern).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     exact = topk_cosine(
         emb, emb.filter(F.col("vec_id") % 4 == 0), k=RECALL_K
     ).select("query_id", "neighbor_id")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    ann = (
-        _srp_scored(spark, sf_dir)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= RECALL_K)
-        .select("query_id", "neighbor_id")
+
+    def topk(scored: DataFrame, method: str) -> DataFrame:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= RECALL_K)
+            .select(
+                F.lit(method).alias("method"), "query_id", "neighbor_id"
+            )
+        )
+
+    ann = topk(_srp_scored(spark, sf_dir), "srp").unionByName(
+        topk(_ivf_fixed_scored(spark, sf_dir), "ivf")
     )
-    annk = ann.groupBy("query_id").agg(
+    annk = ann.groupBy("method", "query_id").agg(
         F.count(F.lit(1)).alias("ann_candidates")
     )
     hits = (
         exact.join(ann, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
+        .groupBy("method", "query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    base = exact.select("query_id").distinct()
+    methods = spark.createDataFrame(
+        [("srp",), ("ivf",)], "method string"
+    )
+    base = exact.select("query_id").distinct().crossJoin(F.broadcast(methods))
     return (
-        base.join(annk, "query_id", "left")
-        .join(hits, "query_id", "left")
+        base.join(annk, ["method", "query_id"], "left")
+        .join(hits, ["method", "query_id"], "left")
         .select(
+            "method",
             "query_id",
             F.coalesce("ann_candidates", F.lit(0)).cast("bigint").alias(
                 "ann_candidates"
@@ -1257,6 +1308,17 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard WindowGroupLimit. Production raises k with corpus
     size and probes >1 cells; the dataflow is unchanged.
     """
+    scored = _ivf_fixed_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
+
+
+def _ivf_fixed_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell cosine-scored IVF candidates (query_id, cid,
+    neighbor_id, cosine) for the vec_id % 4 == 0 query set — the shared
+    candidate stage of ann_ivf_fixed_topk and retrieval_recall_at_k."""
     from node_gedcom_graph_spark.operators.dedup import dot_f32
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
@@ -1299,7 +1361,7 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks no matter the cluster — broadcasting keeps the streamed
     # member side at the scan's full partitioning (sf1 sweep: 48 s
     # key-limited vs seconds broadcast).
-    scored = (
+    return (
         F.broadcast(q)
         .join(mem, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1310,10 +1372,6 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn(
-        "rnk", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rnk") <= 5)
 
 
 # ------------------------------------------------- Lloyd k-means (2 rounds)
