@@ -85,6 +85,22 @@ SCHEMA = (
     "level int, xref string, tag string, value string"
 )
 
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("file", pa.string()),
+            pa.field("record_seq", pa.int64()),
+            pa.field("line_no", pa.int64()),
+            pa.field("level", pa.int32()),
+            pa.field("xref", pa.string()),
+            pa.field("tag", pa.string()),
+            pa.field("value", pa.string()),
+        ]
+    )
+
 DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
 _FILE_SHIFT = 40  # offsets get file_index << 40 (supports 1 TB per file)
 
@@ -120,49 +136,157 @@ def _split_file(file: str, file_index: int, split_size: int) -> list[_RangeParti
 
 def _read_range(part: _RangePartition, fobj=None) -> Iterator[tuple]:
     """Emit the lines of every record whose level-0 line starts in
-    [part.start, part.end). See module docstring for the split rules.
-    ``fobj``: optional already-open binary file-like (the inline path);
-    default opens part.file from the local filesystem."""
+    [part.start, part.end), as plain row tuples. Thin wrapper over the
+    Arrow-batch scanner (the readers yield the batches directly; this
+    row view serves tests and any per-row consumer)."""
+    for batch in _read_range_batches(part, fobj):
+        cols = [c.to_pylist() for c in batch.columns]
+        yield from zip(*cols)
+
+
+def _read_range_batches(part: _RangePartition, fobj=None, pushed: list | None = None):
+    """Emit the lines of every record whose level-0 line starts in
+    [part.start, part.end) as ``pyarrow.RecordBatch``es. See module
+    docstring for the split rules. ``fobj``: optional already-open
+    binary file-like (the inline path); default opens part.file from
+    the local filesystem."""
     if fobj is not None:
-        yield from _scan_range(part, fobj)
+        yield from _scan_range(part, fobj, pushed or [])
         return
     with open(part.file, "rb") as f:
-        yield from _scan_range(part, f)
+        yield from _scan_range(part, f, pushed or [])
 
 
-def _scan_range(part: _RangePartition, f) -> Iterator[tuple]:
+# Bytes/MULTILINE twin of LINE_RE, applied to a whole split in ONE
+# C-level finditer pass instead of a Python loop of readline+match.
+# Divergence-proofing vs the per-line form:
+# - \s classes are narrowed to [ \t\r\f\v] (no \n) so ^\s* cannot
+#   swallow a blank line and anchor the match at the PREVIOUS line's
+#   start — per-line semantics keep whitespace intra-line.
+# - the xref class excludes \n so an unterminated @xref cannot span
+#   lines.
+# - the per-line path matches against rstrip("\r\n"); here the value
+#   group is non-greedy with a trailing \r* so CRLF files capture the
+#   same value bytes.
+# Bytes patterns are inherently ASCII, matching the re.ASCII intent of
+# LINE_RE (Java-regex parity — see the module docstring).
+_CHUNK_RE = re.compile(
+    rb"^(?:\xef\xbb\xbf)?[ \t\r\f\v]*(\d+)(?:[ \t\r\f\v]+@([^@\n]*)@)?"
+    rb"[ \t\r\f\v]+(\S+)(?: (.*?))?\r*$",
+    re.MULTILINE,
+)
+
+_BATCH_ROWS = 1 << 16
+
+
+def _scan_range(part: _RangePartition, f, pushed: list) -> Iterator:
+    import pyarrow as pa
+
     tag_base = part.file_index << _FILE_SHIFT
+    pos = part.start
     if part.start > 0:
         # Land on the first line boundary at/after `start`: back up
         # one byte and discard the (possibly empty) tail of the
         # previous split's line.
         f.seek(part.start - 1)
         f.readline()
+        pos = f.tell()
+        if pos >= part.end:
+            return  # no line BOUNDARY inside this split -> owns nothing
+    # One bulk read of the owned byte range; if it ends mid-line,
+    # complete that line (its START is inside the range, so it's ours).
+    chunk = f.read(part.end - pos)
+    if not chunk:
+        return
+    if not chunk.endswith(b"\n"):
+        chunk += f.readline()
+
+    seqs: list[int] = []
+    lnos: list[int] = []
+    lvls: list[int] = []
+    xrefs: list[str | None] = []
+    tags: list[str] = []
+    vals: list[str] = []
+
+    def flush():
+        batch = pa.record_batch(
+            [
+                pa.array([part.file] * len(seqs), pa.string()),
+                pa.array(seqs, pa.int64()),
+                pa.array(lnos, pa.int64()),
+                pa.array(lvls, pa.int32()),
+                pa.array(xrefs, pa.string()),
+                pa.array(tags, pa.string()),
+                pa.array(vals, pa.string()),
+            ],
+            schema=_arrow_schema(),
+        )
+        for c in (seqs, lnos, lvls, xrefs, tags, vals):
+            c.clear()
+        return batch
+
     record_seq = None
+    for m in _CHUNK_RE.finditer(chunk):
+        level = int(m.group(1))
+        if level == 0:
+            record_seq = tag_base + pos + m.start()
+        if record_seq is None:
+            continue  # tail lines of the previous split's record
+        xref_b, val_b = m.group(2), m.group(4)
+        row = (
+            part.file,
+            record_seq,
+            tag_base + pos + m.start(),
+            level,
+            None if xref_b is None else xref_b.decode("utf-8", "replace"),
+            m.group(3).decode("utf-8", "replace"),
+            "" if val_b is None else val_b.decode("utf-8", "replace"),
+        )
+        if pushed and not _row_passes(pushed, row):
+            continue
+        seqs.append(row[1])
+        lnos.append(row[2])
+        lvls.append(row[3])
+        xrefs.append(row[4])
+        tags.append(row[5])
+        vals.append(row[6])
+        if len(seqs) >= _BATCH_ROWS:
+            yield flush()
+
+    # Tail: lines past `end` that belong to this split's LAST record
+    # (its level-0 line started inside the range). Per-line scan until
+    # the next record boundary — a handful of lines in practice.
     while True:
         line_start = f.tell()
         raw = f.readline()
         if not raw:
-            return
+            break
         m = LINE_RE.match(raw.decode("utf-8", errors="replace").rstrip("\r\n"))
         if m is None:
             continue  # blank/garbage line (parser.parse_lines drops these too)
-        level = int(m.group(1))
-        if level == 0:
-            if line_start >= part.end:
-                return  # next split's record
-            record_seq = tag_base + line_start
+        if int(m.group(1)) == 0:
+            break  # next split's record
         if record_seq is None:
-            continue  # tail lines of the previous split's record
-        yield (
+            continue
+        row = (
             part.file,
             record_seq,
             tag_base + line_start,
-            level,
+            int(m.group(1)),
             m.group(2),
             m.group(3),
             m.group(4) or "",
         )
+        if pushed and not _row_passes(pushed, row):
+            continue
+        seqs.append(row[1])
+        lnos.append(row[2])
+        lvls.append(row[3])
+        xrefs.append(row[4])
+        tags.append(row[5])
+        vals.append(row[6])
+    if seqs:
+        yield flush()
 
 
 # Column index per pushable attribute in the output tuple.
@@ -251,17 +375,21 @@ class GedcomBatchReader(DataSourceReader):
             parts.extend(_split_file(file, idx, self.split_size))
         return parts
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+    def read(self, partition: _RangePartition) -> Iterator:
+        # Arrow RecordBatch yields: one columnar hand-off per ~64k rows
+        # instead of per-row tuple conversion in the Python worker —
+        # the difference between ~12 us/line and ~2 us/line on a bulk
+        # scan. Pushed filters apply at batch-build time (emission
+        # semantics unchanged — see pushFilters).
         if self.inline is not None:
             import io
 
-            rows = _read_range(partition, io.BytesIO(self.inline.encode("utf-8")))
-        else:
-            rows = _read_range(partition)
-        if not self.pushed:
-            return rows
-        pushed = self.pushed
-        return (r for r in rows if _row_passes(pushed, r))
+            return _read_range_batches(
+                partition,
+                io.BytesIO(self.inline.encode("utf-8")),
+                self.pushed,
+            )
+        return _read_range_batches(partition, None, self.pushed)
 
 
 DEFAULT_MAX_FILE_AGE_S = 7 * 24 * 3600  # same default contract as Spark's file source
@@ -362,8 +490,8 @@ class GedcomStreamReader(DataSourceStreamReader):
             parts.extend(_split_file(file, i, self.split_size))
         return parts
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        return _read_range(partition)
+    def read(self, partition: _RangePartition) -> Iterator:
+        return _read_range_batches(partition)
 
     def commit(self, end: dict) -> None:
         # Offsets are already compact (watermark + recent set); nothing
