@@ -1749,3 +1749,170 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 10
     )
+
+
+# ------------------------------------------------- IVF-PQ (cell-pruned ADC)
+
+
+@register(
+    "ann_ivf_pq_adc_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
+               AS c_nm
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), n AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
+               AS nm
+      FROM embeddings
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(list_dot_product(v.embedding, c.c_emb)
+                               AS DOUBLE) / (v.nm * c.c_nm) DESC,
+                          c.cid ASC) AS rn
+        FROM n v CROSS JOIN cent c
+      ) t WHERE rn = 1
+    ), sub AS (
+      SELECT unnest([0, 1, 2, 3]) AS m
+    ), cb AS MATERIALIZED (
+      SELECT m, cid,
+             list_slice(c_emb, m * 16 + 1, m * 16 + 16) AS sub_c
+      FROM cent CROSS JOIN sub
+    ), v AS MATERIALIZED (
+      SELECT vec_id, m,
+             list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sub_v
+      FROM embeddings CROSS JOIN sub
+    ), scored AS (
+      SELECT v.vec_id, v.m, cb.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.m
+               ORDER BY CAST(list_dot_product(sub_v, sub_c) AS DOUBLE) DESC,
+                        cb.cid ASC) AS rn
+      FROM v JOIN cb ON cb.m = v.m
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM scored WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, cb.m, cb.cid AS code,
+             CAST(list_dot_product(q.sub_v, cb.sub_c) AS DOUBLE) AS dot
+      FROM v q JOIN cb ON cb.m = q.m
+      WHERE q.vec_id % 4 = 0
+    ), adc AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             CAST(SUM(CAST(l.dot AS DECIMAL(28,14))) AS DOUBLE) AS adc
+      FROM assign qa
+      JOIN assign ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
+      JOIN codes c ON c.vec_id = ca.vec_id
+      JOIN lut l ON l.query_id = qa.vec_id AND l.m = c.m AND l.code = c.code
+      WHERE qa.vec_id % 4 = 0
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN layout (Jegou et al.; the FAISS
+    IVFPQ index) composed from this module's two gated primitives —
+    coarse IVF cells prune the candidate set to the query's Voronoi
+    cell (ann_ivf_fixed_topk's assignment), and asymmetric PQ distance
+    ranks the survivors from their 4-byte codes alone
+    (ann_pq_adc_topk's LUT scan). Queries are the vec_id % 4 == 0
+    panel under the module's non-binding hash cap.
+
+    Scale shape: corpus-side state is (cid, 4 code rows) per vector —
+    the raw vectors are read once to encode and never again. Both the
+    capped query panel and the queries x PQ_M x 16 LUT broadcast; the
+    code table streams through two broadcast hash joins at full scan
+    parallelism (cell fan-out = queries landing in that cell), and the
+    (query, neighbor) ADC sum is one map-side-combinable shuffle.
+    Unlike the linear-scan ADC, per-query candidate work is |cell|,
+    not the corpus. The top-10 is a rank-limit window
+    (WindowGroupLimit partial top-k), never a global sort.
+
+    Determinism: the cell argmax reuses the (cos, -cid) struct-MAX
+    with the f32 fold (dot_f32 == DuckDB list_dot_product
+    bit-for-bit), and the 4-term ADC sum is cast per-term to
+    DECIMAL(28,14) — order-independent, so cell membership, scores,
+    and rank boundaries agree with the oracle exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    n = _normed(emb)
+    cent = F.broadcast(_fixed_centroids(emb))
+    cos_c = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
+        F.col("nm") * F.col("c_nm")
+    )
+    assign = (
+        n.crossJoin(cent)
+        .select(
+            "vec_id",
+            F.struct(
+                cos_c.alias("cos"), (-F.col("cid")).alias("ncid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", (-F.col("s.ncid")).alias("cid"))
+    )
+    codes = embedding_pq_assign(spark, sf_dir).select(
+        "vec_id", F.col("subspace").alias("m"), "code"
+    )
+    # The streamed side: per-vector cell id + PQ code rows, re-spread
+    # so AQE's small-bytes estimate can't serialize the fold-heavy
+    # probe (the module's REPARTITION_BY_NUM lesson from the sf1
+    # sweep).
+    cellcodes = assign.join(codes, "vec_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = _cap_queries(assign.filter(F.col("vec_id") % 4 == 0)).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
+    )
+    cb = _subspaced(
+        _fixed_centroids(emb).select("cid", "c_emb"), "c_emb", "sub_c"
+    ).select("m", F.col("cid").alias("lcode"), "sub_c")
+    qsub = _subspaced(
+        emb.join(
+            q.select(F.col("query_id").alias("vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), "embedding"),
+        "embedding",
+        "q_sub",
+    ).select("query_id", F.col("m").alias("lm"), "q_sub")
+    lut = F.broadcast(
+        qsub.join(cb, qsub["lm"] == cb["m"])
+        .select(
+            F.col("query_id").alias("l_qid"),
+            "lm",
+            "lcode",
+            dot_f32(F.col("q_sub"), F.col("sub_c")).cast("double").alias("dot"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cellcodes, q["qcid"] == cellcodes["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            lut,
+            (F.col("l_qid") == F.col("query_id"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("lcode") == F.col("code")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("dot").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )

@@ -246,3 +246,86 @@ def test_bfs_converged_matches_pure_python(spark):
     assert got == expected
     plan = result._jdf.queryExecution().optimizedPlan().toString()
     assert "lineitem" not in plan and len(plan.splitlines()) < 30
+
+
+def test_ivf_pq_adc_matches_numpy(spark):
+    """Differential for ann_ivf_pq_adc_topk: rebuild the IVF cells, PQ
+    codes, ADC table, and per-query top-10 in float64 numpy and check
+    the engine's (neighbor set, adc values, ranking) — skipping
+    float32-vs-float64 boundary ties the same way the PQ differential
+    does."""
+    from node_gedcom_graph_spark.operators.similarity import (
+        ann_ivf_pq_adc_topk,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    cents = _centroids(rows)
+
+    def cell_of(v):
+        """(cid, margin): argmax cosine cell + distance to runner-up."""
+        nv = np.asarray(v, dtype=np.float64)
+        nm = float(np.linalg.norm(nv))
+        scored = sorted(
+            (
+                (
+                    -float(
+                        np.dot(nv, np.asarray(c.embedding, np.float64))
+                    )
+                    / (nm * float(np.linalg.norm(np.asarray(c.embedding, np.float64)))),
+                    c.vec_id,
+                )
+                for c in cents
+            ),
+        )
+        return scored[0][1], scored[1][0] - scored[0][0]
+
+    def codes_of(v):
+        nv = np.asarray(v, dtype=np.float64)
+        out = []
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+            best = sorted(
+                (
+                    (-float(np.dot(nv[sl], np.asarray(c.embedding, np.float64)[sl])), c.vec_id)
+                    for c in cents
+                )
+            )
+            out.append((best[0][1], best[0][0] - best[1][0]))
+        return out
+
+    cell = {r.vec_id: cell_of(r.embedding) for r in rows}
+    codes = {r.vec_id: codes_of(r.embedding) for r in rows}
+    emb = {r.vec_id: np.asarray(r.embedding, np.float64) for r in rows}
+    cent_emb = {c.vec_id: np.asarray(c.embedding, np.float64) for c in cents}
+
+    got = ann_ivf_pq_adc_topk(spark, SF_DIR).collect()
+    assert got, "IVF-PQ top-k must be non-empty at sf0.001"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    SAFE = 1e-4  # ambiguous-under-f32 boundary
+    for qid, lst in by_q.items():
+        assert qid % 4 == 0
+        lst.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in lst] == list(range(1, len(lst) + 1))
+        # ranking is (adc desc, neighbor_id asc)
+        pairs = [(-r.adc, r.neighbor_id) for r in lst]
+        assert pairs == sorted(pairs)
+        qcid, qmargin = cell[qid]
+        for r in lst:
+            ncid, nmargin = cell[r.neighbor_id]
+            if qmargin > SAFE and nmargin > SAFE:
+                assert ncid == qcid, (qid, r.neighbor_id)
+            # ADC value: sum over subspaces of dot(q_sub, codeword),
+            # skipped when any subspace code is boundary-ambiguous
+            expect = 0.0
+            skip = False
+            for m, (code, marg) in enumerate(codes[r.neighbor_id]):
+                if abs(marg) < SAFE:
+                    skip = True
+                    break
+                sl = slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+                expect += float(np.dot(emb[qid][sl], cent_emb[code][sl]))
+            if not skip:
+                assert abs(r.adc - expect) < 1e-3, (qid, r.neighbor_id)
