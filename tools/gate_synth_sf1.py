@@ -1,0 +1,194 @@
+"""Duplicate-heavy synthetic-sf1 correctness gate (committed generator
+for the GATE_SYNTH_SF1_r{N}.json artifacts).
+
+Runs the dedup/similarity/streaming family of REGISTERED queries
+against the synthesized sf1 (tools/make_sf_scale.py: 10 key-offset
+copies of sf0.1 — 50k documents in genuine 10-way dup groups, 20k
+embeddings with 10 identical copies each) under the full DuckDB-oracle
+hash compare, PLUS the stateful streaming MinHash drain the round-4
+verdict asked for (item 9): stream_dedup_minhash over the sf1
+documents stream must emit exactly the batch minhash_lsh_pairs pair
+set with identical jaccard values — the stateful path proven at 10x
+the fixture its pytest pin uses.
+
+Usage: python tools/gate_synth_sf1.py [sf1_dir] [out.json]
+Defaults: <repo>/.benchdata/sf1 (built via make_sf_scale.py if
+missing) -> stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import duckdb
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from verify_local import TABLES, _hash_rows  # noqa: E402
+
+# The registered dedup/similarity/streaming family (same set as
+# GATE_SYNTH_SF1_r4 — the queries whose semantics face duplicate
+# pressure), to rerun at HEAD.
+GATE_QUERIES = [
+    "semdedup_cluster_prune",
+    "heavy_hitters_two_phase",
+    "doc_chunk_overlap",
+    "embedding_kmeans_lloyd2",
+    "stream_dedup_within_watermark",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_containment_ngram",
+    "dedup_cluster_canonical",
+    "decontaminate_ngram_overlap",
+    "flagship_revenue_by_region",
+    "pricing_summary",
+    "embedding_centroid_assign",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_savings_report",
+    "doc_fingerprint",
+    # round-5 additions under the same duplicate pressure
+    "dedup_jaccard_prefix_filter",
+    "doc_tfidf_cosine_pairs",
+    "retrieval_recall_at_k",
+    "ann_ivf_pq_adc_topk",
+    "dedup_paragraph_exact",
+]
+
+
+def _gate_registered(spark, con, sf_dir: str, out: dict) -> None:
+    import __spark_entry__ as ent
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    for name in GATE_QUERIES:
+        t0 = time.monotonic()
+        sdf = qs[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        ok = (
+            len(srows) == len(orows)
+            and sorted(scols) == sorted(ocols)
+            and _hash_rows(scols, srows) == _hash_rows(ocols, orows)
+        )
+        out["queries"][name] = {
+            "status": "PASS" if ok else "FAIL",
+            "rows": len(srows),
+            "wall_s": round(time.monotonic() - t0, 1),
+        }
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {len(srows)} rows", flush=True)
+
+
+def _gate_stream_minhash(spark, sf_dir: str, out: dict) -> None:
+    """Drain stream_dedup_minhash over the sf1 documents and compare
+    the emitted (doc_a, doc_b, jaccard) SET with the batch
+    minhash_lsh_pairs on the same corpus (both xxhash64-based, so
+    equality is exact, not approximate)."""
+    from node_gedcom_graph_spark.operators.dedup import minhash_lsh_pairs
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        read_documents_stream,
+        stream_dedup_minhash,
+    )
+
+    t0 = time.monotonic()
+    q = (
+        stream_dedup_minhash(read_documents_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("sf1_sdm_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in spark.sql("SELECT * FROM sf1_sdm_pairs").collect()
+    }
+    stream_wall = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    batch_wall = round(time.monotonic() - t0, 1)
+    ok = got == want and len(want) > 0
+    out["queries"]["stream_dedup_minhash_sf1_drain"] = {
+        "status": "PASS" if ok else "FAIL",
+        "rows": len(got),
+        "batch_rows": len(want),
+        "wall_s": stream_wall,
+        "batch_wall_s": batch_wall,
+        "note": (
+            "stateful applyInPandasWithState MinHash drain over the sf1 "
+            "documents stream; pair set + jaccard values compared EQUAL "
+            "to batch minhash_lsh_pairs on the same corpus"
+        ),
+    }
+    print(
+        f"{'PASS' if ok else 'FAIL'}  stream_dedup_minhash_sf1_drain: "
+        f"{len(got)} stream pairs vs {len(want)} batch",
+        flush=True,
+    )
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(_REPO, ".benchdata", "sf1")
+    )
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(_REPO, "tools", "make_sf_scale.py")],
+            check=True,
+        )
+    from node_gedcom_graph_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gate-synth-sf1", master="local[32]", shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out = {
+        "what": (
+            "correctness gate for the dedup/similarity/streaming-dedup "
+            "family at the synthesized duplicate-heavy sf1 "
+            "(tools/make_sf_scale.py), regenerated at HEAD by "
+            "tools/gate_synth_sf1.py; per-query wall includes BOTH "
+            "engine and DuckDB oracle"
+        ),
+        "queries": {},
+    }
+    _gate_registered(spark, con, sf_dir, out)
+    _gate_stream_minhash(spark, sf_dir, out)
+    statuses = [q["status"] for q in out["queries"].values()]
+    out["summary"] = {
+        "pass": statuses.count("PASS"),
+        "fail": statuses.count("FAIL"),
+    }
+    doc = json.dumps(out, indent=1)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as fh:
+            fh.write(doc + "\n")
+    else:
+        print(doc)
+    spark.stop()
+    return 1 if out["summary"]["fail"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -7,7 +7,11 @@ on DuckDB over the same parquet tables, then compares:
 - order-insensitive value hash (rows sorted by all columns; floats
   rounded to 6 decimals; timestamps normalized to microseconds)
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [sf_dir] [query ...] [--json=OUT]
+
+``--json=OUT`` additionally writes the committed gate-artifact shape
+(the GATE_SF01_r{N}.json format): per-query status/rows/wall plus a
+summary block.
 """
 
 from __future__ import annotations
@@ -62,8 +66,20 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    args = sys.argv[1:]
+    json_out = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    art: dict = {
+        "what": f"complete oracle gate (tools/verify_local.py) run at {sf_dir}",
+        "queries": {},
+    }
 
     import __spark_entry__ as ent
     from node_gedcom_graph_spark.session import get_spark
@@ -87,10 +103,15 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            art["queries"][name] = {"status": "FAIL", "err": str(e)[:300]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
+            art["queries"][name] = {
+                "status": "ROWS", "rows": len(srows),
+                "wall_s": round(time.monotonic() - t0, 1),
+            }
             n_rows_only += 1
             continue
         try:
@@ -99,6 +120,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            art["queries"][name] = {"status": "FAIL", "err": str(e)[:300]}
             n_fail += 1
             continue
         problems = []
@@ -124,11 +146,28 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(p)
+            art["queries"][name] = {
+                "status": "FAIL", "rows": len(srows),
+                "wall_s": round(time.monotonic() - t0, 1),
+                "problems": problems[:3],
+            }
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.monotonic()-t0:.1f}s]")
+            art["queries"][name] = {
+                "status": "PASS", "rows": len(srows),
+                "wall_s": round(time.monotonic() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        art["summary"] = {
+            "pass": n_pass, "fail": n_fail, "rows_only": n_rows_only,
+            "registered": len(qs),
+        }
+        with open(json_out, "w") as fh:
+            json.dump(art, fh, indent=1)
+            fh.write("\n")
     spark.stop()
     return 1 if n_fail else 0
 
