@@ -1447,3 +1447,118 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= TFIDF_COS_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granular exact dedup with document reconstruction
+
+
+PARA_WORDS = 20
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE length(text) > 0
+    ), para AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(u.s / {PARA_WORDS} AS BIGINT) AS pidx,
+             array_to_string(
+               list_slice(w, u.s + 1, u.s + {PARA_WORDS}), ' ') AS para
+      FROM toks
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, GREATEST(len(w), 1), {PARA_WORDS})) AS s
+      ) u
+    ), marked AS MATERIALIZED (
+      SELECT doc_id, pidx, para,
+             ROW_NUMBER() OVER (
+               PARTITION BY para ORDER BY doc_id, pidx) = 1 AS kept
+      FROM para
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(
+             string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pidx),
+             '')) AS clean_md5,
+           CAST(length(COALESCE(
+             string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY pidx),
+             '')) AS BIGINT) AS clean_chars
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular exact dedup with document RECONSTRUCTION (the
+    C4/RefinedWeb "remove duplicated spans, keep the document" recipe,
+    vs dedup_exact's whole-document verdicts): every document is split
+    into non-overlapping {PARA_WORDS}-word spans, each span is deduped
+    EXACTLY across the whole corpus keeping only its first occurrence
+    (smallest (doc_id, position)), and each document is re-assembled
+    from its surviving spans. Output is one row per document:
+    span counts before/after and the md5 + length of the cleaned text,
+    so the verdict table is hash-gated without shipping document
+    bodies.
+
+    Scale shape: three bounded shuffles — (1) explode is map-side
+    (output rows = corpus words / {PARA_WORDS}); (2) first-occurrence
+    is a hash aggregation keyed by the span string with a map-side-
+    combinable MIN((doc_id, pidx)) partial — no window over the corpus,
+    no global sort; (3) the verdict join back on the span key reuses
+    the same partitioning, and reassembly is a per-doc_id aggregation
+    whose sort_array acts on one document's spans at a time (bounded
+    by doc length), never a corpus-wide ORDER BY. Span equality uses
+    the raw text (reconstruction must be lossless), not the normalized
+    token stream.
+
+    Reference parity: the reference has no text-dedup surface; this is
+    part of the LLM-pipeline extension family (SURVEY §6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("w") - 1, F.lit(0)),
+        F.lit(PARA_WORDS),
+    )
+    para = F.array_join(
+        F.slice(F.col("w"), F.col("s") + 1, PARA_WORDS), " "
+    )
+    exploded = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(starts).alias("s"), "w")
+        .select(
+            "doc_id",
+            (F.col("s") / PARA_WORDS).cast("bigint").alias("pidx"),
+            para.alias("para"),
+        )
+    )
+    first = exploded.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pidx")).alias("k")
+    )
+    kept_flag = (F.col("doc_id") == F.col("k.doc_id")) & (
+        F.col("pidx") == F.col("k.pidx")
+    )
+    marked = exploded.join(first, "para").select(
+        "doc_id", "pidx", "para", kept_flag.alias("kept")
+    )
+    clean = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct("pidx", "para"))
+                )
+            ),
+            lambda x: x["para"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("bigint").alias("clean_chars"),
+    )

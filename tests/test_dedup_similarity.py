@@ -543,3 +543,48 @@ def test_lloyd_iterate_converges_and_improves(spark):
     two = embedding_kmeans_lloyd2(spark, sf).collect()
     mean_two = sum(r.mean_cos * r.n_assigned for r in two) / n_total
     assert mean_conv >= mean_two - 1e-9
+
+
+def test_paragraph_dedup_matches_pure_python(spark):
+    """Differential for dedup_paragraph_exact at sf0.001: replay the
+    span split, global first-occurrence dedup, and document
+    reconstruction in pure Python and compare every output column."""
+    import hashlib
+
+    from node_gedcom_graph_spark.operators.dedup import (
+        PARA_WORDS,
+        dedup_paragraph_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    paras = []  # (doc_id, pidx, para) in deterministic order
+    for r in rows:
+        if not r.text:
+            continue
+        w = r.text.split(" ")
+        for pidx, s in enumerate(range(0, max(len(w), 1), PARA_WORDS)):
+            paras.append((r.doc_id, pidx, " ".join(w[s : s + PARA_WORDS])))
+    first = {}
+    for doc_id, pidx, p in sorted(paras):
+        first.setdefault(p, (doc_id, pidx))
+    expect = {}
+    for doc_id, pidx, p in paras:
+        e = expect.setdefault(doc_id, {"n": 0, "kept": []})
+        e["n"] += 1
+        if first[p] == (doc_id, pidx):
+            e["kept"].append((pidx, p))
+    got = {r.doc_id: r for r in dedup_paragraph_exact(spark, sf).collect()}
+    assert set(got) == set(expect)
+    n_dropped = 0
+    for doc_id, e in expect.items():
+        clean = " ".join(p for _, p in sorted(e["kept"]))
+        r = got[doc_id]
+        assert r.n_paras == e["n"], doc_id
+        assert r.n_kept == len(e["kept"]), doc_id
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest(), doc_id
+        assert r.clean_chars == len(clean), doc_id
+        n_dropped += e["n"] - len(e["kept"])
+    # the sf0.001 corpus's 20-word spans are word soup over a ~40-word
+    # vocabulary: at least SOME span must repeat across 50 documents
+    assert n_dropped > 0
