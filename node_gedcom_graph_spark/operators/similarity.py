@@ -1916,3 +1916,102 @@ def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 10
     )
+
+
+# ------------------------------------------------- int8 scalar quantization
+
+
+@register(
+    "embedding_sq8_error",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, u.d, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS d) u
+    ), stats AS MATERIALIZED (
+      SELECT d, MIN(v) AS lo, MAX(v) AS hi,
+             (MAX(v) - MIN(v)) / 255.0 AS scale
+      FROM el GROUP BY d
+    ), coded AS (
+      SELECT e.vec_id, e.d,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE LEAST(GREATEST(
+                         FLOOR((e.v - s.lo) / s.scale + 0.5), 0), 255)
+             END AS code,
+             s.lo, s.scale, e.v
+      FROM el e JOIN stats s ON s.d = e.d
+    ), err AS (
+      SELECT vec_id,
+             ABS(v - (lo + code * scale)) AS ae
+      FROM coded
+    )
+    SELECT vec_id,
+           MAX(ae) AS max_abs_err,
+           CAST(SUM(CAST(ae * ae AS DECIMAL(28,14))) AS DOUBLE) / 64.0
+             AS mse
+    FROM err
+    GROUP BY vec_id
+    """,
+)
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) audit — the standard 4x
+    memory-compression step for a serving ANN index: each of the 64
+    dimensions gets a corpus-wide [min, max] range mapped onto 0..255,
+    every vector is encoded to one byte per dimension, and the output
+    reports each vector's reconstruction error (max-abs and MSE) so a
+    pipeline can gate index compression on measured quality, the same
+    role minhash_recall_report plays for LSH.
+
+    Scale shape: the per-dimension ranges are a 64-row aggregate
+    (map-side-combinable MIN/MAX over the exploded elements) broadcast
+    back to the element stream; encode + error are pure codegen
+    arithmetic; the per-vector error aggregation is the only
+    corpus-sized shuffle (keyed by vec_id, combinable partials). No
+    window, no sort, no Python.
+
+    Determinism: codes use floor(x + 0.5) (identical half-up in both
+    engines for the non-negative quotient, avoiding round()'s
+    half-even/half-away ambiguity); the MSE is the per-term
+    DECIMAL(28,14) order-independent sum; constant dimensions
+    (scale = 0) encode to 0 with zero error in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    el = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d0", "v32"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.col("v32").cast("double").alias("v"),
+    )
+    stats = F.broadcast(
+        el.groupBy("d").agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            ((F.max("v") - F.min("v")) / F.lit(255.0)).alias("scale"),
+        )
+    )
+    code = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.col("lo")) / F.col("scale") + 0.5),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ).cast("double")
+    )
+    ae = F.abs(F.col("v") - (F.col("lo") + code * F.col("scale")))
+    return (
+        el.join(stats, "d")
+        .select("vec_id", ae.alias("ae"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("ae").alias("max_abs_err"),
+            (
+                F.sum((F.col("ae") * F.col("ae")).cast("decimal(28,14)"))
+                .cast("double")
+                / F.lit(64.0)
+            ).alias("mse"),
+        )
+    )

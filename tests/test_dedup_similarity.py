@@ -588,3 +588,32 @@ def test_paragraph_dedup_matches_pure_python(spark):
     # the sf0.001 corpus's 20-word spans are word soup over a ~40-word
     # vocabulary: at least SOME span must repeat across 50 documents
     assert n_dropped > 0
+
+
+def test_sq8_error_matches_numpy(spark):
+    """Differential for embedding_sq8_error at sf0.001: replay the
+    per-dimension range quantization in numpy float64; also pin the
+    analytic bound max_abs_err <= max(scale)/2."""
+    import numpy as np
+
+    from node_gedcom_graph_spark.operators.similarity import (
+        embedding_sq8_error,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    lo, hi = M.min(axis=0), M.max(axis=0)
+    scale = (hi - lo) / 255.0
+    safe = np.where(scale == 0, 1.0, scale)
+    code = np.clip(np.floor((M - lo) / safe + 0.5), 0, 255)
+    code[:, scale == 0] = 0
+    ae = np.abs(M - (lo + code * scale))
+    got = {r.vec_id: r for r in embedding_sq8_error(spark, sf).collect()}
+    assert set(got) == {r.vec_id for r in rows}
+    bound = scale.max() / 2 + 1e-9
+    for i, r in enumerate(rows):
+        g = got[r.vec_id]
+        assert abs(g.max_abs_err - ae[i].max()) < 1e-9, r.vec_id
+        assert abs(g.mse - (ae[i] ** 2).mean()) < 1e-9, r.vec_id
+        assert g.max_abs_err <= bound
