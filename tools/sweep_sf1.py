@@ -48,7 +48,15 @@ def main() -> None:
                 prior = {}
         names = [n for n in qs if n not in prior]
 
-    spark = get_spark(app_name="sweep_sf1")
+    # Pass master EXPLICITLY: get_spark only applies the 32g local-mode
+    # driver heap when it knows it's building a local master, and with
+    # SPARK_GRAFT_CPUS unset the no-master fallback boots a silent
+    # 1g-heap JVM — which OOM'd this sweep's first graph fixpoint.
+    _master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    spark = get_spark(
+        app_name="sweep_sf1", master=_master, shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
 
     out = {"sf_dir": sf_dir, "queries": {}, "over_15s": [], "errors": []}
     for name in names:
@@ -66,6 +74,32 @@ def main() -> None:
             out["queries"][name] = {"error": msg, "wall_s": wall}
             out["errors"].append(name)
             print(f"ERR   {name}: {msg}", flush=True)
+            # A JVM death (executor OOM in local mode kills the whole
+            # session) leaves the gateway refusing connections — every
+            # later query would fail spuriously. Rebuild the session.
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print("      session dead — rebuilding JVM", flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark import SparkContext
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                with SparkContext._lock:
+                    SparkContext._active_spark_context = None
+                    SparkContext._gateway = None
+                    SparkContext._jvm = None
+                spark = get_spark(
+                    app_name="sweep_sf1",
+                    master=_master,
+                    shuffle_partitions=32,
+                    extra_conf={"spark.ui.enabled": "false"},
+                )
 
     if out_path:
         with open(out_path, "w") as fh:
