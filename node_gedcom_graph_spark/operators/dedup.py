@@ -1254,9 +1254,41 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = shingled_docs(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # Stage 0 — EXACT-DUPLICATE COLLAPSE (the standard pipeline order:
+    # hash-dedup before near-dedup). Identical texts have identical
+    # shingle multisets, hence identical Jaccard against everything,
+    # so the near-dup join only needs one REPRESENTATIVE per distinct
+    # text; member pairs are reconstructed afterwards from the same
+    # (n, n_common) integers, which makes the expanded doubles
+    # bit-identical to the uncollapsed join's. On duplicate-heavy data
+    # this removes a |group|^2 factor from BOTH candidate generation
+    # and verify (the sf1 gate corpus is 10-way duplicated: ~100x
+    # fewer candidate pairs).
+    grouped = docs.select("doc_id", F.md5("text").alias("fp"), "text")
+    members = (
+        grouped.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("ids"),
+            F.count(F.lit(1)).alias("gsz"),
+        )
+        .persist()
     )
+    reps = (
+        grouped.join(members.select("fp", "rep"), "fp")
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
+    # persist(): five plan branches consume the exploded shingle set
+    # (sizes, df ranking, the ranked window, and both verify sides) —
+    # without a materialization point each branch re-runs the full
+    # tokenize+shingle scan, the dominant cost the sf1 sweep measured.
+    sh = (
+        shingled_docs(reps)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
+    )
+    cnt = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -1274,39 +1306,125 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({PREFIX_JACCARD_T_NUM} * n + {PREFIX_JACCARD_T_DEN - 1}) "
         f"DIV {PREFIX_JACCARD_T_DEN})"
     ) + F.lit(1)
-    pref = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "shingle", "n", "pos"
+    )
     pa, pb = pref.alias("pa"), pref.alias("pb")
+    # Candidate pruning beyond the bare prefix collision, both sound
+    # for the multiset overlap c = sum_s cnt_a(s)*cnt_b(s) bounded by
+    # min(na, nb):
+    #  - LENGTH filter: J >= 3/5 requires 3*max(na,nb) <= 5*min(na,nb).
+    #  - POSITIONAL filter (ppjoin): with tokens globally df-ordered,
+    #    a pair with overlap c has its first common token at positions
+    #    (i, j) satisfying c <= 1 + min(na-i, nb-j); J >= t needs
+    #    c >= t/(1+t)*(na+nb) = 3/8*(na+nb), so any row failing
+    #    8*(1 + min(na-i, nb-j)) >= 3*(na+nb) cannot be the first
+    #    common token of a qualifying pair — and keeping pairs with
+    #    ANY passing row keeps every qualifying pair (the first-match
+    #    row has the largest bound). Together: 30.2M -> 7.1M
+    #    candidates on the duplicate-heavy sf1 corpus.
     cand = (
         pa.join(
             pb,
             (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (3 * F.col("pa.n") <= 5 * F.col("pb.n"))
+            & (3 * F.col("pb.n") <= 5 * F.col("pa.n"))
+            & (
+                8
+                * (
+                    F.lit(1)
+                    + F.least(
+                        F.col("pa.n") - F.col("pa.pos"),
+                        F.col("pb.n") - F.col("pb.pos"),
+                    )
+                )
+                >= 3 * (F.col("pa.n") + F.col("pb.n"))
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    # Verify on (doc, shingle) COUNT rows with the shingle equality in
+    # the JOIN KEY (doc_b, shingle): filtering after a doc_b-only join
+    # builds |A| x |B| rows per candidate pair before discarding the
+    # non-matches — a per-pair quadratic slab the sf1 sweep measured
+    # at 270 s (vs 16 s for the naive shingle join it was supposed to
+    # beat). n_common = sum_s cnt_a*cnt_b reproduces the row-pair
+    # count of the unconsolidated join exactly.
+    ca = cnt.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle").alias("sh_a"),
+        F.col("c").alias("c_a"),
+    )
+    cb = cnt.select(
+        F.col("doc_id").alias("db"),
+        F.col("shingle").alias("sh_b"),
+        F.col("c").alias("c_b"),
+    )
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b"])
-        .filter(F.col("sh_a") == F.col("sh_b"))
+        cand.join(ca, "doc_a")
+        .join(
+            cb,
+            (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")),
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("n_common"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
+    rep_pairs = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
+    # Expansion 1 — cross-group: every member pair of a qualifying rep
+    # pair inherits its jaccard (identical inputs -> identical double).
+    m_a = members.select(F.col("rep").alias("doc_a"), F.col("ids").alias("ids_a"))
+    m_b = members.select(F.col("rep").alias("doc_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        rep_pairs.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .select(F.explode("ids_a").alias("a"), "ids_b", "jaccard")
+        .select("a", F.explode("ids_b").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Expansion 2 — within-group: J(doc, identical doc) from the rep's
+    # own multiset (n_common = sum c^2), same formula and filter as the
+    # pairwise path (the >= 0.6 filter is NOT vacuous: a doc whose
+    # shingle counts satisfy sum c^2 >= 2n flips the denominator's
+    # sign, exactly as the uncollapsed join would).
+    selfdot = cnt.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sd")
+    )
+    selfj = sizes.join(selfdot, "doc_id").select(
+        "doc_id",
+        (
+            F.col("sd").cast("double") / (2 * F.col("n") - F.col("sd"))
+        ).alias("jaccard"),
+    )
+    within = (
+        members.filter(F.col("gsz") >= 2)
+        .join(selfj, F.col("rep") == F.col("doc_id"))
+        .select(F.explode("ids").alias("a"), "ids", "jaccard")
+        .select("a", F.explode("ids").alias("b"), "jaccard")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("jaccard") >= 0.6)
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
+        )
+    )
+    return cross.unionByName(within)
 
 
 # -------------------- sparse TF-IDF cosine pairs (inverted-index join)

@@ -1199,7 +1199,12 @@ def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on neighbor_id with bit-identical doubles on both
     engines (the module's established fold pattern).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True is load-bearing (the knn_label_purity lesson): the
+    # exact ground-truth probe is a query-broadcast pipeline whose
+    # parallelism IS the corpus scan's split count — without it the
+    # whole |queries| x |corpus| fold ran on one core (sf1 sweep:
+    # 731 s; spread, it's the same ~30x-parallel shape as knn).
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     exact = topk_cosine(
         emb, emb.filter(F.col("vec_id") % 4 == 0), k=RECALL_K
     ).select("query_id", "neighbor_id")
