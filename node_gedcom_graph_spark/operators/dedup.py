@@ -770,6 +770,97 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------ semantic decontamination (embedding)
+
+# Cosine bar above which a training vector counts as semantically
+# contaminated by the held-out set. 0.35 sits at the ~95th percentile
+# of best-match cosines on the synthetic embeddings, so the flag is
+# non-trivially split at every test SF.
+DECON_COS_T = 0.35
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle=f"""
+    WITH n AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
+      FROM embeddings
+    ), b AS (
+      SELECT * FROM n WHERE vec_id % 17 = 0
+    ), t AS (
+      SELECT * FROM n WHERE vec_id % 17 <> 0
+    ), scored AS (
+      SELECT t.vec_id,
+             b.vec_id AS bench_id,
+             CAST(list_dot_product(t.embedding, b.embedding) AS DOUBLE)
+               / (t.nm * b.nm) AS cosine
+      FROM t CROSS JOIN b
+    )
+    SELECT vec_id, bench_id, cosine,
+           cosine >= {DECON_COS_T} AS contaminated
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, bench_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space twin of
+    decontaminate_ngram_overlap: for every candidate training vector
+    (vec_id % 17 != 0), its single closest held-out benchmark vector
+    (vec_id % 17 == 0) by cosine, flagged when the similarity clears
+    DECON_COS_T. N-gram overlap misses paraphrased contamination;
+    this is the check run on embeddings before pretraining to catch
+    it (argmax ties break on bench_id, the module's standard
+    deterministic rank).
+
+    Scale: the benchmark side is an eval suite — tiny by construction
+    and BROADCAST, so the probe is one corpus scan with per-row
+    argmax partials (the ann_topk_cosine shape, k=1); no shuffle of
+    the training corpus at all. Cosines use the sequential float32
+    fold (dot_f32) that matches DuckDB's list_dot_product
+    bit-for-bit, so the rank boundary and the threshold flag cannot
+    flip between engines.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
+        ).alias("nm"),
+    )
+    bench = F.broadcast(
+        n.filter(F.col("vec_id") % 17 == 0).select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col("nm").alias("b_nm"),
+        )
+    )
+    train = n.filter(F.col("vec_id") % 17 != 0)
+    cosine = dot_f32(F.col("embedding"), F.col("b_emb")).cast("double") / (
+        F.col("nm") * F.col("b_nm")
+    )
+    scored = train.join(bench, F.col("vec_id") != F.col("bench_id")).select(
+        "vec_id", "bench_id", cosine.alias("cosine")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "bench_id",
+            "cosine",
+            (F.col("cosine") >= DECON_COS_T).alias("contaminated"),
+        )
+    )
+
+
 # --------------------------------------- MinHash+LSH, oracle-gated twin
 
 MINHASH_MD5_SEEDS = 16

@@ -617,3 +617,35 @@ def test_sq8_error_matches_numpy(spark):
         assert abs(g.max_abs_err - ae[i].max()) < 1e-9, r.vec_id
         assert abs(g.mse - (ae[i] ** 2).mean()) < 1e-9, r.vec_id
         assert g.max_abs_err <= bound
+
+
+def test_decontaminate_embedding_matches_numpy(spark):
+    """Differential for decontaminate_embedding_cosine at sf0.001:
+    replay the benchmark split, the best-match argmax (ties on
+    bench_id), and the threshold flag in numpy float64."""
+    import numpy as np
+
+    from node_gedcom_graph_spark.operators.dedup import (
+        DECON_COS_T,
+        decontaminate_embedding_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    nm = np.linalg.norm(M, axis=1)
+    bmask = ids % 17 == 0
+    assert bmask.any() and (~bmask).any()
+    sims = (M[~bmask] @ M[bmask].T) / (nm[~bmask][:, None] * nm[bmask][None, :])
+    bids = ids[bmask]
+    got = {r.vec_id: r for r in decontaminate_embedding_cosine(spark, sf).collect()}
+    assert set(got) == set(ids[~bmask])
+    for qi, vid in enumerate(ids[~bmask]):
+        # argmax with bench_id tiebreak: stable sort by (-cos, bench_id)
+        order = sorted(range(len(bids)), key=lambda j: (-sims[qi, j], bids[j]))
+        best = order[0]
+        g = got[vid]
+        assert g.bench_id == bids[best], vid
+        assert abs(g.cosine - sims[qi, best]) < 1e-6, vid
+        assert g.contaminated == (g.cosine >= DECON_COS_T), vid
