@@ -777,6 +777,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of best-match cosines on the synthetic embeddings, so the flag is
 # non-trivially split at every test SF.
 DECON_COS_T = 0.35
+# Hard cap on the broadcast benchmark side (the KNN_QUERY_CAP
+# pattern): a real eval suite is fixed-size, but the %17 sample grows
+# with the corpus, which made the probe QUADRATIC — the sf10 sweep
+# measured 611 s at 100x (188k train x 11.8k bench folds). Hash-rank
+# orderBy+limit plans as TakeOrderedAndProject, so the broadcast is
+# O(cap x dim) at any corpus size; non-binding at every oracle-gated
+# SF (sf0.01: 29 bench rows, sf0.1: 294, synthetic sf1: 1,176), so
+# gate results remain exactly the oracle's unbounded semantics.
+DECON_BENCH_CAP = 4096
 
 
 @register(
@@ -835,7 +844,10 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("nm"),
     )
     bench = F.broadcast(
-        n.filter(F.col("vec_id") % 17 == 0).select(
+        n.filter(F.col("vec_id") % 17 == 0)
+        .orderBy(F.xxhash64("vec_id", F.lit(29)), "vec_id")
+        .limit(DECON_BENCH_CAP)
+        .select(
             F.col("vec_id").alias("bench_id"),
             F.col("embedding").alias("b_emb"),
             F.col("nm").alias("b_nm"),
