@@ -127,24 +127,39 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     rounds with early termination, the standard DataFrame-only CC
     (GraphFrames' algorithm shape) — each round is one shuffle on id.
     """
+    # Superseded per-round checkpoints are EXPLICITLY freed: a
+    # DataFrame.localCheckpoint block is NOT released by unpersist()
+    # or Python GC (the JVM Dataset holds it), so without the
+    # unpersistRDD call below every round leaks one node-sized block —
+    # bounded at fixture scale, corpus-sized x rounds at 100 TB. The
+    # id-diff attribution assumes no concurrent checkpointing in the
+    # same session (true for this engine's sequential query model).
+    jsc = edges.sparkSession.sparkContext._jsc.sc()
+
+    def _rdd_ids() -> set[int]:
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pre = _rdd_ids()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    labels_ids = _rdd_ids() - pre
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        pre = _rdd_ids()
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -155,13 +170,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = _rdd_ids() - pre
         converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .isEmpty()
         )
-        labels = new_labels
+        for rid in labels_ids:
+            jsc.unpersistRDD(rid, False)
+        labels, labels_ids = new_labels, new_ids
         if converged:
             break
     return labels

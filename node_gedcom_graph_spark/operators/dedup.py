@@ -148,6 +148,101 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ n-gram Jaccard
 
 
+def _exact_dup_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact text duplicates: (members, reps).
+
+    ``members`` is one row per distinct text — (fp, rep, ids, gsz) with
+    rep = min doc_id — persisted (every caller reads it from several
+    plan branches). ``reps`` is (doc_id, text) restricted to the
+    representatives. Identical texts have identical shingle sets and
+    embeddings, hence identical similarity against everything, so
+    every pairwise-similarity operator only needs rep-level pairs plus
+    a mechanical member expansion — the standard hash-dedup-before-
+    near-dedup pipeline order, and the reason the duplicate-heavy
+    scale fixtures stop being quadratic in group size.
+    """
+    grouped = docs.select("doc_id", F.md5("text").alias("fp"), "text")
+    members = (
+        grouped.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("ids"),
+            F.count(F.lit(1)).alias("gsz"),
+        )
+        .persist()
+    )
+    reps = (
+        grouped.join(members.select("fp", "rep"), "fp")
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
+    return members, reps
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    ca: str,
+    cb: str,
+    ordered: bool = False,
+) -> DataFrame:
+    """Expand representative-level pairs to member-level pairs.
+
+    Every member pair inherits its rep pair's value columns verbatim
+    (identical inputs -> identical doubles). ``ordered=False`` emits
+    canonical (least, greatest) pairs; ``ordered=True`` keeps the rep
+    pair's direction (containment-style asymmetric outputs).
+    """
+    vals = [c for c in rep_pairs.columns if c not in (ca, cb)]
+    m_a = members.select(F.col("rep").alias(ca), F.col("ids").alias("_ids_a"))
+    m_b = members.select(F.col("rep").alias(cb), F.col("ids").alias("_ids_b"))
+    ex = (
+        rep_pairs.join(m_a, ca)
+        .join(m_b, cb)
+        .select(F.explode("_ids_a").alias("_a"), "_ids_b", *vals)
+        .select("_a", F.explode("_ids_b").alias("_b"), *vals)
+    )
+    if ordered:
+        return ex.select(F.col("_a").alias(ca), F.col("_b").alias(cb), *vals)
+    return ex.select(
+        F.least("_a", "_b").alias(ca),
+        F.greatest("_a", "_b").alias(cb),
+        *vals,
+    )
+
+
+def _within_group_pairs(
+    members: DataFrame,
+    sizes: DataFrame,
+    value: Column,
+    ca: str,
+    cb: str,
+    ordered: bool = False,
+) -> DataFrame:
+    """Member pairs WITHIN each exact-duplicate group, labeled with
+    ``value`` (an aliased expression over the rep's ``sizes`` columns —
+    identical docs make the pairwise measure a function of one doc's
+    own stats). Reps without a ``sizes`` row (below the shingle
+    threshold) drop out, exactly as their pairs never meet in the
+    pairwise join."""
+    base = (
+        members.filter(F.col("gsz") >= 2)
+        .join(sizes, F.col("rep") == F.col("doc_id"))
+        .select("ids", value)
+    )
+    vals = [c for c in base.columns if c != "ids"]
+    pairs = base.select(
+        F.explode("ids").alias("_a"), "ids", *vals
+    ).select("_a", F.explode("ids").alias("_b"), *vals)
+    pairs = pairs.filter(
+        F.col("_a") != F.col("_b") if ordered else F.col("_a") < F.col("_b")
+    )
+    return pairs.select(
+        F.col("_a").alias(ca), F.col("_b").alias(cb), *vals
+    )
+
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -181,10 +276,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet — but hot shingles still fan out quadratically; this is the
     oracle-checked baseline that the LSH variant approximates at scale.
     Jaccard is an int/int double division — bit-exact across engines.
+
+    Exact duplicates are COLLAPSED to one representative per distinct
+    text before the shingle join and member pairs expanded afterwards
+    (identical shingle sets -> identical Jaccard against everything;
+    within-group pairs are J = n/(2n-n) = 1.0 exactly, the same double
+    the pairwise formula yields). This bounds the hot-shingle fan-out
+    by DISTINCT-text df^2: on the 100x duplicate-heavy sf10 corpus the
+    uncollapsed join's Sum(df^2) shuffle filled 38 GB of spill and
+    died; collapsed, df shrinks 100x and the join is the sf0.1-sized
+    problem plus an output-sized expansion.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = shingled_docs(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    members, reps = _exact_dup_groups(docs)
+    sh = (
+        shingled_docs(reps)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -204,12 +312,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
+    rep_pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
+    # within-group: identical shingle sets -> n_common = na = nb = n,
+    # so J = n/(2n-n) = 1.0 via the same division (docs below the
+    # shingle threshold have no sizes row and drop out, exactly like
+    # the pairwise path).
+    within = _within_group_pairs(
+        members,
+        sizes,
+        (F.col("n").cast("double") / F.col("n")).alias("jaccard"),
+        "doc_a",
+        "doc_b",
+    )
+    return cross.unionByName(within)
 
 
 # ----------------------------------------------------- n-gram containment
@@ -257,8 +378,18 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     first (same flip as the Jaccard baseline).
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = shingled_docs(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # Same exact-duplicate collapse as the Jaccard baseline: identical
+    # texts have identical containment against everything, and the
+    # uncollapsed Sum(df^2) shingle join is the piece that explodes on
+    # duplicate-heavy corpora. Containment is ASYMMETRIC, so rep pairs
+    # expand in their stored direction and within-group pairs are the
+    # ordered a != b combinations (containment of a doc in its
+    # identical twin = n/n = 1.0 via the same division).
+    members, reps = _exact_dup_groups(docs)
+    sh = (
+        shingled_docs(reps)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -276,11 +407,23 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_inner"), F.col("n").alias("na"))
     cont = F.col("n_common").cast("double") / F.col("na")
-    return (
+    rep_pairs = (
         inter.join(sa, "doc_inner")
         .select("doc_inner", "doc_outer", cont.alias("containment"))
         .filter(F.col("containment") >= 0.5)
     )
+    cross = _expand_rep_pairs(
+        rep_pairs, members, "doc_inner", "doc_outer", ordered=True
+    )
+    within = _within_group_pairs(
+        members,
+        sizes,
+        (F.col("n").cast("double") / F.col("n")).alias("containment"),
+        "doc_inner",
+        "doc_outer",
+        ordered=True,
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------- MinHash+LSH
@@ -1367,21 +1510,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this removes a |group|^2 factor from BOTH candidate generation
     # and verify (the sf1 gate corpus is 10-way duplicated: ~100x
     # fewer candidate pairs).
-    grouped = docs.select("doc_id", F.md5("text").alias("fp"), "text")
-    members = (
-        grouped.groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.collect_list("doc_id").alias("ids"),
-            F.count(F.lit(1)).alias("gsz"),
-        )
-        .persist()
-    )
-    reps = (
-        grouped.join(members.select("fp", "rep"), "fp")
-        .filter(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "text")
-    )
+    members, reps = _exact_dup_groups(docs)
     # persist(): five plan branches consume the exploded shingle set
     # (sizes, df ranking, the ranked window, and both verify sides) —
     # without a materialization point each branch re-runs the full
@@ -1489,19 +1618,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Expansion 1 — cross-group: every member pair of a qualifying rep
     # pair inherits its jaccard (identical inputs -> identical double).
-    m_a = members.select(F.col("rep").alias("doc_a"), F.col("ids").alias("ids_a"))
-    m_b = members.select(F.col("rep").alias("doc_b"), F.col("ids").alias("ids_b"))
-    cross = (
-        rep_pairs.join(m_a, "doc_a")
-        .join(m_b, "doc_b")
-        .select(F.explode("ids_a").alias("a"), "ids_b", "jaccard")
-        .select("a", F.explode("ids_b").alias("b"), "jaccard")
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-            "jaccard",
-        )
-    )
+    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
     # Expansion 2 — within-group: J(doc, identical doc) from the rep's
     # own multiset (n_common = sum c^2), same formula and filter as the
     # pairwise path (the >= 0.6 filter is NOT vacuous: a doc whose
@@ -1510,23 +1627,15 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     selfdot = cnt.groupBy("doc_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("sd")
     )
-    selfj = sizes.join(selfdot, "doc_id").select(
-        "doc_id",
+    within = _within_group_pairs(
+        members,
+        sizes.join(selfdot, "doc_id"),
         (
             F.col("sd").cast("double") / (2 * F.col("n") - F.col("sd"))
         ).alias("jaccard"),
-    )
-    within = (
-        members.filter(F.col("gsz") >= 2)
-        .join(selfj, F.col("rep") == F.col("doc_id"))
-        .select(F.explode("ids").alias("a"), "ids", "jaccard")
-        .select("a", F.explode("ids").alias("b"), "jaccard")
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.col("jaccard") >= 0.6)
-        .select(
-            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
-        )
-    )
+        "doc_a",
+        "doc_b",
+    ).filter(F.col("jaccard") >= 0.6)
     return cross.unionByName(within)
 
 

@@ -28,12 +28,22 @@ EMBEDDING_DIM = 64
 # rows at any corpus size.
 CENTROID_K = 16
 
-# Hard cap on the broadcast query sample in knn_label_purity. Same
+# Hard cap on the broadcast query sample in knn_label_purity and (via
+# ANN_QUERY_CAP) every bounded probe panel in this module. Same
 # TakeOrderedAndProject bounding pattern as IVF_TRAIN_CAP: below the cap
-# (every test SF) the limit doesn't bind and the sample is exactly the
-# deterministic vec_id % 4 set the oracle describes; above it, the
-# broadcast stays O(cap * dim) instead of growing with the corpus.
-KNN_QUERY_CAP = 100_000
+# (every ORACLE-GATED SF — the largest gated panel is sf1's 5,000
+# vec_id % 4 queries) the limit doesn't bind and the sample is exactly
+# the deterministic vec_id % 4 set the oracle describes; above it, the
+# broadcast stays O(cap * dim) and — the reason the cap is 8k, not the
+# old 100k — the |panel| x occupancy probe work stays bounded as the
+# corpus grows. The sf10 (100x) sweep measured the old never-binding
+# cap directly: 50k-query panels made the fixed-16-bucket/cell serving
+# demos quadratic-by-proxy (ann_srp_bucket_topk 515 s, ann_ivf_fixed
+# 219 s, knn/recall evals 10 min+). A sampled panel is the production
+# contract for evals; for serving, structure size (bits, cells) scales
+# with the corpus instead — which the fixed-constant gated twins can't
+# express, so their panel is what must stay bounded.
+KNN_QUERY_CAP = 8_192
 
 # Fixed random hyperplanes for sign-random-projection LSH, seeded so
 # signatures are reproducible everywhere.
