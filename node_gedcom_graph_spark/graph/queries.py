@@ -132,12 +132,21 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # or Python GC (the JVM Dataset holds it), so without the
     # unpersistRDD call below every round leaks one node-sized block —
     # bounded at fixture scale, corpus-sized x rounds at 100 TB. The
-    # id-diff attribution assumes no concurrent checkpointing in the
-    # same session (true for this engine's sequential query model).
+    # id-diff attribution is GUARDED to blocks whose callSite is a
+    # localCheckpoint (cached/persisted DataFrames report their plan
+    # string + action callSite instead), so a concurrently cached
+    # DataFrame in the same session can never be attributed to this
+    # loop and freed out from under its owner; only another
+    # interleaved localCheckpoint could collide, and this engine's
+    # query model is sequential.
     jsc = edges.sparkSession.sparkContext._jsc.sc()
 
     def _rdd_ids() -> set[int]:
-        return {i.id() for i in jsc.getRDDStorageInfo()}
+        return {
+            i.id()
+            for i in jsc.getRDDStorageInfo()
+            if str(i.callSite()).startswith("localCheckpoint")
+        }
 
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))

@@ -17,17 +17,63 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# Suite-scope cache-leak control (r5 advice): operators that persist()
+# multi-consumer intermediates register them here instead of leaking
+# them for the session's lifetime. The NEXT top-level registered-query
+# build releases them — by then the previous query's action has run,
+# so across a 268-query suite at most one query's blocks are cached at
+# a time instead of all of them accumulating until LRU/disk pressure.
+_TRACKED_CACHES: list[DataFrame] = []
+_BUILD_DEPTH = 0
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() whose lifetime ends at the next top-level query build."""
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def release_tracked_caches() -> None:
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+    """Decorator: add a query (and optionally its DuckDB oracle SQL).
+
+    The registered callable releases the previous query's tracked
+    caches before building — only at the TOP level (operators that
+    compose other registered operators, e.g. dedup_cluster_canonical
+    -> dedup_ngram_jaccard, must not free their own intermediates
+    mid-build, hence the depth guard)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        _QUERIES[name] = fn
+
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _BUILD_DEPTH
+            if _BUILD_DEPTH == 0:
+                release_tracked_caches()
+            _BUILD_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _BUILD_DEPTH -= 1
+
+        build.__name__ = fn.__name__
+        build.__qualname__ = fn.__qualname__
+        build.__doc__ = fn.__doc__
+        build.__module__ = fn.__module__
+        build.__wrapped__ = fn
+        _QUERIES[name] = build
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        return build
 
     return deco
 

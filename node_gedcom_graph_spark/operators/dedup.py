@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.functions.scalar import normalize_text, tokens
-from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.operators import persist_tracked, register
 from node_gedcom_graph_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------
@@ -169,7 +169,7 @@ def _exact_dup_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.collect_list("doc_id").alias("ids"),
             F.count(F.lit(1)).alias("gsz"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     reps = (
         grouped.join(members.select("fp", "rep"), "fp")
@@ -292,7 +292,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         shingled_docs(reps)
         .select("doc_id", F.explode("shingles").alias("shingle"))
-        .persist()
+        .transform(persist_tracked)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -389,7 +389,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         shingled_docs(reps)
         .select("doc_id", F.explode("shingles").alias("shingle"))
-        .persist()
+        .transform(persist_tracked)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -926,9 +926,19 @@ DECON_COS_T = 0.35
 # measured 611 s at 100x (188k train x 11.8k bench folds). Hash-rank
 # orderBy+limit plans as TakeOrderedAndProject, so the broadcast is
 # O(cap x dim) at any corpus size; non-binding at every oracle-gated
-# SF (sf0.01: 29 bench rows, sf0.1: 294, synthetic sf1: 1,176), so
-# gate results remain exactly the oracle's unbounded semantics.
-DECON_BENCH_CAP = 4096
+# SF (sf0.01: 29 bench rows, sf0.1: 294, synthetic sf1: 1,176, sf10:
+# 11.8k), so gate results remain exactly the oracle's unbounded
+# semantics. Unlike the query-panel caps (which subsample WORK), this
+# one subsamples the contamination REFERENCE — a binding cap means
+# false negatives — so the operator WARNS when it binds (r5 advice)
+# and the GEMM kernel sizes the cap 4x above the largest sweep tier.
+DECON_BENCH_CAP = 16_384
+# GEMM-candidate margin in cosine units. The exact fold accumulates 64
+# float32 products (unit-relative error <= 64 * 2^-24 ~ 3.8e-6 of
+# ||t||*||b||, i.e. <= 3.8e-6 in cosine), while the float64 GEMM's own
+# error is ~1e-15; 1e-4 exceeds the worst-case fold-vs-f64 divergence
+# by >25x, so the fold-argmax is always inside the candidate band.
+DECON_GEMM_MARGIN = 1e-4
 
 
 @register(
@@ -969,49 +979,117 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     deterministic rank).
 
     Scale: the benchmark side is an eval suite — tiny by construction
-    and BROADCAST, so the probe is one corpus scan with per-row
-    argmax partials (the ann_topk_cosine shape, k=1); no shuffle of
-    the training corpus at all. Cosines use the sequential float32
-    fold (dot_f32) that matches DuckDB's list_dot_product
-    bit-for-bit, so the rank boundary and the threshold flag cannot
-    flip between engines.
+    and BROADCAST (a numpy matrix, the cosine_candidate_pairs
+    pattern), so the probe is ONE training-corpus scan with a C-speed
+    float64 GEMM per Arrow batch — the r5 fold-only plan was correct
+    but compute-bound (245 s at sf10: 188k x 11.8k x 64 lambda-fold
+    flops in codegen); the GEMM kernel does the same flops in BLAS.
+
+    Bit-exactness is preserved by a two-step rescore: the f64 GEMM
+    (error ~1e-15) selects every bench vector within
+    DECON_GEMM_MARGIN = 1e-4 of the row's best cosine — a band >25x
+    wider than the worst possible f32-fold-vs-f64 divergence (see the
+    margin constant) — then the survivors (usually 1-2 per row) are
+    re-scored with the EXACT sequential float32 fold: numpy
+    cumsum(dtype=float32) reproduces dot_f32's accumulation
+    bit-for-bit (f32 elementwise products, then a strict left fold),
+    which itself matches DuckDB's list_dot_product. Argmax ties break
+    on bench_id over the FOLD cosine, so the winner row, its cosine
+    double, and the threshold flag are identical to the pure-fold
+    plan's and to the oracle's.
     """
-    from pyspark.sql import Window as W
+    import warnings
+
+    import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    n = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(
-            dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
-        ).alias("nm"),
-    )
-    bench = F.broadcast(
-        n.filter(F.col("vec_id") % 17 == 0)
+    bench_pd = (
+        emb.filter(F.col("vec_id") % 17 == 0)
         .orderBy(F.xxhash64("vec_id", F.lit(29)), "vec_id")
         .limit(DECON_BENCH_CAP)
-        .select(
-            F.col("vec_id").alias("bench_id"),
-            F.col("embedding").alias("b_emb"),
-            F.col("nm").alias("b_nm"),
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    if len(bench_pd) >= DECON_BENCH_CAP:
+        # The cap truncates the contamination REFERENCE (false
+        # negatives above it) — never silently (r5 advice).
+        warnings.warn(
+            f"decontaminate_embedding_cosine: benchmark panel hit "
+            f"DECON_BENCH_CAP={DECON_BENCH_CAP}; training vectors "
+            f"contaminated only by unsampled bench rows will be "
+            f"flagged clean",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    b_ids = bench_pd["vec_id"].to_numpy(dtype=np.int64)
+    b32 = (
+        np.stack(bench_pd["embedding"].to_numpy()).astype(np.float32)
+        if len(bench_pd)
+        else np.zeros((0, 1), dtype=np.float32)
+    )
+    # Exact fold norms: f32 elementwise squares, strict-sequential f32
+    # cumsum, then sqrt in f64 — bit-identical to
+    # F.sqrt(dot_f32(e, e).cast("double")).
+    b_nm = np.sqrt(
+        np.cumsum(b32 * b32, axis=1, dtype=np.float32)[:, -1].astype(
+            np.float64
         )
     )
-    train = n.filter(F.col("vec_id") % 17 != 0)
-    cosine = dot_f32(F.col("embedding"), F.col("b_emb")).cast("double") / (
-        F.col("nm") * F.col("b_nm")
-    )
-    scored = train.join(bench, F.col("vec_id") != F.col("bench_id")).select(
-        "vec_id", "bench_id", cosine.alias("cosine")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    bn64 = b32.astype(np.float64) / np.where(b_nm == 0.0, 1.0, b_nm)[:, None]
+    bc = spark.sparkContext.broadcast((b_ids, b32, b_nm, bn64))
+    margin = DECON_GEMM_MARGIN
+
+    def scan(batches):
+        import pandas as pd
+
+        ids, bmat32, bnm, bnorm64 = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(ids):
+                continue
+            t32 = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            t_nm = np.sqrt(
+                np.cumsum(t32 * t32, axis=1, dtype=np.float32)[:, -1].astype(
+                    np.float64
+                )
+            )
+            tn64 = (
+                t32.astype(np.float64)
+                / np.where(t_nm == 0.0, 1.0, t_nm)[:, None]
+            )
+            # 512-row chunks bound the similarity slab to
+            # 512 x DECON_BENCH_CAP doubles (~64 MB at the cap).
+            for lo in range(0, len(t32), 512):
+                s = tn64[lo : lo + 512] @ bnorm64.T
+                best = s.max(axis=1)
+                rows, cols = np.nonzero(s >= best[:, None] - margin)
+                # Exact f32-fold rescore of the candidate band only.
+                prods = t32[lo + rows] * bmat32[cols]
+                dots = np.cumsum(prods, axis=1, dtype=np.float32)[
+                    :, -1
+                ].astype(np.float64)
+                cos = dots / (t_nm[lo + rows] * bnm[cols])
+                # Per row: max fold-cosine, ties on min bench_id
+                # (lexsort keys are LAST-primary).
+                order = np.lexsort((ids[cols], -cos, rows))
+                first = np.unique(rows[order], return_index=True)[1]
+                sel = order[first]
+                win = cos[sel]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": qids[lo + rows[sel]],
+                        "bench_id": ids[cols[sel]],
+                        "cosine": win,
+                        "contaminated": win >= DECON_COS_T,
+                    }
+                )
+
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "bench_id",
-            "cosine",
-            (F.col("cosine") >= DECON_COS_T).alias("contaminated"),
+        emb.filter(F.col("vec_id") % 17 != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            scan,
+            "vec_id long, bench_id long, cosine double, contaminated boolean",
         )
     )
 
@@ -1518,7 +1596,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         shingled_docs(reps)
         .select("doc_id", F.explode("shingles").alias("shingle"))
-        .persist()
+        .transform(persist_tracked)
     )
     cnt = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1545,25 +1623,29 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate pruning beyond the bare prefix collision, both sound
     # for the multiset overlap c = sum_s cnt_a(s)*cnt_b(s) bounded by
     # min(na, nb):
-    #  - LENGTH filter: J >= 3/5 requires 3*max(na,nb) <= 5*min(na,nb).
+    #  - LENGTH filter: J >= t = NUM/DEN requires
+    #    NUM*max(na,nb) <= DEN*min(na,nb).
     #  - POSITIONAL filter (ppjoin): with tokens globally df-ordered,
     #    a pair with overlap c has its first common token at positions
     #    (i, j) satisfying c <= 1 + min(na-i, nb-j); J >= t needs
-    #    c >= t/(1+t)*(na+nb) = 3/8*(na+nb), so any row failing
-    #    8*(1 + min(na-i, nb-j)) >= 3*(na+nb) cannot be the first
-    #    common token of a qualifying pair — and keeping pairs with
-    #    ANY passing row keeps every qualifying pair (the first-match
-    #    row has the largest bound). Together: 30.2M -> 7.1M
-    #    candidates on the duplicate-heavy sf1 corpus.
+    #    c >= t/(1+t)*(na+nb) = NUM/(NUM+DEN)*(na+nb), so any row
+    #    failing (NUM+DEN)*(1 + min(na-i, nb-j)) >= NUM*(na+nb) cannot
+    #    be the first common token of a qualifying pair — and keeping
+    #    pairs with ANY passing row keeps every qualifying pair (the
+    #    first-match row has the largest bound). Together: 30.2M ->
+    #    7.1M candidates on the duplicate-heavy sf1 corpus. Both
+    #    bounds derive from the named threshold constants so changing
+    #    PREFIX_JACCARD_T_* cannot leave a stale (unsound) prune.
+    t_num, t_den = PREFIX_JACCARD_T_NUM, PREFIX_JACCARD_T_DEN
     cand = (
         pa.join(
             pb,
             (F.col("pa.shingle") == F.col("pb.shingle"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            & (3 * F.col("pa.n") <= 5 * F.col("pb.n"))
-            & (3 * F.col("pb.n") <= 5 * F.col("pa.n"))
+            & (t_num * F.col("pa.n") <= t_den * F.col("pb.n"))
+            & (t_num * F.col("pb.n") <= t_den * F.col("pa.n"))
             & (
-                8
+                (t_num + t_den)
                 * (
                     F.lit(1)
                     + F.least(
@@ -1571,7 +1653,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("pb.n") - F.col("pb.pos"),
                     )
                 )
-                >= 3 * (F.col("pa.n") + F.col("pb.n"))
+                >= t_num * (F.col("pa.n") + F.col("pb.n"))
             ),
         )
         .select(
@@ -1614,7 +1696,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= F.lit(t_num / t_den))
     )
     # Expansion 1 — cross-group: every member pair of a qualifying rep
     # pair inherits its jaccard (identical inputs -> identical double).
@@ -1635,7 +1717,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard"),
         "doc_a",
         "doc_b",
-    ).filter(F.col("jaccard") >= 0.6)
+    ).filter(F.col("jaccard") >= F.lit(t_num / t_den))
     return cross.unionByName(within)
 
 
@@ -1786,6 +1868,31 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_WORDS = 20
 
 
+def paragraph_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, pidx, para): each document's non-overlapping
+    {PARA_WORDS}-word spans. Stateless (filter/explode/select only), so
+    the same expression tree composes with the batch operator below AND
+    the streaming twin (streaming/pipeline.stream_dedup_paragraph_spans)
+    — one span definition, two execution modes."""
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("w") - 1, F.lit(0)),
+        F.lit(PARA_WORDS),
+    )
+    para = F.array_join(F.slice(F.col("w"), F.col("s") + 1, PARA_WORDS), " ")
+    return (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(starts).alias("s"), "w")
+        .select(
+            "doc_id",
+            (F.col("s") / PARA_WORDS).cast("bigint").alias("pidx"),
+            para.alias("para"),
+        )
+    )
+
+
 @register(
     "dedup_paragraph_exact",
     oracle=f"""
@@ -1847,25 +1954,7 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of the LLM-pipeline extension family (SURVEY §6).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size("w") - 1, F.lit(0)),
-        F.lit(PARA_WORDS),
-    )
-    para = F.array_join(
-        F.slice(F.col("w"), F.col("s") + 1, PARA_WORDS), " "
-    )
-    exploded = (
-        docs.filter(F.length("text") > 0)
-        .select("doc_id", w.alias("w"))
-        .select("doc_id", F.explode(starts).alias("s"), "w")
-        .select(
-            "doc_id",
-            (F.col("s") / PARA_WORDS).cast("bigint").alias("pidx"),
-            para.alias("para"),
-        )
-    )
+    exploded = paragraph_spans(docs)
     first = exploded.groupBy("para").agg(
         F.min(F.struct("doc_id", "pidx")).alias("k")
     )

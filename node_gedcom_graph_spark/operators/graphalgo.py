@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.operators import persist_tracked, register
 from node_gedcom_graph_spark.sources.tables import load_table
 
 _EDGES_SQL = """
@@ -68,7 +68,7 @@ def _copurchase_edges(
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select(*(["pa", "pb", "w"] if keep_weight else ["pa", "pb"]))
-        .persist()
+        .transform(persist_tracked)
     )
 
 
@@ -128,7 +128,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
-    ).persist()
+    ).transform(persist_tracked)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # Wedge at apex u: (u->v, u->w) with (deg,id)-rank(v) < rank(w);
     # the closing edge, if present, is oriented v->w by construction.
@@ -223,7 +223,7 @@ def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     degs = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    sym2 = sym.join(degs, "src").persist()
+    sym2 = sym.join(degs, "src").transform(persist_tracked)
     nn = F.broadcast(degs.agg(F.count(F.lit(1)).alias("n")))
     ranks = degs.crossJoin(nn).select(
         F.col("src").alias("p"), (F.lit(1.0) / F.col("n")).alias("r")
@@ -311,7 +311,7 @@ def copurchase_label_propagation_3iter(
                 F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
             )
         )
-    ).persist()
+    ).transform(persist_tracked)
     labels = sym.select(F.col("src").alias("p")).distinct().select(
         "p", F.col("p").alias("label")
     )
@@ -387,7 +387,7 @@ def copurchase_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
             )
         )
-    ).persist()
+    ).transform(persist_tracked)
     seeds = sym.filter(F.col("src") % 500 == 0).select("src").distinct()
     h1 = (
         seeds.join(sym, "src")
@@ -929,7 +929,7 @@ def copurchase_clustering_global(
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
             "dst_deg"
         ),
-    ).persist()
+    ).transform(persist_tracked)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
@@ -1355,7 +1355,7 @@ def bipartite_hits_parts2(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
     h1 = (
@@ -1464,7 +1464,7 @@ def copurchase_hash_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.substring(F.min(key), 34, 32).cast("bigint").alias("nxt")
         )
-        .persist()
+        .transform(persist_tracked)
     )
     cur = sym.select("s").distinct().select(F.col("s").alias("wid"))
     out = cur.select(
@@ -1562,10 +1562,10 @@ def copurchase_ppr_seeds3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     degs = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    sym2 = sym.join(degs, "src").persist()
+    sym2 = sym.join(degs, "src").transform(persist_tracked)
     seeds = degs.select("src").orderBy("src").limit(PPR_N_SEEDS).select(
         F.col("src").alias("sp")
-    ).persist()
+    ).transform(persist_tracked)
     ranks = seeds.select(
         F.col("sp").alias("p"), F.lit(1.0 / PPR_N_SEEDS).alias("r")
     )

@@ -1175,11 +1175,22 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_match_parts_blocked",
     oracle="""
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    -- dist is MATERIALIZED so levenshtein evaluates ONCE per candidate
+    -- (the naive SELECT+WHERE spelling ran it twice), and the length
+    -- band |len(a)-len(b)| <= 5 — necessary for edit distance <= 5 —
+    -- prunes most within-block pairs before the O(len^2) DP runs:
+    -- the same two optimizations the engine side applies, so the
+    -- oracle stops dominating the gate wall (r5: 22.4 s -> ~2 s
+    -- oracle-side). Result set identical: the band never drops a
+    -- qualifying pair and the final filter is unchanged.
+    WITH dist AS MATERIALIZED (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 5
+    )
+    SELECT key_a, key_b, edit_dist FROM dist WHERE edit_dist <= 5
     """,
 )
 def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,44 +1207,78 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum exceeds it, which is the common case for non-matching
     pairs (measured ~5x per-pair at sf1 block sizes).
 
-    Honest scale bound, surfaced by the sf1 sweep: with a FIXED number
-    of brands the block size grows O(n) and the within-block pair count
-    O(n^2) — brand blocking alone caps out. Character-level pigeonhole
-    blocking (PassJoin segments / q-chunks) is unsound to prune further
-    HERE because part names draw from a ~90-word vocabulary, so exact
-    chunk keys collide across most of a block (candidates ~ all pairs).
-    At real scale the contract to reach for is the LSH family
-    (dedup_minhash_lsh) or a richer blocking key; this operator's job
-    is the exact within-block semantics, now at the cheapest per-pair
-    cost the engine offers.
+    EXACT-DUPLICATE COLLAPSE (the r6 sf10 fix, same pipeline order as
+    the dedup family): identical names have identical edit distance
+    against everything, so the quadratic comparison runs over DISTINCT
+    (brand, name) groups — levenshtein cost is O(distinct^2 per
+    brand), INDEPENDENT of corpus size (this fixture draws names from
+    a 64-value vocabulary, so 100-way duplication at sf10 would
+    otherwise be 80 B within-block DP calls; collapsed it is ~50 k) —
+    then member pairs are reconstructed mechanically: cross-group
+    pairs inherit the rep distance verbatim, within-group pairs are
+    distance 0. Output stays the honest member-level pair set (the
+    flood is output-bound, not compute-bound).
 
-    ``spread=True`` on the probe side: a single-file part table gives
-    the block join ONE input split, and with only 25 block keys the
-    whole O(n^2) comparison otherwise lands on a couple of cores."""
+    Honest scale bound, surfaced by the sf1 sweep: with a FIXED number
+    of brands the member-pair OUTPUT still grows O(n^2); collapse
+    makes the compute distinct-bounded but a real pipeline thresholds
+    or aggregates downstream. Character-level pigeonhole blocking
+    (PassJoin segments / q-chunks) is unsound to prune further HERE
+    because names collide across most of a block. At real scale the
+    contract to reach for is the LSH family (dedup_minhash_lsh) or a
+    richer blocking key; this operator's job is the exact within-block
+    semantics, now at the cheapest per-pair cost the engine offers.
+
+    ``spread=True``: a single-file part table gives the group-by ONE
+    input split; the collapse agg should use every core."""
     part = load_table(spark, sf_dir, "part", spread=True)
-    a = part.select(
-        F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    grp = part.groupBy("p_brand", "p_name").agg(
+        F.collect_list("p_partkey").alias("ids"),
+        F.count(F.lit(1)).alias("gsz"),
     )
-    b = part.select(
-        F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    ga = grp.select(
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+        F.col("ids").alias("ids_a"),
     )
-    return (
-        a.join(b, "p_brand")
-        .filter(F.col("key_a") < F.col("key_b"))
-        # length-band prefilter: |len(a)-len(b)| <= 5 is a NECESSARY
-        # condition for edit distance <= 5 (each unit of length gap
-        # costs one insert/delete), and length() is a cheap codegen'd
-        # expression — prunes most within-block pairs before the
-        # banded DP ever runs. Same result set, strictly less work.
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(5)
-        )
+    gb = grp.select(
+        "p_brand",
+        F.col("p_name").alias("name_b"),
+        F.col("ids").alias("ids_b"),
+    )
+    # Distinct-name rep pairs within the brand block. name_a < name_b
+    # canonicalizes the unordered pair (names are distinct per group);
+    # the length band |len(a)-len(b)| <= 5 is a NECESSARY condition
+    # for edit distance <= 5, and the THREE-ARG levenshtein's banded
+    # DP early-exits to -1 past the threshold.
+    cross = (
+        ga.join(gb, "p_brand")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(5))
         .withColumn(
             "edit_dist", F.expr("levenshtein(name_a, name_b, 5)").cast("int")
         )
         .filter(F.col("edit_dist") >= 0)
-        .select("key_a", "key_b", "edit_dist")
+        .select(
+            F.explode("ids_a").alias("_a"), F.col("ids_b"), F.col("edit_dist")
+        )
+        .select(
+            F.explode("ids_b").alias("_b"), F.col("_a"), F.col("edit_dist")
+        )
+        .select(
+            F.least("_a", "_b").alias("key_a"),
+            F.greatest("_a", "_b").alias("key_b"),
+            "edit_dist",
+        )
     )
+    within = (
+        grp.filter(F.col("gsz") >= 2)
+        .select(F.explode("ids").alias("key_a"), F.col("ids"))
+        .select("key_a", F.explode("ids").alias("key_b"))
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", F.lit(0).cast("int").alias("edit_dist"))
+    )
+    return cross.unionByName(within)
 
 
 @register(

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from node_gedcom_graph_spark.operators import register
+from node_gedcom_graph_spark.operators import persist_tracked, register
 from node_gedcom_graph_spark.sources.tables import load_table
 
 
@@ -1238,7 +1238,7 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op = li.select("l_orderkey", "l_partkey").distinct().transform(persist_tracked)
     n_orders = F.broadcast(
         op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
     )
@@ -1940,7 +1940,7 @@ def customer_rfm_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mbin",
             F.floor(F.col("monetary") / MBIN_WIDTH).cast("bigint"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     dv = rfm.select(
         F.explode(

@@ -1215,9 +1215,18 @@ def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole |queries| x |corpus| fold ran on one core (sf1 sweep:
     # 731 s; spread, it's the same ~30x-parallel shape as knn).
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    exact = topk_cosine(
-        emb, emb.filter(F.col("vec_id") % 4 == 0), k=RECALL_K
-    ).select("query_id", "neighbor_id")
+    # The SAME capped panel the serving sides use (_srp_scored /
+    # _ivf_fixed_scored both apply _cap_queries with the default salt,
+    # and the capped SET depends only on (vec_id, salt, cap)): above
+    # KNN_QUERY_CAP the exact side would otherwise keep the full %4
+    # panel — an unbounded O(queries x corpus) brute force whose
+    # out-of-sample queries score recall=0 and drag the corpus mean
+    # to zero. Below the cap (every gated SF) the limit doesn't bind
+    # and the panel is exactly the oracle's %4 set.
+    panel = _cap_queries(emb.filter(F.col("vec_id") % 4 == 0))
+    exact = topk_cosine(emb, panel, k=RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
 
     def topk(scored: DataFrame, method: str) -> DataFrame:

@@ -1609,3 +1609,104 @@ def stream_view_purchase_left_outer(
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         "amount",
     )
+
+# ---------------------------------------------------------------------------
+# Streaming paragraph-span dedup (13th streaming gate): the span-level
+# first-occurrence table of dedup_paragraph_exact, computed by a stream.
+# ---------------------------------------------------------------------------
+
+
+def _paragraph_spans_oracle_ctes() -> str:
+    """DuckDB span construction shared verbatim with the batch
+    dedup_paragraph_exact oracle (operators/dedup.py)."""
+    from node_gedcom_graph_spark.operators.dedup import PARA_WORDS
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE length(text) > 0
+    ), para AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(u.s / {PARA_WORDS} AS BIGINT) AS pidx,
+             array_to_string(
+               list_slice(w, u.s + 1, u.s + {PARA_WORDS}), ' ') AS para
+      FROM toks
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, GREATEST(len(w), 1), {PARA_WORDS})) AS s
+      ) u
+    )"""
+
+
+def _stream_paragraph_oracle() -> str:
+    return (
+        _paragraph_spans_oracle_ctes()
+        + """
+    , firsts AS (
+      SELECT para, doc_id AS first_doc, pidx AS first_pidx
+      FROM (
+        SELECT para, doc_id, pidx,
+               ROW_NUMBER() OVER (
+                 PARTITION BY para ORDER BY doc_id, pidx) AS rn
+        FROM para
+      ) WHERE rn = 1
+    ), counts AS (
+      SELECT para, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM para GROUP BY para
+    )
+    SELECT md5(f.para) AS span_md5, f.first_doc, f.first_pidx,
+           c.n_occurrences
+    FROM firsts f JOIN counts c USING (para)
+    """
+    )
+
+
+@_register("stream_dedup_paragraph_spans", oracle=_stream_paragraph_oracle())
+def stream_dedup_paragraph_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPAN-granular streaming dedup — the streaming twin of
+    dedup_paragraph_exact's first stage, closing the r5 gap (the batch
+    span-level dedup had no streaming member): documents arrive as a
+    stream, each is split into the SAME non-overlapping PARA_WORDS-word
+    spans (operators.dedup.paragraph_spans — one span definition, two
+    execution modes), and a stateful grouped aggregation maintains the
+    span first-occurrence table incrementally: per distinct span, its
+    occurrence count and the minimum (doc_id, pidx) — exactly the keep
+    decision the batch reconstruction applies.
+
+    MIN/COUNT are order-independent, so micro-batch arrival order
+    cannot change the final state, which makes the drained table
+    hash-gateable against the batch oracle (complete-mode memory sink,
+    availableNow drain — the module's end-of-stream-barrier pattern).
+    State is keyed by the 16-byte md5 of the span, not the text, one
+    row per distinct span — the same layout a production paragraph-
+    dedup keeps; bound it with a watermarked event-time column when
+    the dedup window can be finite (the stream_dedup_exact note).
+    """
+    from node_gedcom_graph_spark.operators.dedup import paragraph_spans
+
+    docs = read_documents_stream(spark, sf_dir)
+    agg = (
+        paragraph_spans(docs)
+        .groupBy(F.md5("para").alias("span_md5"))
+        .agg(
+            F.min(F.struct("doc_id", "pidx")).alias("k"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "span_md5",
+            F.col("k.doc_id").alias("first_doc"),
+            F.col("k.pidx").alias("first_pidx"),
+            "n_occurrences",
+        )
+    )
+    sink = "stream_para_dedup_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,160 @@
+"""Engine-only sf10 (100x) sweep: run registered queries against the
+synthesized sf10 tables (tools/make_sf_scale.py, 100 key-offset copies
+of sf0.1 — 500k documents in 100-way dup groups, 200k embeddings, 60M
+lineitem, 100M events) and record wall time + row count per query.
+
+Round-5's 28-query tier caught five real scale hazards (a 38 GB
+shuffle spill that filled the disk, two never-binding probe caps);
+this widens the tier to the rest of the registry (round-6 verdict
+item 1). Two guards the sf1 sweep didn't need, both lessons from
+that round:
+
+- WATCHDOG: a per-query wall ceiling (default 900 s) enforced by a
+  timer thread calling ``cancelJobGroup`` — at 100x a quadratic plan
+  is hours, not minutes, and the sweep must survive to measure the
+  rest.
+- DISK GUARD: free-space check before each query; below the floor the
+  sweep STOPS (recording why) instead of filling the disk like the r5
+  dedup_cluster_canonical spill did.
+
+Usage:
+  python tools/sweep_sf10.py [sf10_dir] [out.json] [name ...]
+Default names: every registered query not already covered by
+SWEEP_SF10_r5.json, i.e. the never-swept-at-100x tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+QUERY_TIMEOUT_S = int(os.environ.get("SWEEP_SF10_TIMEOUT_S", "900"))
+DISK_FLOOR_GB = 12
+
+
+def _fresh_session(master: str):
+    from node_gedcom_graph_spark.session import get_spark
+
+    return get_spark(
+        app_name="sweep_sf10",
+        master=master,
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+
+
+def main() -> None:
+    args = list(sys.argv[1:])
+    sf_dir = args[0] if args else os.path.join(_REPO, ".benchdata", "sf10")
+    out_path = args[1] if len(args) > 1 else None
+    names = args[2:]
+
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    if not names:
+        prior: set[str] = set()
+        r5 = os.path.join(_REPO, "SWEEP_SF10_r5.json")
+        if os.path.exists(r5):
+            d = json.load(open(r5))
+            prior = set(d.get("pre_fix", {})) | set(d.get("post_fix", {}))
+        names = [n for n in qs if n not in prior]
+
+    # Explicit master: get_spark's no-master fallback boots a 1g-heap
+    # JVM (round-5 lesson).
+    master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    spark = _fresh_session(master)
+
+    out = {
+        "sf_dir": sf_dir,
+        "timeout_s": QUERY_TIMEOUT_S,
+        "queries": {},
+        "over_60s": [],
+        "timeouts": [],
+        "errors": [],
+    }
+    for name in names:
+        free_gb = shutil.disk_usage("/").free / 1e9
+        if free_gb < DISK_FLOOR_GB:
+            out["stopped"] = f"disk floor: {free_gb:.1f} GB free < {DISK_FLOOR_GB} GB"
+            print(out["stopped"], flush=True)
+            break
+        group = f"sweep:{name}"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
+        timed_out = threading.Event()
+
+        def _kill(sp=spark, g=group, ev=timed_out):
+            ev.set()
+            try:
+                sp.sparkContext.cancelJobGroup(g)
+            except Exception:
+                pass
+
+        watchdog = threading.Timer(QUERY_TIMEOUT_S, _kill)
+        watchdog.start()
+        t0 = time.monotonic()
+        try:
+            rows = qs[name](spark, sf_dir).count()
+            wall = round(time.monotonic() - t0, 1)
+            out["queries"][name] = {"rows": rows, "wall_s": wall}
+            if wall > 60:
+                out["over_60s"].append(name)
+            print(f"OK    {name}: {rows} rows [{wall}s]", flush=True)
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            wall = round(time.monotonic() - t0, 1)
+            msg = str(exc).split("\n")[0][:200]
+            if timed_out.is_set():
+                out["queries"][name] = {"timeout": True, "wall_s": wall}
+                out["timeouts"].append(name)
+                print(f"TIMEOUT {name} [{wall}s]", flush=True)
+            else:
+                out["queries"][name] = {"error": msg, "wall_s": wall}
+                out["errors"].append(name)
+                print(f"ERR   {name}: {msg}", flush=True)
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print("      session dead — rebuilding JVM", flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark import SparkContext
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                with SparkContext._lock:
+                    SparkContext._active_spark_context = None
+                    SparkContext._gateway = None
+                    SparkContext._jvm = None
+                spark = _fresh_session(master)
+        finally:
+            watchdog.cancel()
+            try:
+                spark.sparkContext.setJobGroup("", "")
+            except Exception:
+                pass
+        if out_path:  # checkpoint after every query — a crash keeps data
+            with open(out_path, "w") as fh:
+                json.dump(out, fh, indent=1)
+
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    print(
+        f"{len(out['queries']) - len(out['errors']) - len(out['timeouts'])} ok, "
+        f"{len(out['errors'])} err, {len(out['timeouts'])} timeout, "
+        f"over-60s: {out['over_60s']}"
+    )
+
+
+if __name__ == "__main__":
+    main()

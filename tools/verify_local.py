@@ -84,7 +84,13 @@ def main() -> int:
     import __spark_entry__ as ent
     from node_gedcom_graph_spark.session import get_spark
 
-    spark = get_spark(app_name="verify_local", master="local[8]", shuffle_partitions=8)
+    # local[16]/16: the two heaviest gate entries (fuzzy's 2M-row
+    # levenshtein join, the 1M-event Python UDTF) are compute-bound and
+    # scale near-linearly with cores; 8 cores left half the host idle
+    # while those walls dominated GATE_SF01 (r5: 22.4 s / 20.5 s).
+    spark = get_spark(
+        app_name="verify_local", master="local[16]", shuffle_partitions=16
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
