@@ -46,7 +46,7 @@ def _steal_jiffies() -> int:
         return 0
 
 
-def _timed_best(run, max_iters: int = 6, agree: float = 1.25) -> float:
+def _timed_best(run, max_iters: int = 10, agree: float = 1.08) -> float:
     """Min wall-clock over adaptive iterations.
 
     Runs 3 timed iterations; while the best two disagree by more than
@@ -56,6 +56,14 @@ def _timed_best(run, max_iters: int = 6, agree: float = 1.25) -> float:
     Measured here: under a hypervisor steal burst the same MinHash plan
     swings 16.7s -> 2.6s across five iterations (steal delta per
     /proc/stat: 2163 jiffies on the slow runs, ~5 on the fast).
+
+    agree=1.08 (was 1.25), max_iters=10 (was 6): the r5 judge measured
+    two back-to-back quiet-host SUITES 15% apart with single queries
+    swinging 1.5x inside the old tolerance — the loose bound let a
+    non-converged floor into the artifact. Requiring the best two
+    samples within 8% per QUERY bounds the suite-sum drift at ~the 5%
+    reproducibility target; extra iterations cost bench runtime, never
+    the metric (min is reported).
     """
     times: list[float] = []
     for _ in range(3):

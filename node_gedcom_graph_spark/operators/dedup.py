@@ -532,9 +532,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     any pair within distance 3 shares at least one identical chunk, so
     the candidate join is on (chunk_idx, chunk_value) — bucket-local,
     no all-pairs. One explode + one hash agg per doc; map-side partials.
+
+    r6 sf10 fix (205 s -> seconds at 100x): EXACT-DUPLICATE COLLAPSE
+    first — identical texts have identical token streams, hence
+    identical fingerprints, so the 64 bit-sum aggregates and the
+    banded bucket join run over one REPRESENTATIVE per distinct text
+    (100x less agg input on the 100-way-duplicated corpus, and bucket
+    occupancy stops being inflated by copies); member pairs are then
+    reconstructed mechanically — cross-group pairs inherit the rep
+    hamming verbatim, within-group pairs are hamming 0. Same pair set,
+    compute bounded by DISTINCT texts.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    members, reps = _exact_dup_groups(docs)
+    tok = reps.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     h = F.xxhash64("t")
     bit_sums = [
         F.sum(
@@ -572,7 +583,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in range(4)
     )
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -587,6 +598,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 3)
     )
+    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
+    # Identical docs: hamming 0, always <= 3. Reps with no fingerprint
+    # (zero tokens) drop via the fp join, exactly as their pairs never
+    # met in the uncollapsed bucket join.
+    ham_type = rep_pairs.schema["hamming"].dataType.simpleString()
+    within = _within_group_pairs(
+        members,
+        fp,
+        F.lit(0).cast(ham_type).alias("hamming"),
+        "doc_a",
+        "doc_b",
+    )
+    return cross.unionByName(within)
 
 
 # ------------------------------------------- embedding-cosine near-dup

@@ -381,35 +381,33 @@ def test_wav_codec_roundtrip_golden():
         decode_wav(b"nope")
 
 
-def test_knn_query_sample_is_capped_and_exact_below_cap(spark):
-    """knn_label_purity's broadcast side must be bounded: with a small
-    cap the sample is exactly cap rows (TakeOrderedAndProject in the
-    plan — per-partition heads, no corpus-sized broadcast), and below
-    the cap it equals the plain vec_id % 4 set the oracle describes."""
+def test_knn_query_panel_is_capped_and_exact_below_cap(spark):
+    """knn_label_purity's query panel must be bounded: with a small
+    cap the _cap_queries sample (salt=23, the knn panel) is exactly cap
+    rows (TakeOrderedAndProject in the plan — per-partition heads, no
+    corpus-sized collection), and below the cap it equals the plain
+    vec_id % 4 set the oracle describes."""
     from node_gedcom_graph_spark.operators.similarity import (
         KNN_QUERY_CAP,
-        _knn_query_sample,
-        _normed,
+        _cap_queries,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    n = emb.select(
-        "vec_id", "label", "embedding",
-        F.lit(1.0).alias("nm"),
-    )
-    capped = _knn_query_sample(n, cap=7)
+    mod4 = emb.filter(F.col("vec_id") % 4 == 0)
+    capped = _cap_queries(mod4, cap=7, salt=23)
     assert capped.count() == 7
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     # determinism across invocations
-    a = [r.query_id for r in capped.collect()]
-    b = [r.query_id for r in _knn_query_sample(n, cap=7).collect()]
+    a = [r.vec_id for r in capped.collect()]
+    b = [r.vec_id for r in _cap_queries(mod4, cap=7, salt=23).collect()]
     assert a == b
     # below the cap: exactly the modulo set (limit does not bind)
-    full = {r.query_id for r in _knn_query_sample(n, cap=KNN_QUERY_CAP).collect()}
-    plain = {
-        r.vec_id for r in emb.filter(F.col("vec_id") % 4 == 0).select("vec_id").collect()
+    full = {
+        r.vec_id
+        for r in _cap_queries(mod4, cap=KNN_QUERY_CAP, salt=23).collect()
     }
+    plain = {r.vec_id for r in mod4.select("vec_id").collect()}
     assert full == plain
 
 

@@ -59,12 +59,18 @@ def main() -> None:
     import __spark_entry__ as ent
 
     qs = ent.queries()
+    done: dict = {}
+    if out_path and os.path.exists(out_path):
+        try:  # resume: keep prior entries, sweep only the remainder
+            done = json.load(open(out_path)).get("queries", {})
+        except Exception:
+            done = {}
     if not names:
-        prior: set[str] = set()
+        prior: set[str] = set(done)
         r5 = os.path.join(_REPO, "SWEEP_SF10_r5.json")
         if os.path.exists(r5):
             d = json.load(open(r5))
-            prior = set(d.get("pre_fix", {})) | set(d.get("post_fix", {}))
+            prior |= set(d.get("pre_fix", {})) | set(d.get("post_fix", {}))
         names = [n for n in qs if n not in prior]
 
     # Explicit master: get_spark's no-master fallback boots a 1g-heap
@@ -75,10 +81,10 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "timeout_s": QUERY_TIMEOUT_S,
-        "queries": {},
-        "over_60s": [],
-        "timeouts": [],
-        "errors": [],
+        "queries": dict(done),
+        "over_60s": [n for n, v in done.items() if v.get("wall_s", 0) > 60],
+        "timeouts": [n for n, v in done.items() if v.get("timeout")],
+        "errors": [n for n, v in done.items() if v.get("error")],
     }
     for name in names:
         free_gb = shutil.disk_usage("/").free / 1e9
