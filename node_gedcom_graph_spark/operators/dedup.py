@@ -649,14 +649,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correctness baseline for semantic dedup; the LSH-bucketed variant
     (similarity.ann_lsh_topk's signature scheme) is the scale path. The
     self-join is a single shuffle; norms are precomputed once per side.
+
+    r6 sf10 fix (900 s watchdog timeout -> seconds at 100x):
+    EXACT-DUPLICATE COLLAPSE on the embedding VALUE first — identical
+    vectors have identical cosine against everything, so the GEMM
+    prefilter and the fold verify run over one representative per
+    distinct vector (the 100-way-replicated corpus otherwise blew past
+    GEMM_BROADCAST_CAP_ROWS into the SRP fallback, whose buckets were
+    then quadratic in the 100-member identity groups); member pairs
+    reconstruct mechanically — cross-group pairs inherit the rep
+    cosine verbatim, within-group pairs score dot_f32(e,e)/nm^2, the
+    exact value the uncollapsed join computed for identical arrays.
+    Collapse also keeps the corpus under the GEMM cap ~duplication x
+    longer, so exact recall survives to much larger raw row counts.
     """
     # Unspread: at 20k x 64 the GEMM batches and verify joins are faster
     # without an extra repartition exchange; on a real partitioned corpus
     # the scan has splits already (spread=True documented in load_table
     # is for the regex-heavy documents pipelines).
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = cosine_candidate_pairs(emb, threshold=0.45, margin=1e-3)
-    n = emb.select(
+    grp = persist_tracked(
+        emb.groupBy("embedding").agg(
+            F.min("vec_id").alias("vec_id"),
+            F.collect_list("vec_id").alias("ids"),
+            F.count(F.lit(1)).alias("gsz"),
+        )
+    )
+    reps = grp.select("vec_id", "embedding")
+    cand = cosine_candidate_pairs(reps, threshold=0.45, margin=1e-3)
+    n = reps.select(
         "vec_id",
         "embedding",
         F.sqrt(dot_f32(F.col("embedding"), F.col("embedding")).cast("double")).alias(
@@ -676,12 +697,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot_f32(F.col("emb_a"), F.col("emb_b")).cast("double") / (
         F.col("nm_a") * F.col("nm_b")
     )
-    return (
+    rep_pairs = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
     )
+    members = grp.select(F.col("vec_id").alias("rep"), "ids", "gsz")
+    cross = _expand_rep_pairs(rep_pairs, members, "id_a", "id_b")
+    self_cos = n.select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
+            / (F.col("nm") * F.col("nm"))
+        ).alias("selfcos"),
+    )
+    within = _within_group_pairs(
+        members, self_cos, F.col("selfcos").alias("cosine"), "id_a", "id_b"
+    ).filter(F.col("cosine") >= 0.45)
+    return cross.unionByName(within)
 
 
 # Cap for the exact GEMM prefilter. Bounds BOTH resources the path
@@ -1485,10 +1519,24 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic on hot shingles, which is exactly why it's the EVAL
     (run on samples at scale) and LSH is the production path. Jaccard
     thresholds are int/int doubles, bit-equal across engines.
+
+    r6 sf10 fix (the query FILLED THE DISK at 100x — the r5
+    dedup_cluster_canonical spill class, reproduced): because the
+    output is three COUNTS, exact-duplicate collapse turns the whole
+    evaluation arithmetic. Identical texts share shingle sets and
+    MinHash signatures, so a member pair's truth/candidate membership
+    is decided entirely by its rep pair: cross-group member counts are
+    sum(gsz_a * gsz_b) over qualifying rep pairs, and within-group
+    pairs — identical docs, J = 1.0 >= {RECALL_EVAL_J}, same band keys
+    — contribute C(gsz, 2) per shingled group to truth, candidates,
+    AND true positives alike. Both the shingle self-join and the LSH
+    bucket join now run on DISTINCT texts; no member pair is ever
+    materialized.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    cand = minhash_md5_candidates(docs)
-    sh = shingled_docs(docs).select(
+    members, reps = _exact_dup_groups(docs)
+    cand = minhash_md5_candidates(reps)
+    sh = shingled_docs(reps).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1516,9 +1564,46 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
-    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    n_tp = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_tp"))
+    # Member-level counts, arithmetically: rep-pair weights ga*gb for
+    # the cross-group tier, plus the shared within-group tier
+    # sum(C(gsz,2)) over groups whose rep HAS shingles (shingle-less
+    # docs never enter inter or the band join, collapsed or not).
+    ga = members.select(F.col("rep").alias("doc_a"), F.col("gsz").alias("ga"))
+    gb = members.select(F.col("rep").alias("doc_b"), F.col("gsz").alias("gb"))
+
+    def member_count(rep_pairs: DataFrame, alias: str) -> DataFrame:
+        return (
+            rep_pairs.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .agg(
+                F.coalesce(F.sum(F.col("ga") * F.col("gb")), F.lit(0))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    n_within = (
+        members.join(
+            sizes.select(F.col("doc_id").alias("rep")), "rep", "left_semi"
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("gsz") * (F.col("gsz") - 1) / 2), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("nw")
+        )
+    )
+    w = F.broadcast(n_within)
+    n_truth = member_count(truth, "nx").crossJoin(w).select(
+        (F.col("nx") + F.col("nw")).alias("n_truth")
+    )
+    n_cand = member_count(cand, "nx").crossJoin(w).select(
+        (F.col("nx") + F.col("nw")).alias("n_candidates")
+    )
+    n_tp = member_count(tp, "nx").crossJoin(w).select(
+        (F.col("nx") + F.col("nw")).alias("n_tp")
+    )
     return (
         n_truth.crossJoin(n_cand)
         .crossJoin(n_tp)

@@ -480,14 +480,25 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     an early LIMIT-per-key rewrite if a production corpus made the
     full distinct too hot. Majority-dup doc membership is integer
     cross-multiplied (2*dup > total), hash-stable.
+
+    r6 sf10 fix (124 s at 100x): EXACT-DUPLICATE COLLAPSE — identical
+    texts have identical gram streams, so positions explode and the
+    gram table aggregates per DISTINCT text; a gram's member-level
+    distinct-doc count is the SUM OF GROUP SIZES over the distinct
+    texts containing it (each member doc is a distinct doc_id), so
+    ``n_docs >= 2`` is decided rep-level and every member inherits its
+    rep's (n_pos, dup_pos) verbatim — sources re-attach per member
+    from the corpus scan (identical texts may span sources).
     """
+    from node_gedcom_graph_spark.operators.dedup import _exact_dup_groups
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    members, reps = _exact_dup_groups(docs)
+    toks = reps.select("doc_id", tokens(F.col("text")).alias("t"))
     grams = (
         toks.filter(F.size("t") >= DUP_NGRAM_N)
         .select(
             "doc_id",
-            "source",
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(t) - {DUP_NGRAM_N - 1}),"
@@ -496,18 +507,31 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    gram_docs = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    gram_docs = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .join(
+            members.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id"
+        )
+        .groupBy("gram")
+        .agg(F.sum("gsz").alias("n_docs"))
     )
-    per_doc = (
+    per_rep = (
         grams.join(gram_docs, "gram")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pos"),
             F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
             .cast("bigint")
             .alias("dup_pos"),
         )
+        .withColumnRenamed("doc_id", "rep")
+    )
+    per_doc = (
+        docs.select("doc_id", "source", F.md5("text").alias("fp"))
+        .join(members.select("fp", "rep"), "fp")
+        .join(per_rep, "rep")
+        .select("doc_id", "source", "n_pos", "dup_pos")
     )
     return (
         per_doc.groupBy("source")

@@ -1229,29 +1229,28 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     richer blocking key; this operator's job is the exact within-block
     semantics, now at the cheapest per-pair cost the engine offers.
 
-    ``spread=True``: a single-file part table gives the group-by ONE
-    input split; the collapse agg should use every core."""
+    ``spread=True``: a single-file part table gives the scans ONE
+    input split; the distinct and the member joins should use every
+    core.
+
+    Expansion is JOIN FAN-OUT, not array explode: carrying a
+    collect_list of group members through an explode copies the whole
+    id array into every exploded row (at sf10 that staging alone is
+    ~80 GB and timed the first collapsed version out); joining the
+    member table back on (brand, name) generates the same member
+    pairs streamwise inside the join's whole-stage codegen, no array
+    ever materialized per row. The 100x wall is then pure output
+    generation — the honest member-level pair flood the oracle pins."""
     part = load_table(spark, sf_dir, "part", spread=True)
-    grp = part.groupBy("p_brand", "p_name").agg(
-        F.collect_list("p_partkey").alias("ids"),
-        F.count(F.lit(1)).alias("gsz"),
-    )
-    ga = grp.select(
-        "p_brand",
-        F.col("p_name").alias("name_a"),
-        F.col("ids").alias("ids_a"),
-    )
-    gb = grp.select(
-        "p_brand",
-        F.col("p_name").alias("name_b"),
-        F.col("ids").alias("ids_b"),
-    )
+    names = part.select("p_brand", "p_name").distinct()
+    ga = names.select("p_brand", F.col("p_name").alias("name_a"))
+    gb = names.select("p_brand", F.col("p_name").alias("name_b"))
     # Distinct-name rep pairs within the brand block. name_a < name_b
     # canonicalizes the unordered pair (names are distinct per group);
     # the length band |len(a)-len(b)| <= 5 is a NECESSARY condition
     # for edit distance <= 5, and the THREE-ARG levenshtein's banded
     # DP early-exits to -1 past the threshold.
-    cross = (
+    rep_pairs = (
         ga.join(gb, "p_brand")
         .filter(F.col("name_a") < F.col("name_b"))
         .filter(F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(5))
@@ -1259,12 +1258,27 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist", F.expr("levenshtein(name_a, name_b, 5)").cast("int")
         )
         .filter(F.col("edit_dist") >= 0)
-        .select(
-            F.explode("ids_a").alias("_a"), F.col("ids_b"), F.col("edit_dist")
-        )
-        .select(
-            F.explode("ids_b").alias("_b"), F.col("_a"), F.col("edit_dist")
-        )
+    )
+    ma = part.select(
+        "p_brand", F.col("p_name").alias("name_a"), F.col("p_partkey").alias("_a")
+    )
+    mb = part.select(
+        "p_brand", F.col("p_name").alias("name_b"), F.col("p_partkey").alias("_b")
+    )
+    # BROADCAST the member sides and ROUND-ROBIN the tiny rep-pair
+    # probe first: a shuffled fan-out join partitions output by the
+    # join key, and output per (brand, name) key varies with the
+    # partner count — the sf10 post-fix run stalled 900 s on ONE
+    # skewed partition while 32 finished in minutes. Broadcast makes
+    # the fan-out map-side, so output is balanced by probe rows
+    # (~uniform per rep pair), at the fan-out join's measured ~65M
+    # rows/s/core ceiling. The member table broadcasts while it fits
+    # (~80 MB at sf10); beyond that, salt the shuffled join instead.
+    ncores = spark.sparkContext.defaultParallelism
+    cross = (
+        rep_pairs.repartition(ncores)
+        .join(F.broadcast(ma), ["p_brand", "name_a"])
+        .join(F.broadcast(mb), ["p_brand", "name_b"])
         .select(
             F.least("_a", "_b").alias("key_a"),
             F.greatest("_a", "_b").alias("key_b"),
@@ -1272,11 +1286,17 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     within = (
-        grp.filter(F.col("gsz") >= 2)
-        .select(F.explode("ids").alias("key_a"), F.col("ids"))
-        .select("key_a", F.explode("ids").alias("key_b"))
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", F.lit(0).cast("int").alias("edit_dist"))
+        ma.join(
+            F.broadcast(mb),
+            (ma["p_brand"] == mb["p_brand"])
+            & (ma["name_a"] == mb["name_b"])
+            & (ma["_a"] < mb["_b"]),
+        )
+        .select(
+            F.col("_a").alias("key_a"),
+            F.col("_b").alias("key_b"),
+            F.lit(0).cast("int").alias("edit_dist"),
+        )
     )
     return cross.unionByName(within)
 
