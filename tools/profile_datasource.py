@@ -80,10 +80,35 @@ def main() -> None:
     parts_dir = os.path.join(TMP, "parts")
     result: dict = {"n_indi": n_indi, "split_size": DEFAULT_SPLIT_SIZE}
     try:
-        # -- 1. distributed writer path ---------------------------------
+        # -- 0. write-path BREAKDOWN (r5 verdict item 6: is the writer
+        # wall record-atomicity overhead or a missing spread?). Three
+        # nested phases, each a superset of the previous:
+        #   synth  = generate the lines IR, noop sink (no shuffle)
+        #   layout = + the record-atomic repartition(file, record_seq)
+        #            and within-partition sort, still noop sink
+        #   write  = + the Python DataSource writer (text serialization)
+        # layout-synth = shuffle+sort cost; write-layout = writer cost.
         lines = synth_gedcom_lines(spark, n_indi).withColumn(
             "file", F.lit("synth.ged")
         )
+        _, p_synth, st_synth = _timed(
+            lambda: lines.write.format("noop").mode("overwrite").save()
+        )
+        _, p_layout, st_layout = _timed(
+            lambda: lines.repartition("file", "record_seq")
+            .sortWithinPartitions("file", "record_seq", "line_no")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        result["write_breakdown"] = {
+            "synth_only_s": p_synth,
+            "synth_steal_s": st_synth,
+            "plus_layout_s": p_layout,
+            "layout_steal_s": st_layout,
+        }
+
+        # -- 1. distributed writer path ---------------------------------
         _, w_wall, w_steal = _timed(lambda: write_gedcom(lines, parts_dir))
         with open(os.path.join(parts_dir, "_manifest.json")) as fh:
             manifest = json.load(fh)
