@@ -1285,12 +1285,22 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+    wa = part.select(
+        F.col("p_brand").alias("ba"),
+        F.col("p_name").alias("na"),
+        F.col("p_partkey").alias("_a"),
+    )
+    wb = part.select(
+        F.col("p_brand").alias("bb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_partkey").alias("_b"),
+    )
     within = (
-        ma.join(
-            F.broadcast(mb),
-            (ma["p_brand"] == mb["p_brand"])
-            & (ma["name_a"] == mb["name_b"])
-            & (ma["_a"] < mb["_b"]),
+        wa.join(
+            F.broadcast(wb),
+            (F.col("ba") == F.col("bb"))
+            & (F.col("na") == F.col("nb"))
+            & (F.col("_a") < F.col("_b")),
         )
         .select(
             F.col("_a").alias("key_a"),

@@ -60,6 +60,17 @@ GATE_QUERIES = [
     "retrieval_recall_at_k",
     "ann_ivf_pq_adc_topk",
     "dedup_paragraph_exact",
+    # round-6 additions: the collapse rewrites and the 13th streaming
+    # gate, where the ORACLE is sf1-tractable in DuckDB. (The fuzzy /
+    # knn / decontaminate / embedding-cosine rewrites are oracle-pinned
+    # at sf0.01+sf0.1 — their DuckDB twins are brute-force quadratic
+    # and would dominate this gate's wall at sf1; and
+    # minhash_recall_report's oracle — the UNCOLLAPSED shingle
+    # self-join — spilled DuckDB itself to disk-full at sf1, the very
+    # hazard the engine-side collapse fix removed. Their engine-side
+    # scale behavior is proven by SWEEP_SF10_r6 instead.)
+    "doc_dup_ngram_coverage",
+    "stream_dedup_paragraph_spans",
 ]
 
 
