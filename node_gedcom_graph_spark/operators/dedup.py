@@ -917,6 +917,14 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- decontamination
 
 
+# The held-out benchmark source. r6 fix: this was 'wiki' for five
+# rounds, a source that does NOT EXIST in the fixture (sources are
+# src0..src19) — both engines agreed on an identically EMPTY result,
+# so the gate stayed green while the query was vacuous. src0 makes the
+# contamination check real (sf0.1: 4,748 contaminated docs).
+DECON_BENCH_SOURCE = "src0"
+
+
 @register(
     "decontaminate_ngram_overlap",
     oracle="""
@@ -931,16 +939,16 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
     FROM sh t
-    JOIN (SELECT DISTINCT shingle FROM sh WHERE source = 'wiki') b
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE source = 'src0') b
       ON t.shingle = b.shingle
-    WHERE t.source <> 'wiki'
+    WHERE t.source <> 'src0'
     GROUP BY t.doc_id
     """,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag every candidate training doc
-    (source != 'wiki') that shares at least one word-3-gram with the
-    held-out set (source = 'wiki'), with the count of distinct
+    (source != DECON_BENCH_SOURCE) that shares at least one word-3-gram
+    with the held-out set (source = DECON_BENCH_SOURCE), with the count of distinct
     overlapping shingles — the standard n-gram-overlap contamination
     check run before pretraining.
 
@@ -957,11 +965,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and added a shuffle purely to recover a column the scan had.
     docs = load_table(spark, sf_dir, "documents", spread=True)
     bench = (
-        shingled_docs(docs.filter(F.col("source") == "wiki"))
+        shingled_docs(docs.filter(F.col("source") == DECON_BENCH_SOURCE))
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    train = shingled_docs(docs.filter(F.col("source") != "wiki")).select(
+    train = shingled_docs(
+        docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    ).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
     return (

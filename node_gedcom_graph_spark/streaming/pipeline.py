@@ -1710,3 +1710,89 @@ def stream_dedup_paragraph_spans(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+# ---------------------------------------------------------------------------
+# Streaming n-gram decontamination (14th streaming gate): the training
+# corpus arrives as a stream; the held-out benchmark shingle set is a
+# STATIC side (eval suites are fixed by construction).
+# ---------------------------------------------------------------------------
+
+
+def _decontaminate_ngram_oracle() -> str:
+    """Shared verbatim with the batch decontaminate_ngram_overlap
+    oracle (operators/dedup.py) — the streaming twin must land on the
+    same per-doc hit counts."""
+    return """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
+    )
+    SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+    FROM sh t
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE source = 'src0') b
+      ON t.shingle = b.shingle
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """
+
+
+@_register("stream_decontaminate_ngram", oracle=_decontaminate_ngram_oracle())
+def stream_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of decontaminate_ngram_overlap, closing the r5
+    note that the decontamination family had no streaming member: the
+    candidate TRAINING corpus arrives as a document stream, each doc
+    is shingled with the SAME word-3-gram definition as the batch
+    operator (operators.dedup.shingled_docs — stateless, so it
+    composes with a streaming frame), every shingle is checked against
+    the STATIC held-out benchmark shingle set via a stream-static
+    inner join (an eval suite is fixed, which is exactly what makes
+    the static side legitimate), and a stateful grouped aggregation
+    maintains each doc's hit count incrementally.
+
+    Per-doc shingle sets are DISTINCT by construction (array_distinct
+    in the shared shingler), so the streaming COUNT(*) after the join
+    equals the batch operator's COUNT(DISTINCT shingle) row for row —
+    the drained complete-mode state shares the batch oracle verbatim.
+    Scale: the join is shuffle-on-shingle against a distinct-reduced
+    (at real scale broadcast/bloom) bench side; state is one counter
+    per contaminated doc, NOT per shingle.
+    """
+    from node_gedcom_graph_spark.operators.dedup import (
+        DECON_BENCH_SOURCE as _DECON_SRC,
+    )
+    from node_gedcom_graph_spark.operators.dedup import shingled_docs
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    bench = (
+        shingled_docs(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") == _DECON_SRC
+            )
+        )
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    docs = read_documents_stream(spark, sf_dir)
+    train = shingled_docs(docs.filter(F.col("source") != _DECON_SRC)).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    agg = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    sink = "stream_decon_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
