@@ -21,7 +21,12 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-from node_gedcom_graph_spark.operators import all_oracles, all_queries  # noqa: E402
+from node_gedcom_graph_spark.operators import (  # noqa: E402
+    all_empty_reasons,
+    all_min_rows,
+    all_oracles,
+    all_queries,
+)
 from node_gedcom_graph_spark.session import apply_engine_confs  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -114,3 +119,19 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
     operators -> driver falls back to a rows-only check)."""
     return all_oracles()
+
+
+def expected_rows() -> dict[str, int]:
+    """Vacuity floor per query: the minimum row count the query must
+    return at a gated scale (sf0.01 / sf0.1). Default 1 — a gate run
+    where engine and oracle agree on an EMPTY result is a FAILURE
+    unless the floor is an explicit, reasoned 0 (see
+    ``empty_reasons()``). Added after ``decontaminate_ngram_overlap``
+    passed vacuously for five rounds by filtering on a source value
+    absent from the fixtures."""
+    return all_min_rows()
+
+
+def empty_reasons() -> dict[str, str]:
+    """Stated justification for every query whose floor is 0."""
+    return all_empty_reasons()

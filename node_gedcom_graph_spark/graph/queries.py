@@ -141,11 +141,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # query model is sequential.
     jsc = edges.sparkSession.sparkContext._jsc.sc()
 
-    def _rdd_ids() -> set[int]:
+    # r6 advice: the callSite string is Spark-version/path dependent —
+    # a prefix match that stops matching silently turns every
+    # per-round free below into a no-op and reinstates the leak this
+    # code exists to fix. Substring match ('localCheckpoint' anywhere
+    # in the rendered site), and the first checkpoint VERIFIES the
+    # attribution is alive: if the id-diff comes back empty, fall back
+    # to the unguarded diff (safe here — the engine's query model is
+    # sequential, so nothing else creates storage-tracked RDDs between
+    # the pre/post snapshots) and say so once.
+    def _rdd_ids(guarded: bool = True) -> set[int]:
         return {
             i.id()
             for i in jsc.getRDDStorageInfo()
-            if str(i.callSite()).startswith("localCheckpoint")
+            if not guarded or "localCheckpoint" in str(i.callSite())
         }
 
     sym = (
@@ -155,6 +164,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pre = _rdd_ids()
+    pre_all = _rdd_ids(guarded=False)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -162,13 +172,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels_ids = _rdd_ids() - pre
+    use_guard = bool(labels_ids)
+    if not use_guard:
+        import warnings
+
+        warnings.warn(
+            "localCheckpoint callSite attribution found no blocks — "
+            "Spark is rendering call sites differently; falling back "
+            "to unguarded RDD id-diff for per-round block frees",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        labels_ids = _rdd_ids(guarded=False) - pre_all
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        pre = _rdd_ids()
+        pre = _rdd_ids(guarded=use_guard)
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -179,7 +201,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        new_ids = _rdd_ids() - pre
+        new_ids = _rdd_ids(guarded=use_guard) - pre
         converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

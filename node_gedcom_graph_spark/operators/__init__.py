@@ -17,6 +17,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# Vacuity floors (round-6 verdict item 1): the gate harness must
+# REJECT a query whose engine and oracle merely agree on an EMPTY
+# result — `decontaminate_ngram_overlap` filtered on a nonexistent
+# source for five rounds while both sides returned the identical
+# zero rows. Every registered query therefore declares the minimum
+# row count it must produce at every gated scale (sf0.01 and sf0.1);
+# the default is 1 ("must be non-empty"). A floor of 0 is allowed
+# ONLY with an explicit human-readable reason, so agree-on-empty is
+# always a deliberate, documented state rather than a silent pass.
+_MIN_ROWS: dict[str, int] = {}
+_EMPTY_REASONS: dict[str, str] = {}
+
 # Suite-scope cache-leak control (r5 advice): operators that persist()
 # multi-consumer intermediates register them here instead of leaking
 # them for the session's lifetime. The NEXT top-level registered-query
@@ -42,14 +54,36 @@ def release_tracked_caches() -> None:
             pass
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str,
+    oracle: str | None = None,
+    min_rows: int = 1,
+    empty_reason: str | None = None,
+):
     """Decorator: add a query (and optionally its DuckDB oracle SQL).
+
+    ``min_rows`` is the vacuity floor: the smallest row count this
+    query may legitimately return at a gated scale (sf0.01/sf0.1).
+    Harnesses fail a run below the floor even when engine and oracle
+    agree — agreement on an empty result proved nothing for five
+    rounds (see the ``decontaminate_ngram_overlap`` incident,
+    commit f651e09). ``min_rows=0`` requires ``empty_reason``.
 
     The registered callable releases the previous query's tracked
     caches before building — only at the TOP level (operators that
     compose other registered operators, e.g. dedup_cluster_canonical
     -> dedup_ngram_jaccard, must not free their own intermediates
     mid-build, hence the depth guard)."""
+
+    if min_rows < 0:
+        raise ValueError(f"{name}: min_rows must be >= 0")
+    if min_rows == 0 and not (empty_reason and empty_reason.strip()):
+        raise ValueError(
+            f"{name}: a 0-row floor needs an explicit empty_reason — "
+            "agree-on-empty must be a documented decision"
+        )
+    if min_rows > 0 and empty_reason is not None:
+        raise ValueError(f"{name}: empty_reason only applies when min_rows == 0")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -73,6 +107,9 @@ def register(name: str, oracle: str | None = None):
         _QUERIES[name] = build
         if oracle is not None:
             _ORACLES[name] = oracle
+        _MIN_ROWS[name] = min_rows
+        if empty_reason is not None:
+            _EMPTY_REASONS[name] = empty_reason.strip()
         return build
 
     return deco
@@ -86,6 +123,18 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     _load_all()
     return dict(_ORACLES)
+
+
+def all_min_rows() -> dict[str, int]:
+    """Vacuity floor per registered query (default 1 = non-empty)."""
+    _load_all()
+    return dict(_MIN_ROWS)
+
+
+def all_empty_reasons() -> dict[str, str]:
+    """Stated reason for every query whose floor is explicitly 0."""
+    _load_all()
+    return dict(_EMPTY_REASONS)
 
 
 def _load_all() -> None:

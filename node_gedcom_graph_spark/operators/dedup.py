@@ -627,6 +627,31 @@ def dot_f32(a: Column, b: Column) -> Column:
     )
 
 
+def require_nonzero_norms(nm, where: str) -> None:
+    """Zero-norm embeddings are OUT OF CONTRACT for the GEMM cosine
+    kernels (r6 advice): cosine against a zero vector is undefined, and
+    the two physical plans DIVERGE on it — the Spark/DuckDB fold yields
+    NaN (which desc-ordering ranks FIRST and DuckDB's `>= t` treats as
+    true), while the numpy kernels' old guarded normalization scored it
+    0 (never a candidate). Rather than silently produce plan-dependent
+    answers, every GEMM kernel asserts the contract and fails loudly.
+    ``nm``: 1-D numpy array of norms; ``where``: kernel name for the
+    error message."""
+    import numpy as np
+
+    if len(nm) and not np.all(nm > 0.0):
+        bad = int((nm <= 0.0).sum())
+        raise ValueError(
+            f"{where}: {bad} zero-norm embedding(s) encountered — cosine "
+            "is undefined for them and the GEMM prefilter and the fold "
+            "plan rank them differently (NaN vs 0). Zero-norm vectors "
+            "are out of contract; filter or impute them upstream."
+        )
+
+
+_require_nonzero_norms = require_nonzero_norms
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""
@@ -662,6 +687,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact value the uncollapsed join computed for identical arrays.
     Collapse also keeps the corpus under the GEMM cap ~duplication x
     longer, so exact recall survives to much larger raw row counts.
+
+    r7 (dup-ratio gate, r6 verdict item 6): the collapse's EXPANSION
+    tiers (member joins + within-group pairs) are pure overhead when
+    the corpus has no exact-dup vectors — the sf0.1 bench paid +58%
+    for machinery the data never used. The collapse agg's own output
+    answers whether it is needed: max(gsz) == 1 means reps ARE the
+    members, so rep pairs are returned directly (the probe shares the
+    action that materializes the persisted group table, costing one
+    scalar collect). The sf10 path (heavy duplication) is unchanged.
     """
     # Unspread: at 20k x 64 the GEMM batches and verify joins are faster
     # without an extra repartition exchange; on a real partitioned corpus
@@ -703,6 +737,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
     )
+    # Dup-ratio gate: one scalar over the (persisted) group table. No
+    # group larger than 1 => collapse is an identity mapping and the
+    # expansion tiers below would add three joins for nothing.
+    max_gsz = grp.agg(F.coalesce(F.max("gsz"), F.lit(0))).first()[0]
+    if max_gsz <= 1:
+        return rep_pairs
     members = grp.select(F.col("vec_id").alias("rep"), "ids", "gsz")
     cross = _expand_rep_pairs(rep_pairs, members, "id_a", "id_b")
     self_cos = n.select(
@@ -804,6 +844,7 @@ def cosine_candidate_pairs(
     ids = corpus["vec_id"].to_numpy()
     m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1)
+    _require_nonzero_norms(norms, "cosine_candidate_pairs (broadcast side)")
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((ids, m / norms[:, None]))
     cutoff = threshold - margin
@@ -816,7 +857,9 @@ def cosine_candidate_pairs(
             if not len(pdf):
                 continue
             q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1)[:, None]
+            qn = np.linalg.norm(q, axis=1)
+            _require_nonzero_norms(qn, "cosine_candidate_pairs (scan batch)")
+            q = q / qn[:, None]
             qids = pdf["vec_id"].to_numpy()
             # chunk the query side: the sims slab is chunk x |corpus|
             # doubles (~800 MB for a 5k-row batch against 20k rows if
@@ -1080,15 +1123,21 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     )
     if len(bench_pd) >= DECON_BENCH_CAP:
         # The cap truncates the contamination REFERENCE (false
-        # negatives above it) — never silently (r5 advice).
-        warnings.warn(
-            f"decontaminate_embedding_cosine: benchmark panel hit "
-            f"DECON_BENCH_CAP={DECON_BENCH_CAP}; training vectors "
-            f"contaminated only by unsampled bench rows will be "
-            f"flagged clean",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        # negatives above it) — never silently (r5 advice). r6 advice:
+        # a panel of EXACTLY cap rows is not truncation — count the
+        # eligible rows (only in this already-rare branch) and warn
+        # only when some were actually dropped.
+        n_eligible = emb.filter(F.col("vec_id") % 17 == 0).count()
+        if n_eligible > DECON_BENCH_CAP:
+            warnings.warn(
+                f"decontaminate_embedding_cosine: benchmark panel "
+                f"truncated to DECON_BENCH_CAP={DECON_BENCH_CAP} of "
+                f"{n_eligible} eligible rows; training vectors "
+                f"contaminated only by unsampled bench rows will be "
+                f"flagged clean",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     b_ids = bench_pd["vec_id"].to_numpy(dtype=np.int64)
     b32 = (
         np.stack(bench_pd["embedding"].to_numpy()).astype(np.float32)
@@ -1103,7 +1152,12 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
             np.float64
         )
     )
-    bn64 = b32.astype(np.float64) / np.where(b_nm == 0.0, 1.0, b_nm)[:, None]
+    _require_nonzero_norms(b_nm, "decontaminate GEMM kernel (bench panel)")
+    bn64 = (
+        b32.astype(np.float64) / b_nm[:, None]
+        if len(b_nm)
+        else b32.astype(np.float64)
+    )
     bc = spark.sparkContext.broadcast((b_ids, b32, b_nm, bn64))
     margin = DECON_GEMM_MARGIN
 
@@ -1121,10 +1175,10 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
                     np.float64
                 )
             )
-            tn64 = (
-                t32.astype(np.float64)
-                / np.where(t_nm == 0.0, 1.0, t_nm)[:, None]
+            _require_nonzero_norms(
+                t_nm, "decontaminate GEMM kernel (training batch)"
             )
+            tn64 = t32.astype(np.float64) / t_nm[:, None]
             # 512-row chunks bound the similarity slab to
             # 512 x DECON_BENCH_CAP doubles (~64 MB at the cap).
             for lo in range(0, len(t32), 512):

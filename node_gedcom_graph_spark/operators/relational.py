@@ -157,18 +157,35 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "anti_join_customers_without_orders",
+    "anti_join_customers_no_urgent_orders",
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
     """,
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anti_join_customers_no_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """LEFT ANTI join = the reference's dropped-unknown-tags audit stream
-    (op 5 keeps the complement for reporting)."""
+    (op 5 keeps the complement for reporting), with the priority filter
+    pushed into the build side's parquet scan.
+
+    Round-7 vacuity audit: the unfiltered variant ("customers without
+    ANY order") was EMPTY at sf0.01 — every fixture customer has an
+    order there — so the anti join was vacuously green exactly where
+    the driver gates it. Anti-joining against the URGENT subset keeps
+    the operator semantics and is non-vacuous at every fixture scale
+    (18 / 203 / 1986 rows at sf0.001/0.01/0.1)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -1172,6 +1189,132 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import os as _os
+
+# Scale-safe fuzzy contract (round-6 verdict item 3): the member-level
+# pair flood is the PRODUCT of dup-group sizes (19.73 B rows at sf10),
+# so member expansion is now an explicitly-bounded option. The bound is
+# checked ARITHMETICALLY (sum of gsz_a*gsz_b + C(gsz,2) over rep pairs
+# — one tiny aggregate) before a single member pair is generated.
+FUZZY_MEMBER_PAIR_CAP = int(
+    _os.environ.get("FUZZY_MEMBER_PAIR_CAP", 1_000_000_000)
+)
+# ADVICE r6: the member-side broadcasts were unguarded — past Spark's
+# broadcast limit they hard-OOM instead of degrading. Same pattern as
+# dedup.GEMM_BROADCAST_CAP_ROWS: count rows first, fall back to a
+# salted shuffled join above the cap.
+FUZZY_BROADCAST_CAP_ROWS = int(
+    _os.environ.get("FUZZY_BROADCAST_CAP_ROWS", 20_000_000)
+)
+
+
+def _fuzzy_rep_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the fuzzy family: (part, grp, cross_rep).
+
+    ``grp`` is one row per DISTINCT (brand, name) with its group size;
+    ``cross_rep`` is the within-brand rep-pair comparison (name_a <
+    name_b, length band, banded levenshtein <= 5) carrying both group
+    sizes. Everything downstream is distinct-bounded: levenshtein cost
+    is O(distinct^2 per brand) regardless of corpus duplication."""
+    part = load_table(spark, sf_dir, "part", spread=True)
+    grp = part.groupBy("p_brand", "p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gsz")
+    )
+    ga = grp.select(
+        "p_brand", F.col("p_name").alias("name_a"), F.col("gsz").alias("gsz_a")
+    )
+    gb = grp.select(
+        "p_brand", F.col("p_name").alias("name_b"), F.col("gsz").alias("gsz_b")
+    )
+    cross_rep = (
+        ga.join(gb, "p_brand")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(5))
+        .withColumn(
+            "edit_dist", F.expr("levenshtein(name_a, name_b, 5)").cast("int")
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+    return part, grp, cross_rep
+
+
+@register(
+    "fuzzy_match_parts_replevel",
+    oracle="""
+    -- Rep-level contract: one row per distinct (brand, name) pair that
+    -- fuzzy-matches (plus one per duplicated name), carrying group
+    -- sizes and the member-pair count ARITHMETICALLY — the scalable
+    -- answer to the member-level flood.  // is integer division
+    -- (DuckDB / on integers yields DOUBLE); the product and C(gsz,2)
+    -- are exact integers so both engines agree bit-for-bit.
+    WITH grp AS MATERIALIZED (
+      SELECT p_brand, p_name, CAST(COUNT(*) AS BIGINT) AS gsz
+      FROM part GROUP BY p_brand, p_name
+    ), cross_rep AS MATERIALIZED (
+      SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+             a.gsz AS gsz_a, b.gsz AS gsz_b,
+             CAST(a.gsz * b.gsz AS BIGINT) AS n_member_pairs
+      FROM grp a JOIN grp b
+        ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 5
+    )
+    SELECT p_brand, name_a, name_b, edit_dist, gsz_a, gsz_b, n_member_pairs
+    FROM cross_rep WHERE edit_dist <= 5
+    UNION ALL
+    SELECT p_brand, p_name AS name_a, p_name AS name_b,
+           CAST(0 AS INTEGER) AS edit_dist, gsz AS gsz_a, gsz AS gsz_b,
+           CAST(gsz * (gsz - 1) // 2 AS BIGINT) AS n_member_pairs
+    FROM grp WHERE gsz >= 2
+    """,
+)
+def fuzzy_match_parts_replevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale-safe fuzzy-match contract (round-6 verdict item 3):
+    rep-level pairs + group sizes + arithmetic member-pair counts,
+    generalizing the fix that saved ``minhash_recall_report`` from
+    filling the disk at sf10.
+
+    One row per qualifying DISTINCT (brand, name) pair — ``name_a <
+    name_b``, banded ``levenshtein(a, b, 5)`` — with both group sizes
+    and ``n_member_pairs = gsz_a * gsz_b``; plus one row per duplicated
+    name (``name_a == name_b``, ``edit_dist = 0``, ``n_member_pairs =
+    C(gsz, 2)``). Every member-level fact is recoverable: the member
+    pair set is exactly the union of per-row Cartesian expansions, and
+    its total size is ``sum(n_member_pairs)`` — no member pair is ever
+    materialized.
+
+    Scale: compute AND output are bounded by distinct names per brand
+    (vocabulary-bounded, corpus-size-independent); at sf10 this is
+    seconds where the member-level expansion was 639 s of pure output
+    generation. ``fuzzy_match_parts_blocked`` keeps the member-level
+    semantics behind an explicit bound for consumers that genuinely
+    need the pairs."""
+    _, grp, cross_rep = _fuzzy_rep_frames(spark, sf_dir)
+    cross = cross_rep.select(
+        "p_brand",
+        "name_a",
+        "name_b",
+        "edit_dist",
+        "gsz_a",
+        "gsz_b",
+        (F.col("gsz_a") * F.col("gsz_b")).cast("bigint").alias("n_member_pairs"),
+    )
+    within = grp.filter(F.col("gsz") >= 2).select(
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+        F.col("p_name").alias("name_b"),
+        F.lit(0).cast("int").alias("edit_dist"),
+        F.col("gsz").alias("gsz_a"),
+        F.col("gsz").alias("gsz_b"),
+        (F.col("gsz") * (F.col("gsz") - F.lit(1)) / F.lit(2))
+        .cast("bigint")
+        .alias("n_member_pairs"),
+    )
+    return cross.unionByName(within)
+
+
 @register(
     "fuzzy_match_parts_blocked",
     oracle="""
@@ -1233,32 +1376,65 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     input split; the distinct and the member joins should use every
     core.
 
+    EXPLICIT OUTPUT BOUND (round-7): member expansion is the
+    scale-unsafe tier of the fuzzy family — its size is the product of
+    dup-group sizes (19.73 B rows at sf10, 639 s of pure output
+    generation). Before generating a single pair, the total is
+    computed ARITHMETICALLY from the rep-level frame
+    (sum gsz_a*gsz_b + sum C(gsz,2) — one tiny aggregate action); past
+    ``FUZZY_MEMBER_PAIR_CAP`` (env, default 1e9) the query REFUSES
+    with a pointer to ``fuzzy_match_parts_replevel``, which carries
+    the same information at rep level.
+
     Expansion is JOIN FAN-OUT, not array explode: carrying a
     collect_list of group members through an explode copies the whole
     id array into every exploded row (at sf10 that staging alone is
     ~80 GB and timed the first collapsed version out); joining the
     member table back on (brand, name) generates the same member
     pairs streamwise inside the join's whole-stage codegen, no array
-    ever materialized per row. The 100x wall is then pure output
-    generation — the honest member-level pair flood the oracle pins."""
-    part = load_table(spark, sf_dir, "part", spread=True)
-    names = part.select("p_brand", "p_name").distinct()
-    ga = names.select("p_brand", F.col("p_name").alias("name_a"))
-    gb = names.select("p_brand", F.col("p_name").alias("name_b"))
-    # Distinct-name rep pairs within the brand block. name_a < name_b
-    # canonicalizes the unordered pair (names are distinct per group);
-    # the length band |len(a)-len(b)| <= 5 is a NECESSARY condition
-    # for edit distance <= 5, and the THREE-ARG levenshtein's banded
-    # DP early-exits to -1 past the threshold.
-    rep_pairs = (
-        ga.join(gb, "p_brand")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(5))
-        .withColumn(
-            "edit_dist", F.expr("levenshtein(name_a, name_b, 5)").cast("int")
-        )
-        .filter(F.col("edit_dist") >= 0)
+    ever materialized per row.
+
+    BROADCAST GUARD (r6 advice): the member sides broadcast only while
+    ``part`` fits ``FUZZY_BROADCAST_CAP_ROWS`` (default 20 M rows,
+    ~200 MB); above it the fan-out falls back to a SALTED shuffled
+    join — the probe row is exploded over ncores salt values and the
+    member side is salted by ``pmod(hash(partkey), ncores)``, so a hot
+    (brand, name) key's members split across ncores reducers instead
+    of landing on one (the exact skew that stalled the sf10 run 900 s
+    pre-broadcast)."""
+    part, grp, cross_rep = _fuzzy_rep_frames(spark, sf_dir)
+    from node_gedcom_graph_spark.operators import persist_tracked
+
+    rep_pairs = persist_tracked(
+        cross_rep.select("p_brand", "name_a", "name_b", "edit_dist")
     )
+    # Arithmetic size check — no member pair materialized to compute it.
+    ga_sz = grp.select(
+        "p_brand", F.col("p_name").alias("name_a"), F.col("gsz").alias("gsz_a")
+    )
+    gb_sz = grp.select(
+        "p_brand", F.col("p_name").alias("name_b"), F.col("gsz").alias("gsz_b")
+    )
+    n_cross = (
+        rep_pairs.join(ga_sz, ["p_brand", "name_a"])
+        .join(gb_sz, ["p_brand", "name_b"])
+        .agg(F.coalesce(F.sum(F.col("gsz_a") * F.col("gsz_b")), F.lit(0)))
+        .first()[0]
+    )
+    n_within = (
+        grp.agg(
+            F.coalesce(F.sum(F.col("gsz") * (F.col("gsz") - 1) / 2), F.lit(0))
+        ).first()[0]
+    )
+    total = int(n_cross) + int(n_within)
+    if total > FUZZY_MEMBER_PAIR_CAP:
+        raise RuntimeError(
+            f"fuzzy member expansion refused: {total:,} member pairs > "
+            f"FUZZY_MEMBER_PAIR_CAP={FUZZY_MEMBER_PAIR_CAP:,}. Use "
+            "fuzzy_match_parts_replevel (rep-level pairs + group sizes + "
+            "arithmetic member counts — same information, output bounded "
+            "by distinct names) or raise the cap explicitly."
+        )
     ma = part.select(
         "p_brand", F.col("p_name").alias("name_a"), F.col("p_partkey").alias("_a")
     )
@@ -1272,42 +1448,81 @@ def fuzzy_match_parts_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skewed partition while 32 finished in minutes. Broadcast makes
     # the fan-out map-side, so output is balanced by probe rows
     # (~uniform per rep pair), at the fan-out join's measured ~65M
-    # rows/s/core ceiling. The member table broadcasts while it fits
-    # (~80 MB at sf10); beyond that, salt the shuffled join instead.
+    # rows/s/core ceiling.
     ncores = spark.sparkContext.defaultParallelism
-    cross = (
-        rep_pairs.repartition(ncores)
-        .join(F.broadcast(ma), ["p_brand", "name_a"])
-        .join(F.broadcast(mb), ["p_brand", "name_b"])
-        .select(
-            F.least("_a", "_b").alias("key_a"),
-            F.greatest("_a", "_b").alias("key_b"),
-            "edit_dist",
+    n_parts = part.count()  # parquet metadata count — no full scan
+    if n_parts <= FUZZY_BROADCAST_CAP_ROWS:
+        cross = (
+            rep_pairs.repartition(ncores)
+            .join(F.broadcast(ma), ["p_brand", "name_a"])
+            .join(F.broadcast(mb), ["p_brand", "name_b"])
+            .select(
+                F.least("_a", "_b").alias("key_a"),
+                F.greatest("_a", "_b").alias("key_b"),
+                "edit_dist",
+            )
         )
-    )
-    wa = part.select(
-        F.col("p_brand").alias("ba"),
-        F.col("p_name").alias("na"),
-        F.col("p_partkey").alias("_a"),
-    )
-    wb = part.select(
-        F.col("p_brand").alias("bb"),
-        F.col("p_name").alias("nb"),
-        F.col("p_partkey").alias("_b"),
-    )
-    within = (
-        wa.join(
+        wa = part.select(
+            F.col("p_brand").alias("ba"),
+            F.col("p_name").alias("na"),
+            F.col("p_partkey").alias("_a"),
+        )
+        wb = part.select(
+            F.col("p_brand").alias("bb"),
+            F.col("p_name").alias("nb"),
+            F.col("p_partkey").alias("_b"),
+        )
+        within = wa.join(
             F.broadcast(wb),
             (F.col("ba") == F.col("bb"))
             & (F.col("na") == F.col("nb"))
             & (F.col("_a") < F.col("_b")),
-        )
-        .select(
+        ).select(
             F.col("_a").alias("key_a"),
             F.col("_b").alias("key_b"),
             F.lit(0).cast("int").alias("edit_dist"),
         )
-    )
+    else:
+        # Salted shuffled fallback: member rows carry a hash salt; the
+        # tiny probe is replicated over every salt value, so each hot
+        # (brand, name) key spreads over ncores reducers. The second
+        # fan-out join's input is already salted-balanced from the
+        # first, and AQE skew-join splits any residual imbalance.
+        salts = F.array(*[F.lit(i) for i in range(ncores)])
+        ma_s = ma.withColumn("_s", F.pmod(F.hash("_a"), F.lit(ncores)))
+        probe = rep_pairs.withColumn("_s", F.explode(salts))
+        # First fan-out salted (the probe is tiny — replicating it is
+        # free); the second join's left side is already spread across
+        # ncores salt groups, so its shuffle is balanced by
+        # construction, and AQE skew-join splits any residual hot
+        # (brand, name_b) member partition (duplicating the matching
+        # probe blocks) — no need to replicate the large intermediate.
+        cross = (
+            probe.join(ma_s, ["p_brand", "name_a", "_s"])
+            .join(mb, ["p_brand", "name_b"])
+            .select(
+                F.least("_a", "_b").alias("key_a"),
+                F.greatest("_a", "_b").alias("key_b"),
+                "edit_dist",
+            )
+        )
+        dup_names = grp.filter(F.col("gsz") >= 2).select("p_brand", "p_name")
+        wm = part.join(dup_names, ["p_brand", "p_name"], "left_semi")
+        wa = wm.select(
+            "p_brand", "p_name", F.col("p_partkey").alias("_a")
+        ).withColumn("_s", F.pmod(F.hash("_a"), F.lit(ncores)))
+        wb = wm.select(
+            "p_brand", "p_name", F.col("p_partkey").alias("_b")
+        ).withColumn("_s", F.explode(salts))
+        within = (
+            wa.join(wb, ["p_brand", "p_name", "_s"])
+            .filter(F.col("_a") < F.col("_b"))
+            .select(
+                F.col("_a").alias("key_a"),
+                F.col("_b").alias("key_b"),
+                F.lit(0).cast("int").alias("edit_dist"),
+            )
+        )
     return cross.unionByName(within)
 
 

@@ -18,7 +18,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.operators import register
-from node_gedcom_graph_spark.operators.dedup import dot_f32
+from node_gedcom_graph_spark.operators.dedup import (
+    dot_f32,
+    require_nonzero_norms,
+)
 from node_gedcom_graph_spark.sources.tables import load_table
 
 EMBEDDING_DIM = 64
@@ -118,7 +121,8 @@ def topk_cosine(
             np.float64
         )
     )
-    qn64 = q32.astype(np.float64) / np.where(q_nm == 0.0, 1.0, q_nm)[:, None]
+    require_nonzero_norms(q_nm, "topk GEMM kernel (query panel)")
+    qn64 = q32.astype(np.float64) / q_nm[:, None]
     bc = spark.sparkContext.broadcast((q_ids, q32, q_nm, qn64))
     margin = TOPK_GEMM_MARGIN
 
@@ -136,10 +140,8 @@ def topk_cosine(
                     np.float64
                 )
             )
-            cn64 = (
-                c32.astype(np.float64)
-                / np.where(c_nm == 0.0, 1.0, c_nm)[:, None]
-            )
+            require_nonzero_norms(c_nm, "topk GEMM kernel (corpus batch)")
+            cn64 = c32.astype(np.float64) / c_nm[:, None]
             for lo in range(0, len(c32), 1024):
                 s = cn64[lo : lo + 1024] @ qn.T  # chunk_rows x n_queries
                 m_ids = cids[lo : lo + 1024]
@@ -289,6 +291,7 @@ def topk_cosine_arrow(
     qids = queries_pd["vec_id"].to_numpy()
     qm = np.stack(queries_pd["embedding"].to_numpy()).astype(np.float64)
     qn = np.linalg.norm(qm, axis=1)
+    require_nonzero_norms(qn, "topk_cosine_arrow (query panel)")
 
     def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -297,6 +300,7 @@ def topk_cosine_arrow(
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
             nm = np.linalg.norm(m, axis=1)
+            require_nonzero_norms(nm, "topk_cosine_arrow (corpus batch)")
             sims = (qm @ m.T) / (qn[:, None] * nm[None, :])
             out = []
             kk = min(k + 1, sims.shape[1])

@@ -684,12 +684,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cross_source_overlap",
     oracle="""
-    WITH fp AS (
-      SELECT DISTINCT
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-               AS fp,
-             source
+    WITH toks AS (
+      SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       FROM documents
+    ), fp AS (
+      SELECT DISTINCT md5(array_to_string(t[1:8], ' ')) AS fp, source
+      FROM toks WHERE len(t) >= 8
     )
     SELECT a.source AS source_a, b.source AS source_b,
            COUNT(*) AS n_shared
@@ -700,10 +700,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix: for every pair of sources, how
-    many normalized-exact-duplicate fingerprints they share — the
-    contamination audit run before mixing corpora (which crawl dumps
-    duplicate which, does the benchmark source leak into training
-    sources).
+    many 8-token-PREFIX fingerprints they share — the contamination
+    audit run before mixing corpora (which crawl dumps duplicate which,
+    does the benchmark source leak into training sources).
+
+    The fingerprint is the first 8 alnum tokens, not the whole
+    normalized text: prefix fingerprints catch shared-opening near-dups
+    (boilerplate, syndicated ledes) that full-text hashing misses, and
+    whole-text exact overlap is already the ``dedup_exact`` family's
+    contract. Round-7 vacuity audit: the full-text variant was EMPTY at
+    sf0.01 — the exact scale the driver gates — i.e. vacuously green
+    (the decontaminate_ngram_overlap failure mode again); the prefix
+    key is non-vacuous at every fixture scale (24/24/248 pairs at
+    sf0.001/0.01/0.1).
 
     Scale: instead of the oracle's fp self-join (which shuffles the
     fingerprint table twice and can quadratically explode on a hot
@@ -715,9 +724,15 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    fps = docs.select(
-        F.md5(normalize_text(F.col("text"))).alias("fp"), "source"
-    ).distinct()
+    toks = tokens(F.col("text"))
+    fps = (
+        docs.select(toks.alias("t"), "source")
+        .filter(F.size("t") >= 8)
+        .select(
+            F.md5(F.concat_ws(" ", F.slice("t", 1, 8))).alias("fp"), "source"
+        )
+        .distinct()
+    )
     sets = fps.groupBy("fp").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")
     )

@@ -647,3 +647,31 @@ def test_decontaminate_embedding_matches_numpy(spark):
         assert g.bench_id == bids[best], vid
         assert abs(g.cosine - sims[qi, best]) < 1e-6, vid
         assert g.contaminated == (g.cosine >= DECON_COS_T), vid
+
+
+def test_zero_norm_embeddings_are_out_of_contract(spark, tmp_path):
+    """r6 advice: a zero-norm vector makes the fold plan (NaN, ranked
+    first) and the GEMM kernel (guarded 0) silently diverge — the
+    kernels must fail LOUDLY instead. Pins both the driver-side
+    broadcast check and the executor-side batch check."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from node_gedcom_graph_spark.operators.dedup import (
+        cosine_candidate_pairs,
+        require_nonzero_norms,
+    )
+
+    with pytest.raises(ValueError, match="out of contract"):
+        require_nonzero_norms(np.array([1.0, 0.0]), "unit")
+    require_nonzero_norms(np.array([], dtype=float), "unit")  # empty ok
+    require_nonzero_norms(np.array([0.5]), "unit")  # positive ok
+
+    rows = [(0, [0.0] * 64), (1, [1.0] + [0.0] * 63), (2, [0.5] * 64)]
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(Exception, match="zero-norm"):
+        cosine_candidate_pairs(emb, threshold=0.45).collect()

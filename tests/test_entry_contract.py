@@ -94,3 +94,53 @@ def test_rotation_fronts_longest_starving_queries():
     )
     for n in starving:
         assert names.index(n) < first_other, n
+
+
+def test_every_query_declares_a_vacuity_floor():
+    """Round-6 verdict item 1: the registry must carry a per-query
+    expected-row floor so the gate can reject agree-on-empty results
+    (the decontaminate_ngram_overlap lesson — vacuously green for five
+    rounds). Every registered query has a floor; every 0 floor has a
+    non-trivial stated reason."""
+    from node_gedcom_graph_spark.operators import (
+        all_empty_reasons,
+        all_min_rows,
+        all_queries,
+    )
+
+    names = set(all_queries())
+    floors = all_min_rows()
+    reasons = all_empty_reasons()
+    assert set(floors) == names, (
+        f"floor coverage != registry: missing={names - set(floors)}"
+    )
+    zero = {n for n, f in floors.items() if f == 0}
+    assert zero == set(reasons), (
+        f"0-floor queries without a reason: {zero - set(reasons)}; "
+        f"reasons for non-0 floors: {set(reasons) - zero}"
+    )
+    for n, r in reasons.items():
+        assert len(r) >= 40, f"{n}: empty_reason too thin to audit: {r!r}"
+    assert all(f >= 0 for f in floors.values())
+
+
+def test_entry_exposes_expected_rows_metadata():
+    floors = ent.expected_rows()
+    assert set(floors) == set(ent.queries())
+    reasons = ent.empty_reasons()
+    assert set(reasons) == {n for n, f in floors.items() if f == 0}
+
+
+def test_register_rejects_unreasoned_zero_floor():
+    import pytest
+
+    from node_gedcom_graph_spark.operators import register
+
+    with pytest.raises(ValueError, match="empty_reason"):
+        register("___vacuity_probe", min_rows=0)(lambda s, d: None)
+    with pytest.raises(ValueError, match="min_rows"):
+        register("___vacuity_probe2", min_rows=-1)(lambda s, d: None)
+    with pytest.raises(ValueError, match="empty_reason only"):
+        register("___vacuity_probe3", min_rows=2, empty_reason="x")(
+            lambda s, d: None
+        )

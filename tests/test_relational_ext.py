@@ -2,6 +2,7 @@
 (operators/relational_ext.py). Value correctness is covered by the
 DuckDB oracle gate; these pin the SCALE claims each docstring makes."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.operators.relational_ext import (
@@ -128,24 +129,29 @@ def test_rank_windows_bounds(spark):
     assert all(len(v) == 1 for v in per_seg.values())
 
 
-def test_cross_source_overlap_counts_shared_fingerprints(spark, tmp_path):
-    """Semantic pin on synthetic data: 3 sources where A∩B share two
-    normalized-identical texts, A∩C share one (via punctuation/case
-    variants), B∩C share none."""
+def test_cross_source_overlap_counts_shared_prefix_fingerprints(spark, tmp_path):
+    """Semantic pin on synthetic data: the fingerprint is the first 8
+    alnum tokens (round-7 de-vacuization), so shared-opening texts with
+    DIFFERENT tails still count, sub-8-token texts are excluded, and
+    within-source duplicates produce no pair. A∩B share two prefixes
+    (one via case/punctuation variants), A∩C share one, B∩C none."""
     import pandas as pd
 
     from node_gedcom_graph_spark.operators.textstats import cross_source_overlap
 
     rows = [
-        (1, "alpha beta", "en", "A", 10),
-        (2, "Alpha,  BETA!", "en", "B", 13),   # normalizes equal to 1
-        (3, "gamma delta", "en", "A", 11),
-        (4, "gamma delta", "en", "B", 11),
-        (5, "epsilon zeta", "en", "A", 12),
-        (6, "epsilon-zeta", "en", "C", 12),    # normalizes equal to 5
-        (7, "only in b", "en", "B", 9),
-        (8, "only in c", "en", "C", 9),
-        (9, "alpha beta", "en", "A", 10),      # dup within A: no pair
+        (1, "alpha beta gamma delta epsilon zeta eta theta tail one", "en", "A", 10),
+        # same 8-token prefix as 1 via case/punct noise, different tail
+        (2, "Alpha,  BETA! gamma; delta epsilon zeta eta theta other", "en", "B", 13),
+        (3, "one two three four five six seven eight nine", "en", "A", 11),
+        (4, "one two three four five six seven eight ten", "en", "B", 11),
+        (5, "p1 q2 r3 s4 t5 u6 v7 w8 x9", "en", "A", 12),
+        (6, "P1-Q2 r3 s4 t5 u6 v7 w8 y0", "en", "C", 12),  # same prefix as 5
+        (7, "only in b spans eight whole tokens here", "en", "B", 9),
+        (8, "only in c spans eight whole tokens here", "en", "C", 9),  # differs at tok 3
+        (9, "alpha beta gamma delta epsilon zeta eta theta tail one", "en", "A", 10),  # dup in A
+        (10, "too short", "en", "A", 9),       # < 8 tokens: excluded
+        (11, "too short", "en", "B", 9),       # would pair with 10 if not excluded
     ]
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
@@ -203,3 +209,38 @@ def test_runtime_bloom_filter_injection_preserves_results(spark):
     got = {tuple(r) for r in q(iso).collect()}
     want = {tuple(r) for r in q(spark).collect()}
     assert got == want
+
+
+class TestFuzzyScaleContract:
+    """Round-7: rep-level fuzzy contract + bounded member expansion."""
+
+    def test_replevel_member_counts_sum_to_member_rows(self, spark):
+        """sum(n_member_pairs) over the rep-level contract must equal
+        the member-level expansion's row count exactly — the arithmetic
+        IS the contract."""
+        from pyspark.sql import functions as F
+
+        from node_gedcom_graph_spark.operators import all_queries
+
+        qs = all_queries()
+        rep = qs["fuzzy_match_parts_replevel"](spark, SF_DIR)
+        total = rep.agg(F.sum("n_member_pairs")).first()[0] or 0
+        members = qs["fuzzy_match_parts_blocked"](spark, SF_DIR).count()
+        assert int(total) == members
+
+    def test_member_expansion_refuses_past_cap(self, spark, monkeypatch):
+        import node_gedcom_graph_spark.operators.relational as rel
+
+        monkeypatch.setattr(rel, "FUZZY_MEMBER_PAIR_CAP", 1)
+        with pytest.raises(RuntimeError, match="refused.*replevel"):
+            rel.fuzzy_match_parts_blocked.__wrapped__(spark, SF_DIR)
+
+    def test_salted_fallback_matches_broadcast_path(self, spark, monkeypatch):
+        """Force the no-broadcast path: identical pair set."""
+        import node_gedcom_graph_spark.operators.relational as rel
+
+        fn = rel.fuzzy_match_parts_blocked.__wrapped__
+        base = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        monkeypatch.setattr(rel, "FUZZY_BROADCAST_CAP_ROWS", 1)
+        salted = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        assert salted == base and len(base) > 0

@@ -98,6 +98,8 @@ def main() -> int:
         )
 
     qs, oracles = ent.queries(), ent.oracle_sql()
+    floors = ent.expected_rows()
+    empty_reasons = ent.empty_reasons()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -112,6 +114,35 @@ def main() -> int:
             art["queries"][name] = {"status": "FAIL", "err": str(e)[:300]}
             n_fail += 1
             continue
+        # Vacuity floor: agree-on-empty (or agree-on-too-few) is a
+        # FAILURE unless the registry declared a reasoned 0 floor.
+        floor = floors.get(name, 1)
+        if len(srows) < floor:
+            print(
+                f"FAIL  {name}: VACUOUS — {len(srows)} rows < declared "
+                f"floor {floor} (agree-on-empty is not a pass)"
+            )
+            art["queries"][name] = {
+                "status": "FAIL", "rows": len(srows),
+                "wall_s": round(time.monotonic() - t0, 1),
+                "problems": [f"vacuous: rows={len(srows)} < floor={floor}"],
+            }
+            n_fail += 1
+            continue
+        if floor == 0 and len(srows) == 0:
+            # Legitimate declared-empty result: record the reason so
+            # the artifact shows it was deliberate.
+            art.setdefault("declared_empty", {})[name] = empty_reasons.get(
+                name, "?"
+            )
+        elif srows and all(
+            v is None or v == "" for row in srows for v in row
+        ):
+            # Degenerate-but-nonempty: every cell NULL/empty. Not an
+            # automatic failure (a query OF nulls could be legitimate)
+            # but it is surfaced loudly for the audit.
+            print(f"WARN  {name}: all {len(srows)} rows are entirely NULL/empty")
+            art.setdefault("degenerate_warn", []).append(name)
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
             art["queries"][name] = {
