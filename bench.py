@@ -88,6 +88,12 @@ HEADLINE = (
     "dedup_embedding_cosine",
     "ann_topk_cosine",
     "text_quality_score",
+    # r6 verdict item 8: the decontamination twins joined the headline
+    # set once they became real work (the n-gram side was vacuously
+    # empty for five rounds; both now process the full src0-vs-rest
+    # contract at every sf).
+    "decontaminate_ngram_overlap",
+    "decontaminate_embedding_cosine",
 )
 
 N_SYNTH_INDI = 50_000  # synthesized GEDCOM individuals for the ETL bench

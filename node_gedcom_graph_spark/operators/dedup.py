@@ -688,29 +688,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Collapse also keeps the corpus under the GEMM cap ~duplication x
     longer, so exact recall survives to much larger raw row counts.
 
-    r7 (dup-ratio gate, r6 verdict item 6): the collapse's EXPANSION
-    tiers (member joins + within-group pairs) are pure overhead when
-    the corpus has no exact-dup vectors — the sf0.1 bench paid +58%
-    for machinery the data never used. The collapse agg's own output
-    answers whether it is needed: max(gsz) == 1 means reps ARE the
-    members, so rep pairs are returned directly (the probe shares the
-    action that materializes the persisted group table, costing one
-    scalar collect). The sf10 path (heavy duplication) is unchanged.
+    r7 (dup-ratio gate, r6 verdict item 6): the collapse (groupBy on
+    the 512-byte embedding value + member expansion joins) is pure
+    overhead when the corpus has no exact-dup vectors — the sf0.1
+    bench paid +58% for machinery the data never used. The gate is a
+    HASH-CERTIFIED dup probe run before any collapse: count_distinct
+    of xxhash64(embedding) — an 8-byte-key map-side-combined
+    aggregate, far cheaper than grouping on the array itself. Equal
+    count == row count PROVES dup-freeness (value-equal implies
+    hash-equal), so the fast path runs the direct uncollapsed pipeline
+    (the r5 shape); a hash collision can only under-count, sending a
+    dup-free corpus down the slower-but-still-correct collapse path.
+    The sf10 path (heavy duplication) is unchanged.
     """
     # Unspread: at 20k x 64 the GEMM batches and verify joins are faster
     # without an extra repartition exchange; on a real partitioned corpus
     # the scan has splits already (spread=True documented in load_table
     # is for the regex-heavy documents pipelines).
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    grp = persist_tracked(
-        emb.groupBy("embedding").agg(
-            F.min("vec_id").alias("vec_id"),
-            F.collect_list("vec_id").alias("ids"),
-            F.count(F.lit(1)).alias("gsz"),
+    n_raw = emb.count()  # parquet metadata count — no scan
+    pdf = None
+    if n_raw <= GEMM_BROADCAST_CAP_ROWS:
+        # Under the GEMM cap the candidate stage collects the corpus
+        # anyway — so the dup probe is FREE driver-side work on that
+        # same collect (exact byte equality, no hashing caveat), and
+        # the dup-free fast path costs zero extra Spark jobs vs the
+        # r5 uncollapsed pipeline.
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        n_distinct = len(
+            {np.asarray(a).tobytes() for a in pdf["embedding"].to_numpy()}
         )
+    else:
+        # Above the cap: one distributed 8-byte-key probe (hash-
+        # certified — a collision only under-counts, routing a
+        # dup-free corpus down the slower-but-correct collapse path).
+        n_distinct = emb.agg(
+            F.count_distinct(F.xxhash64("embedding")).alias("d")
+        ).first()[0]
+    dup_free = n_distinct == n_raw
+    if dup_free:
+        grp = None
+        reps = emb.select("vec_id", "embedding")
+    else:
+        grp = persist_tracked(
+            emb.groupBy("embedding").agg(
+                F.min("vec_id").alias("vec_id"),
+                F.collect_list("vec_id").alias("ids"),
+                F.count(F.lit(1)).alias("gsz"),
+            )
+        )
+        reps = grp.select("vec_id", "embedding")
+    cand = cosine_candidate_pairs(
+        reps,
+        threshold=0.45,
+        margin=1e-3,
+        corpus_pd=pdf if dup_free else None,
+        # reps row count == n_distinct by construction — skip the
+        # internal count job whenever the GEMM path will be taken.
+        side_count=None if (dup_free and pdf is not None) else int(n_distinct),
     )
-    reps = grp.select("vec_id", "embedding")
-    cand = cosine_candidate_pairs(reps, threshold=0.45, margin=1e-3)
     n = reps.select(
         "vec_id",
         "embedding",
@@ -737,11 +775,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
     )
-    # Dup-ratio gate: one scalar over the (persisted) group table. No
-    # group larger than 1 => collapse is an identity mapping and the
-    # expansion tiers below would add three joins for nothing.
-    max_gsz = grp.agg(F.coalesce(F.max("gsz"), F.lit(0))).first()[0]
-    if max_gsz <= 1:
+    # Dup-free corpus (hash-certified above): reps ARE the members —
+    # the expansion tiers below would add three joins for nothing.
+    if dup_free:
         return rep_pairs
     members = grp.select(F.col("vec_id").alias("rep"), "ids", "gsz")
     cross = _expand_rep_pairs(rep_pairs, members, "id_a", "id_b")
@@ -817,6 +853,8 @@ def cosine_candidate_pairs(
     margin: float = 1e-3,
     corpus: DataFrame | None = None,
     broadcast_cap: int = GEMM_BROADCAST_CAP_ROWS,
+    side_count: int | None = None,
+    corpus_pd=None,
 ) -> DataFrame:
     """Exact-recall candidate pairs with cosine >= threshold - margin,
     via a vectorized numpy GEMM prefilter — guarded by a row-count cap.
@@ -837,10 +875,19 @@ def cosine_candidate_pairs(
 
     # ``corpus``: optionally a cheaper-to-collect lineage of the SAME
     # rows (e.g. the unspread scan) for the driver-side broadcast.
-    side = corpus if corpus is not None else emb
-    if side.count() > broadcast_cap:
-        return _srp_candidate_pairs(emb)
-    corpus = side.select("vec_id", "embedding").toPandas()
+    # ``side_count``: the caller's already-known row count of that side
+    # (skips one count job — material at fixture scale).
+    # ``corpus_pd``: the SAME rows already collected as pandas (caller
+    # guarantees len <= broadcast_cap) — skips both the count and the
+    # collect.
+    if corpus_pd is not None:
+        corpus = corpus_pd
+    else:
+        side = corpus if corpus is not None else emb
+        n_side = side.count() if side_count is None else side_count
+        if n_side > broadcast_cap:
+            return _srp_candidate_pairs(emb)
+        corpus = side.select("vec_id", "embedding").toPandas()
     ids = corpus["vec_id"].to_numpy()
     m = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1)

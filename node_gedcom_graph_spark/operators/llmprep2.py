@@ -391,3 +391,203 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "a", "b", "cnt", F.row_number().over(wr).cast("bigint").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-merge BPE trainer (r6 verdict item 7): iterate the merge step.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def _bpe_unrolled_sql(k: int) -> str:
+    """DuckDB oracle for the k-merge BPE trainer, unrolled (the kcore
+    pattern — SQL can't iterate to a data-dependent argmax, but a fixed
+    k unrolls exactly). Per iteration: overlapping-inclusive adjacent
+    pair counts (Sennrich's get_stats), argmax with (cnt DESC, a, b)
+    ties, then the greedy left-to-right non-overlapping merge. The
+    only overlap conflicts are equal-symbol runs (a pair (a,b) with
+    a != b cannot match at two consecutive positions), so greedy
+    selection is 'odd ranks within each run of consecutive match
+    positions' — the same run/parity windows on both engines."""
+    parts = [
+        """wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+      ) GROUP BY w HAVING length(w) >= 2
+    ), wt0 AS MATERIALIZED (
+      SELECT w AS wid, freq,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+      FROM wf
+    )"""
+    ]
+    for t in range(1, k + 1):
+        prev = f"wt{t - 1}"
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER) + 1] AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM {prev}, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    ), best{t} AS MATERIALIZED (
+      SELECT {t} AS merge_iter, a, b, cnt FROM p{t}
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ), m{t} AS MATERIALIZED (
+      SELECT w.wid, CAST(u.i AS BIGINT) AS idx
+      FROM {prev} w, unnest(range(1, len(w.syms))) AS u(i), best{t} b
+      WHERE w.syms[CAST(u.i AS INTEGER)] = b.a
+        AND w.syms[CAST(u.i AS INTEGER) + 1] = b.b
+    ), sel{t} AS MATERIALIZED (
+      SELECT wid, idx FROM (
+        SELECT wid, idx,
+               ROW_NUMBER() OVER (PARTITION BY wid, rk ORDER BY idx) AS j
+        FROM (
+          SELECT wid, idx,
+                 idx - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY idx) AS rk
+          FROM m{t}
+        )
+      ) WHERE j % 2 = 1
+    ), wt{t} AS MATERIALIZED (
+      SELECT wid, freq, list(sym ORDER BY idx) AS syms FROM (
+        SELECT e.wid, e.freq, e.idx,
+               CASE WHEN s.idx IS NOT NULL THEN e.cur || e.nxt
+                    ELSE e.cur END AS sym
+        FROM (
+          SELECT w.wid, w.freq, CAST(u.i AS BIGINT) AS idx,
+                 w.syms[CAST(u.i AS INTEGER)] AS cur,
+                 w.syms[CAST(u.i AS INTEGER) + 1] AS nxt
+          FROM {prev} w, unnest(range(1, len(w.syms) + 1)) AS u(i)
+        ) e
+        LEFT JOIN sel{t} s ON s.wid = e.wid AND s.idx = e.idx
+        LEFT JOIN sel{t} sk ON sk.wid = e.wid AND sk.idx = e.idx - 1
+        WHERE sk.idx IS NULL
+      ) GROUP BY wid, freq
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(merge_iter AS INTEGER) AS merge_iter, a AS sym_a, "
+        f"b AS sym_b, cnt FROM best{t}"
+        for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    {union}\n    ORDER BY merge_iter"
+    )
+
+
+def _bpe_merge_expr(a: str, b: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of adjacent pair
+    (a, b) -> a||b inside the ``syms`` array, as ONE whole-stage-codegen
+    expression: a sequential F.aggregate fold over the positions with a
+    (out, skip) struct accumulator — BPE's merge loop is literally a
+    left fold, so no explode, no window, no join, no shuffle."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, i):
+        # F.get is 0-based and NULL-safe out of bounds (element_at
+        # raises under Spark 4 ANSI mode at the final position's i+1).
+        cur = F.get(F.col("syms"), (i - 1).cast("int"))
+        nxt = F.get(F.col("syms"), i.cast("int"))  # NULL at the end
+        is_merge = F.coalesce(
+            (cur == F.lit(a)) & (nxt == F.lit(b)), F.lit(False)
+        )
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                is_merge,
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size("syms")), init, step, lambda acc: acc["out"]
+    )
+
+
+@register("bpe_multi_merge_table", oracle=_bpe_unrolled_sql(BPE_MERGES))
+def bpe_multi_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINER, k = {BPE_MERGES} merges (r6 verdict item 7 —
+    the completion of bpe_first_merge_pairs): each iteration counts
+    adjacent symbol pairs over the word-frequency working set
+    (overlapping occurrences included, Sennrich's get_stats), merges
+    the argmax pair greedily left-to-right (non-overlapping) into a
+    new symbol, and records the merge-table row. The merge table —
+    (merge_iter, sym_a, sym_b, cnt) — is the trained artifact a
+    tokenizer consumes.
+
+    Spark shape per iteration: ONE vocab-sized hash aggregate for the
+    pair counts (corpus text is scanned once total, into the initial
+    word-frequency map), a 1-row collect for the argmax (the
+    data-dependent merge decision — same bounded driver scalar as the
+    k-core convergence probe), and the merge itself as a PURE
+    EXPRESSION — a sequential F.aggregate fold with an (out, skip)
+    struct accumulator, because BPE's greedy merge IS a left fold. No
+    explode/window/join in the merge step; localCheckpoint bounds the
+    k-step lineage (the fixpoint-loop rule).
+
+    Oracle: the same trainer unrolled k times in SQL (_bpe_unrolled_sql;
+    the kcore-unroll pattern). The greedy non-overlap selection is
+    expressed run/parity-wise there — conflicts only arise in
+    equal-symbol runs, where greedy keeps odd ranks within each run of
+    consecutive match positions; a differential test additionally pins
+    the trainer against a pure-Python Sennrich implementation."""
+    from node_gedcom_graph_spark.functions.scalar import tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    wt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for t in range(1, BPE_MERGES + 1):
+        pairs = (
+            wt.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+                "syms",
+                "freq",
+            )
+            .select(
+                F.expr("element_at(syms, i)").alias("a"),
+                F.expr("element_at(syms, i + 1)").alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        rows.append((t, best["a"], best["b"], int(best["cnt"])))
+        wt = wt.select(
+            _bpe_merge_expr(best["a"], best["b"]).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "merge_iter int, sym_a string, sym_b string, cnt bigint"
+    )

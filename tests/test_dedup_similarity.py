@@ -675,3 +675,70 @@ def test_zero_norm_embeddings_are_out_of_contract(spark, tmp_path):
     emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
     with pytest.raises(Exception, match="zero-norm"):
         cosine_candidate_pairs(emb, threshold=0.45).collect()
+
+
+def test_dedup_embedding_cosine_collapse_branch_matches_bruteforce(
+    spark, tmp_path
+):
+    """r7 dup-gate: the hash-certified probe must route a corpus WITH
+    exact-dup vectors down the collapse path and still produce exactly
+    the brute-force member-level pair set (the dup-free fast path is
+    oracle-gated at sf0.01/sf0.1, where the fixtures have no dups)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from node_gedcom_graph_spark.operators import all_queries
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 64).astype(np.float32)
+    rows = []
+    vid = 0
+    for g, copies in enumerate([3, 1, 2, 1, 4, 1]):  # several dup groups
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in base[g]]))
+            vid += 1
+    # The real tables store array<float>; pandas would write
+    # array<double> and break the f32 fold's typing.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    def cos32(a, b):
+        # sequential f32 fold, like dot_f32
+        acc = np.float32(0.0)
+        for x, y in zip(a, b):
+            acc = np.float32(acc + np.float32(x) * np.float32(y))
+        return float(acc)
+
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float32) for r in rows}
+    expect = set()
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        d = cos32(vecs[i], vecs[j])
+        c = d / (
+            np.sqrt(cos32(vecs[i], vecs[i])) * np.sqrt(cos32(vecs[j], vecs[j]))
+        )
+        if c >= 0.45:
+            expect.add((i, j))
+    got = {
+        (r.id_a, r.id_b)
+        for r in all_queries()["dedup_embedding_cosine"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expect
+    # within-group pairs (cosine 1.0) must be present — proves the
+    # collapse branch actually ran its expansion tiers.
+    assert (0, 1) in got and (0, 2) in got

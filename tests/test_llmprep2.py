@@ -72,3 +72,57 @@ def test_range_search_broadcast_side_is_bounded(spark):
     rows = ann_range_search_cosine(spark, SF_DIR).collect()
     assert all(r.cosine >= 0.25 for r in rows)
     assert all(r.query_id < 8 for r in rows)
+
+
+def test_bpe_multi_merge_matches_pure_python_sennrich(spark):
+    """Differential gate for the k-merge BPE trainer: a from-scratch
+    pure-Python Sennrich trainer (get_stats counts every adjacent
+    position incl. overlaps; merges apply greedily left-to-right
+    non-overlapping; ties break on (cnt DESC, a, b)) over the same
+    parquet must produce the identical merge table."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from node_gedcom_graph_spark.operators.llmprep2 import (
+        BPE_MERGES,
+        bpe_multi_merge_table,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    wf = Counter()
+    for text in docs["text"]:
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            if len(w) >= 2:
+                wf[w] += 1
+    vocab = {w: (list(w), f) for w, f in wf.items()}
+
+    expected = []
+    for t in range(1, BPE_MERGES + 1):
+        stats = Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        (a, b), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((t, a, b, cnt))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, f)
+
+    got = [
+        (r.merge_iter, r.sym_a, r.sym_b, r.cnt)
+        for r in bpe_multi_merge_table.__wrapped__(spark, SF_DIR)
+        .orderBy("merge_iter")
+        .collect()
+    ]
+    assert got == expected

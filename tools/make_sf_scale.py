@@ -9,8 +9,12 @@ time window — deliberately HARSHER than true TPC-H sf1 for skew and
 state-size hazards (duplicate documents create genuine 10-way dup
 groups; identical embeddings stress the count-guard fallbacks).
 
-Usage: python tools/make_sf_scale.py [src_dir] [dst_dir] [K]
-Defaults: /root/testdata/sf0.1 -> <repo>/.benchdata/sf1 with K=10.
+Usage: python tools/make_sf_scale.py [src_dir] [dst_dir] [K] [tables]
+Defaults: /root/testdata/sf0.1 -> <repo>/.benchdata/sf1 with K=10,
+all tables. ``tables``: optional comma-separated subset (the sf100
+tier synthesizes documents,embeddings only — the dedup/GEMM family's
+inputs — to keep the 1000x fixture's disk cost at ~0.5 GB instead of
+~17 GB).
 """
 
 from __future__ import annotations
@@ -53,6 +57,11 @@ def main() -> None:
         REPO, ".benchdata", "sf1"
     )
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if only:
+        unknown = only - set(COPY_RULES)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     # Offset by the key-range SIZE (max - min + 1), not max: 0-based key
@@ -61,6 +70,8 @@ def main() -> None:
     # spark=5000 vs duck=4999 group counts on documents).
     maxes: dict[str, int] = {}
     for table, rules in COPY_RULES.items():
+        if only and table not in only:
+            continue
         for ref in rules.values():
             t, c = ref.split(".")
             if ref not in maxes:
@@ -69,6 +80,8 @@ def main() -> None:
                 ).fetchone()
                 maxes[ref] = hi - lo + 1
     for table, rules in COPY_RULES.items():
+        if only and table not in only:
+            continue
         src_path = f"{src}/{table}.parquet"
         dst_path = f"{dst}/{table}.parquet"
         if not rules:  # shared dimension: copy verbatim
@@ -93,6 +106,8 @@ def main() -> None:
             f"TO '{dst_path}' (FORMAT PARQUET, ROW_GROUP_SIZE 122880)"
         )
     for table in COPY_RULES:
+        if only and table not in only:
+            continue
         n = con.execute(
             f"SELECT COUNT(*) FROM '{dst}/{table}.parquet'"
         ).fetchone()[0]
