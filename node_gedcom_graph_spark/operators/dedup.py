@@ -17,6 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -179,6 +180,26 @@ def _exact_dup_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return members, reps
 
 
+# Optional explicit bound on member-pair expansion (the fuzzy-contract
+# pattern generalized to the whole dedup family): 0 (default) = no
+# bound and NO extra Spark job — gates and bench pay nothing. A sweep
+# at extreme duplication sets it so an output flood (the product of
+# dup-group sizes — 2.5 B+ rows at the 1000x fixture) REFUSES with a
+# pointer to the rep-level contracts instead of burning the watchdog.
+DEDUP_MEMBER_PAIR_CAP = int(os.environ.get("DEDUP_MEMBER_PAIR_CAP", "0"))
+
+
+def _refuse_member_flood(total: int, where: str) -> None:
+    if DEDUP_MEMBER_PAIR_CAP > 0 and total > DEDUP_MEMBER_PAIR_CAP:
+        raise RuntimeError(
+            f"{where}: member expansion refused — {total:,} member pairs "
+            f"> DEDUP_MEMBER_PAIR_CAP={DEDUP_MEMBER_PAIR_CAP:,}. Use the "
+            "rep-level contracts (minhash_recall_report / "
+            "dedup_savings_report / fuzzy_match_parts_replevel pattern) "
+            "or raise the cap explicitly."
+        )
+
+
 def _expand_rep_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
@@ -192,16 +213,29 @@ def _expand_rep_pairs(
     (identical inputs -> identical doubles). ``ordered=False`` emits
     canonical (least, greatest) pairs; ``ordered=True`` keeps the rep
     pair's direction (containment-style asymmetric outputs).
+
+    r7: expansion is JOIN FAN-OUT over singly-exploded member tables,
+    not an array-carrying double explode — the old shape staged every
+    rep pair's full ``_ids_b`` array once PER exploded ``_a`` row
+    (gsz_a array copies per pair: the exact hazard class that timed
+    out fuzzy at sf10, reproduced at 1000-way duplication), while the
+    fan-out generates the same pairs streamwise inside the joins'
+    codegen with only scalar columns in flight.
     """
     vals = [c for c in rep_pairs.columns if c not in (ca, cb)]
-    m_a = members.select(F.col("rep").alias(ca), F.col("ids").alias("_ids_a"))
-    m_b = members.select(F.col("rep").alias(cb), F.col("ids").alias("_ids_b"))
-    ex = (
-        rep_pairs.join(m_a, ca)
-        .join(m_b, cb)
-        .select(F.explode("_ids_a").alias("_a"), "_ids_b", *vals)
-        .select("_a", F.explode("_ids_b").alias("_b"), *vals)
-    )
+    if DEDUP_MEMBER_PAIR_CAP > 0:
+        ga = members.select(F.col("rep").alias(ca), F.col("gsz").alias("_ga"))
+        gb = members.select(F.col("rep").alias(cb), F.col("gsz").alias("_gb"))
+        total = (
+            rep_pairs.join(ga, ca)
+            .join(gb, cb)
+            .agg(F.coalesce(F.sum(F.col("_ga") * F.col("_gb")), F.lit(0)))
+            .first()[0]
+        )
+        _refuse_member_flood(int(total), "_expand_rep_pairs")
+    m_a = members.select(F.col("rep").alias(ca), F.explode("ids").alias("_a"))
+    m_b = members.select(F.col("rep").alias(cb), F.explode("ids").alias("_b"))
+    ex = rep_pairs.join(m_a, ca).join(m_b, cb)
     if ordered:
         return ex.select(F.col("_a").alias(ca), F.col("_b").alias(cb), *vals)
     return ex.select(
@@ -225,17 +259,36 @@ def _within_group_pairs(
     own stats). Reps without a ``sizes`` row (below the shingle
     threshold) drop out, exactly as their pairs never meet in the
     pairwise join."""
-    base = (
-        members.filter(F.col("gsz") >= 2)
-        .join(sizes, F.col("rep") == F.col("doc_id"))
-        .select("ids", value)
+    dup_groups = members.filter(F.col("gsz") >= 2)
+    base = dup_groups.join(sizes, F.col("rep") == F.col("doc_id")).select(
+        "rep", value
     )
-    vals = [c for c in base.columns if c != "ids"]
-    pairs = base.select(
-        F.explode("ids").alias("_a"), "ids", *vals
-    ).select("_a", F.explode("ids").alias("_b"), *vals)
-    pairs = pairs.filter(
-        F.col("_a") != F.col("_b") if ordered else F.col("_a") < F.col("_b")
+    vals = [c for c in base.columns if c != "rep"]
+    if DEDUP_MEMBER_PAIR_CAP > 0:
+        total = (
+            dup_groups.join(
+                sizes, F.col("rep") == F.col("doc_id"), "left_semi"
+            )
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("gsz") * (F.col("gsz") - 1)), F.lit(0)
+                )
+            )
+            .first()[0]
+        )
+        if not ordered:
+            total //= 2
+        _refuse_member_flood(int(total), "_within_group_pairs")
+    # Join fan-out (see _expand_rep_pairs): two singly-exploded member
+    # streams meet on the rep key — no ids array is ever carried
+    # through an explode.
+    m = dup_groups.select("rep", F.explode("ids").alias("_m"))
+    pairs = (
+        base.join(m.withColumnRenamed("_m", "_a"), "rep")
+        .join(m.withColumnRenamed("_m", "_b"), "rep")
+        .filter(
+            F.col("_a") != F.col("_b") if ordered else F.col("_a") < F.col("_b")
+        )
     )
     return pairs.select(
         F.col("_a").alias(ca), F.col("_b").alias(cb), *vals
@@ -441,9 +494,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed seeded hash coefficients. (Correctness of the end result is
     cross-checked against dedup_ngram_jaccard in tests — LSH recall at
     this band shape is ~1 for J >= 0.5 pairs.)
+
+    r7 (sf100 disk-fill fix): the pipeline runs over DISTINCT texts —
+    identical texts share identical signatures, so at 1000-way
+    duplication the uncollapsed band buckets went quadratic in group
+    size and the candidate dedup shuffle FILLED THE DISK at the 1000x
+    fixture (SWEEP_SF100_r7, the r6 minhash_recall_report hazard
+    reproduced in the pair-emitting query). Collapsed, the bucket join
+    and Jaccard verify are duplication-independent; member pairs
+    stream out of the fan-out expansion (cross pairs inherit the rep
+    jaccard verbatim, within-group pairs are identical texts — J = 1.0
+    exactly, and only for groups that shingle at all) with no
+    member-level shuffle anywhere.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return minhash_lsh_pairs(docs)
+    members, reps = _exact_dup_groups(docs)
+    rep_pairs = minhash_lsh_pairs(reps)
+    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
+    shingled = shingled_docs(reps).select("doc_id")
+    within = _within_group_pairs(
+        members, shingled, F.lit(1.0).alias("jaccard"), "doc_a", "doc_b"
+    )
+    return cross.unionByName(within)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.35) -> DataFrame:
@@ -1321,9 +1393,22 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conditional-min aggregation keeps the signature a single map-side-
     combinable hash agg over (doc, seed) — the (doc_id x 16)-row
     shuffle carries minima, not shingle hashes.
+
+    r7: exact-dup collapse + fan-out member expansion, same fix and
+    same reasoning as dedup_minhash_lsh (the sf100 disk-fill) — the
+    banded join runs over distinct texts, within-group candidates are
+    the shingled dup groups' pairs (identical texts collide in every
+    band by construction).
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return minhash_md5_candidates(docs)
+    members, reps = _exact_dup_groups(docs)
+    rep_pairs = minhash_md5_candidates(reps)
+    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
+    shingled = shingled_docs(reps).select("doc_id")
+    within = _within_group_pairs(
+        members, shingled, F.lit(1).alias("_one"), "doc_a", "doc_b"
+    ).select("doc_a", "doc_b")
+    return cross.unionByName(within)
 
 
 def minhash_md5_candidates(docs: DataFrame) -> DataFrame:
