@@ -71,6 +71,20 @@ GATE_QUERIES = [
     # scale behavior is proven by SWEEP_SF10_r6 instead.)
     "doc_dup_ngram_coverage",
     "stream_dedup_paragraph_spans",
+    # round-7 additions under dup pressure: the collapsed MinHash twin
+    # is already above; the rep-level fuzzy contract (2M-row part table
+    # with 10-way duplicated names — the arithmetic member counts face
+    # real group sizes), the k-merge BPE trainer (its word-frequency
+    # working set sees 10x counts, same vocab), and the re-keyed
+    # prefix-fingerprint source-overlap matrix. (fuzzy_match_parts_
+    # blocked stays excluded like the other member-level twins: its
+    # DuckDB oracle is the quadratic within-block levenshtein, which
+    # dominates the gate wall at sf1 — the engine side's sf1 behavior
+    # is proven via SWEEP artifacts instead.)
+    "fuzzy_match_parts_replevel",
+    "bpe_multi_merge_table",
+    "cross_source_overlap",
+    "anti_join_customers_no_urgent_orders",
 ]
 
 
