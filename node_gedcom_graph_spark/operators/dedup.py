@@ -2286,3 +2286,311 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("bigint").alias("clean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the "ExactSubstr" recipe: find every maximal
+# character span whose every W-char window occurs >= 2 times anywhere in
+# the corpus — Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better", which does this with a corpus suffix array).
+# The Spark-native equivalent replaces the suffix array with a rolling
+# window fingerprint: duplicated-window detection is ONE shuffle keyed
+# by an 8-byte hash, and maximal-span reconstruction is a per-document
+# gaps-and-islands window (bounded by document length).
+
+SUBSTR_W = int(os.environ.get("SUBSTR_DEDUP_W", "40"))
+
+
+def substring_dup_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal character spans
+    (1-based, inclusive) of DUPLICATED characters — the union of the
+    char intervals [p, p+w-1] over every window position p whose
+    ``w``-char window occurs at least twice corpus-wide (including
+    within the same document). A character is duplicated iff it sits
+    inside at least one duplicated window (the ExactSubstr byte
+    semantics), so the output spans are disjoint and non-adjacent and
+    their lengths sum to the exact duplicated-character count.
+
+    Scale shape:
+    - the explode emits one row per character position, but projects to
+      (doc_id, pos, xxhash64(window)) INSIDE the scan stage — the only
+      bytes that reach the shuffle are 24 B/position, never the text and
+      never the w-char window itself (w-independent shuffle width);
+    - duplicated-window detection is a COUNT() window over the hash
+      partition: one shuffle on the 8-byte key. A corpus-hot window
+      (e.g. boilerplate) concentrates its copies in one task, but the
+      per-key row count is the window's true corpus frequency — the
+      same bound a suffix-array group would have;
+    - span merge is a per-doc_id gaps-and-islands (lag + running sum —
+      two adjacent positions belong to one char span iff their w-char
+      intervals overlap or touch, i.e. gap <= w), bounded by document
+      length, never a corpus-wide sort.
+
+    Window equality uses xxhash64 fingerprints, not the window text: a
+    false dup-position needs a 64-bit collision between two distinct
+    windows (~n^2/2^65; ~1e-6 at 1e6 positions). The oracle compares
+    the raw window strings, so the gate itself verifies no collision
+    perturbed the result at gated scales.
+    """
+    from pyspark.sql import Window as W
+
+    pos = (
+        docs.filter(F.length("text") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - w + 1)
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("bigint").alias("p"),
+            F.xxhash64(F.expr(f"substring(text, p, {w})")).alias("h"),
+        )
+    )
+    dup = (
+        pos.withColumn(
+            "c", F.count(F.lit(1)).over(W.partitionBy("h"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "p")
+    )
+    byp = W.partitionBy("doc_id").orderBy("p")
+    isl = dup.withColumn(
+        "brk",
+        (
+            F.col("p") - F.lag("p").over(byp) > F.lit(w)
+        ).cast("int"),
+    ).withColumn("grp", F.sum(F.coalesce(F.col("brk"), F.lit(0))).over(byp))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + w - 1).cast("bigint").alias("span_end"),
+        (F.max("p") - F.min("p") + w).cast("bigint").alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+_SUBSTR_ORACLE_SPANS = f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= {SUBSTR_W}
+    ), pos AS MATERIALIZED (
+      SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+             substr(text, CAST(u.p AS INT), {SUBSTR_W}) AS gram
+      FROM docs
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, length(text) - {SUBSTR_W} + 2)) AS p
+      ) u
+    ), dup AS (
+      SELECT doc_id, p FROM pos
+      WHERE gram IN (
+        SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2)
+    ), brk AS (
+      SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (
+               PARTITION BY doc_id ORDER BY p) > {SUBSTR_W}
+             THEN 1 ELSE 0 END AS b
+      FROM dup
+    ), isl AS (
+      SELECT doc_id, p,
+             SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY p) AS grp
+      FROM brk
+    )
+    SELECT doc_id,
+           MIN(p) AS span_start,
+           MAX(p) + {SUBSTR_W} - 1 AS span_end,
+           MAX(p) - MIN(p) + {SUBSTR_W} AS span_len
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register("dedup_substring_spans", oracle=_SUBSTR_ORACLE_SPANS)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every maximal duplicated character span in the corpus (the
+    ExactSubstr detection pass). One row per span:
+    (doc_id, span_start, span_end, span_len), positions 1-based
+    inclusive. See substring_dup_spans for the scale argument.
+
+    Reference parity: the reference has no text-dedup surface; this is
+    part of the LLM-pipeline extension family (SURVEY §6).
+
+    ``spread=True``: the window explode fans out ~260x, so the scan
+    stage must be partitioned by OUTPUT volume, not input bytes — a
+    single small parquet file would otherwise run the whole 100x-tier
+    explode+hash on 2 cores (observed: 288 s -> the spread unlocks all
+    32).
+    """
+    return substring_dup_spans(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )
+
+
+@register(
+    "dedup_substring_stats_by_source",
+    oracle=f"""
+    WITH spans AS ({_SUBSTR_ORACLE_SPANS}),
+    per_doc AS (
+      SELECT doc_id, SUM(span_len) AS dup_chars FROM spans GROUP BY doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p.dup_chars IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_dups,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(COALESCE(SUM(p.dup_chars), 0) AS BIGINT) AS dup_chars,
+           CAST(COALESCE(SUM(p.dup_chars), 0) AS DOUBLE)
+             / SUM(d.n_chars) AS dup_char_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_substring_stats_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-curation report over the ExactSubstr pass: per source, how
+    many documents contain duplicated spans and what fraction of the
+    source's characters they cover. Spans never overlap after the
+    island merge, so per-doc dup_chars is an exact character count.
+
+    The span pipeline's shuffles are as in substring_dup_spans; this
+    adds one per-doc aggregation and a left join back to ``documents``
+    keyed by doc_id (dimension-sized per-doc rollup, not per-position).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_doc = (
+        substring_dup_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("dup_chars"))
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.col("dup_chars").isNotNull().cast("int")
+            ).cast("bigint").alias("docs_with_dups"),
+            F.sum("n_chars").alias("total_chars"),
+            F.coalesce(F.sum("dup_chars"), F.lit(0)).cast("bigint").alias(
+                "dup_chars"
+            ),
+            (
+                F.coalesce(F.sum("dup_chars"), F.lit(0)).cast("double")
+                / F.sum("n_chars")
+            ).alias("dup_char_fraction"),
+        )
+    )
+
+
+@register(
+    "dedup_substring_clean",
+    oracle=f"""
+    WITH spans AS ({_SUBSTR_ORACLE_SPANS}),
+    gaps AS (
+      SELECT doc_id,
+             COALESCE(LAG(span_end) OVER (
+               PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+             span_start - 1 AS seg_end
+      FROM spans
+    ), segs AS (
+      SELECT doc_id, seg_start, seg_end
+      FROM gaps WHERE seg_end >= seg_start
+      UNION ALL
+      SELECT doc_id, MAX(span_end) + 1 AS seg_start, NULL AS seg_end
+      FROM spans GROUP BY doc_id
+    ), pieces AS (
+      SELECT s.doc_id, s.seg_start,
+             CASE WHEN s.seg_end IS NULL
+                  THEN substr(d.text, CAST(s.seg_start AS INT))
+                  ELSE substr(d.text, CAST(s.seg_start AS INT),
+                              CAST(s.seg_end - s.seg_start + 1 AS INT))
+             END AS piece
+      FROM segs s JOIN documents d USING (doc_id)
+    ), rec AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS clean
+      FROM pieces GROUP BY doc_id
+    ), st AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_len) AS BIGINT) AS dup_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(st.n_spans, 0) AS n_spans,
+           COALESCE(st.dup_chars, 0) AS dup_chars,
+           md5(COALESCE(r.clean, d.text)) AS clean_md5,
+           CAST(length(COALESCE(r.clean, d.text)) AS BIGINT) AS clean_chars
+    FROM documents d
+    LEFT JOIN rec r USING (doc_id)
+    LEFT JOIN st USING (doc_id)
+    """,
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ExactSubstr recipe: detect every duplicated character
+    span (substring_dup_spans) and REMOVE it from the document — all
+    copies are cut, matching Lee et al.'s deduplicate-by-deletion pass.
+    One row per document (cleaned docs AND untouched docs):
+    (doc_id, n_spans, dup_chars, clean_md5, clean_chars) — the verdict
+    table is hash-gated without shipping document bodies.
+
+    Reconstruction is driver-free and shuffle-light: the spans are
+    already disjoint and sorted per document, so the kept segments are
+    computed by ONE F.aggregate fold over the collected span array
+    (per-doc array bounded by doc length / w) inside a project — no
+    second corpus-wide window, no explode back out. Shuffles: the two
+    in substring_dup_spans + one per-doc collect_list + one dimension
+    join back to documents.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    spans = substring_dup_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_chars"),
+    )
+    j = docs.join(per_doc, "doc_id", "left")
+    # Fold over the sorted spans: carry (next segment start, clean text
+    # so far); each span contributes the gap before it, the finish step
+    # appends the tail after the last span.
+    clean = F.aggregate(
+        F.coalesce(
+            F.col("sp"),
+            F.expr(
+                "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+            ),
+        ),
+        F.struct(
+            F.lit(1).cast("bigint").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda a, s: F.struct(
+            (s["span_end"] + 1).alias("pos"),
+            F.concat(
+                a["acc"],
+                F.substring(
+                    F.col("text"),
+                    a["pos"].cast("int"),
+                    (s["span_start"] - a["pos"]).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.substring(
+                F.col("text"),
+                a["pos"].cast("int"),
+                (F.length("text") - a["pos"] + 1).cast("int"),
+            ),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias(
+            "n_spans"
+        ),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias(
+            "dup_chars"
+        ),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("bigint").alias("clean_chars"),
+    )

@@ -742,3 +742,138 @@ def test_dedup_embedding_cosine_collapse_branch_matches_bruteforce(
     # within-group pairs (cosine 1.0) must be present — proves the
     # collapse branch actually ran its expansion tiers.
     assert (0, 1) in got and (0, 2) in got
+
+
+def test_substring_spans_controlled(spark):
+    """Hand-computed ExactSubstr spans on a controlled corpus: two docs
+    share one 60-char block at different offsets; a third is unique."""
+    from node_gedcom_graph_spark.operators.dedup import substring_dup_spans
+
+    w = 40
+    block = "B" * 26 + "0123456789" + "b" * 24  # 60 distinct-ish chars
+    assert len(block) == 60
+    import random
+
+    rng = random.Random(7)
+    uniq = lambda n: "".join(rng.choice("acegikmoqsuwy") for _ in range(n))
+    pre1, post1 = uniq(30), uniq(25)
+    pre2 = uniq(50)
+    docs = spark.createDataFrame(
+        [
+            (1, pre1 + block + post1),
+            (2, pre2 + block),
+            (3, uniq(120)),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in substring_dup_spans(docs, w).collect()
+    )
+    # Every w-window fully inside the shared 60-char block is duplicated;
+    # the maximal island is exactly the block: doc1 chars 31..90 (1-based
+    # after a 30-char prefix), doc2 chars 51..110.
+    assert got == [(1, 31, 90, 60), (2, 51, 110, 60)]
+
+
+def test_substring_spans_matches_pure_python(spark):
+    """Differential for dedup_substring_spans at sf0.001: replay the
+    sliding-window dup detection and island merge in pure Python."""
+    from node_gedcom_graph_spark.operators.dedup import (
+        SUBSTR_W,
+        dedup_substring_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    from collections import Counter
+
+    counts = Counter()
+    perdoc = {}
+    for r in rows:
+        t = r.text or ""
+        grams = [t[i : i + SUBSTR_W] for i in range(len(t) - SUBSTR_W + 1)]
+        perdoc[r.doc_id] = grams
+        counts.update(grams)
+    expect = set()
+    for doc_id, grams in perdoc.items():
+        dup_ps = [i + 1 for i, g in enumerate(grams) if counts[g] >= 2]
+        run = []
+        # union of [p, p+W-1] char intervals: positions p, q share a
+        # span iff q - p <= W (overlapping or touching intervals)
+        for p in dup_ps + [None]:
+            if run and (p is None or p - run[-1] > SUBSTR_W):
+                expect.add(
+                    (doc_id, run[0], run[-1] + SUBSTR_W - 1,
+                     run[-1] - run[0] + SUBSTR_W)
+                )
+                run = []
+            if p is not None:
+                run.append(p)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in dedup_substring_spans(spark, sf).collect()
+    }
+    assert got == expect
+    assert expect, "sf0.001 word-soup corpus must contain dup windows"
+    # spans are disjoint and non-adjacent within a doc, so their
+    # lengths sum to the exact duplicated-char count
+    from collections import defaultdict
+
+    bydoc = defaultdict(list)
+    for d, s, e, ln in got:
+        assert ln == e - s + 1
+        bydoc[d].append((s, e))
+    for spans in bydoc.values():
+        spans.sort()
+        for (_, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1
+
+
+def test_substring_clean_matches_pure_python(spark):
+    """Differential for dedup_substring_clean at sf0.001: cut every
+    duplicated span from every document in pure Python and compare the
+    reconstruction digests."""
+    import hashlib
+
+    from node_gedcom_graph_spark.operators.dedup import (
+        SUBSTR_W,
+        dedup_substring_clean,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    from collections import Counter
+
+    counts = Counter()
+    perdoc = {}
+    for r in rows:
+        t = r.text or ""
+        grams = [t[i : i + SUBSTR_W] for i in range(len(t) - SUBSTR_W + 1)]
+        perdoc[r.doc_id] = (t, grams)
+        counts.update(grams)
+    expect = {}
+    for doc_id, (t, grams) in perdoc.items():
+        dup_chars = [False] * len(t)
+        for i, g in enumerate(grams):
+            if counts[g] >= 2:
+                for c in range(i, i + SUBSTR_W):
+                    dup_chars[c] = True
+        clean = "".join(ch for ch, d in zip(t, dup_chars) if not d)
+        n_spans = sum(
+            1
+            for i, d in enumerate(dup_chars)
+            if d and (i == 0 or not dup_chars[i - 1])
+        )
+        expect[doc_id] = (
+            n_spans,
+            sum(dup_chars),
+            hashlib.md5(clean.encode()).hexdigest(),
+            len(clean),
+        )
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars, r.clean_md5, r.clean_chars)
+        for r in dedup_substring_clean(spark, sf).collect()
+    }
+    assert got == expect
+    assert any(v[0] > 0 for v in expect.values())

@@ -107,7 +107,25 @@ def main() -> None:
         watchdog.start()
         t0 = time.monotonic()
         try:
-            rows = qs[name](spark, sf_dir).count()
+            # NOT .count(): Catalyst prunes plan branches that cannot
+            # change the row count (e.g. a left-outer join whose right
+            # side has provably-unique keys gets ELIMINATED), so count()
+            # under-measures any query with such a shape — observed 3.4 s
+            # vs 262 s real wall on dedup_substring_stats_by_source. The
+            # noop sink materializes every column of every row; the
+            # observation carries the row count out without a second run.
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"sweep_{name}_{int(t0)}")
+            (
+                qs[name](spark, sf_dir)
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            rows = obs.get["rows"]
             wall = round(time.monotonic() - t0, 1)
             out["queries"][name] = {"rows": rows, "wall_s": wall}
             if wall > 60:
