@@ -94,6 +94,10 @@ HEADLINE = (
     # contract at every sf).
     "decontaminate_ngram_overlap",
     "decontaminate_embedding_cosine",
+    # r7: the ExactSubstr recipe end-to-end (detect every duplicated
+    # char span + reconstruct cleaned documents) — the round's new
+    # flagship dedup family.
+    "dedup_substring_clean",
 )
 
 N_SYNTH_INDI = 50_000  # synthesized GEDCOM individuals for the ETL bench

@@ -1796,3 +1796,110 @@ def stream_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+# ---------------------------------------------------------------------------
+# Streaming ExactSubstr window dedup (15th streaming gate): the batch
+# dedup_substring_spans family's detection pass as a continuous query.
+# ---------------------------------------------------------------------------
+
+
+def _stream_substring_oracle() -> str:
+    """Window construction shared with the batch dedup_substring_spans
+    oracle (operators/dedup.py), aggregated to the duplicated-window
+    first-occurrence table the stream maintains."""
+    from node_gedcom_graph_spark.operators.dedup import SUBSTR_W
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= {SUBSTR_W}
+    ), pos AS MATERIALIZED (
+      SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+             md5(substr(text, CAST(u.p AS INT), {SUBSTR_W})) AS window_md5
+      FROM docs
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, length(text) - {SUBSTR_W} + 2)) AS p
+      ) u
+    ), firsts AS (
+      SELECT window_md5, doc_id AS first_doc, p AS first_p
+      FROM (
+        SELECT window_md5, doc_id, p,
+               ROW_NUMBER() OVER (
+                 PARTITION BY window_md5 ORDER BY doc_id, p) AS rn
+        FROM pos
+      ) WHERE rn = 1
+    ), counts AS (
+      SELECT window_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pos GROUP BY window_md5 HAVING COUNT(*) >= 2
+    )
+    SELECT f.window_md5, f.first_doc, f.first_p, c.n_occurrences
+    FROM firsts f JOIN counts c USING (window_md5)
+    """
+
+
+@_register("stream_dedup_substring_windows", oracle=_stream_substring_oracle())
+def stream_dedup_substring_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ExactSubstr detection pass (batch: dedup_substring_spans,
+    operators/dedup.py) as a continuous query: documents arrive as a
+    stream, each is exploded into its W-char sliding window positions,
+    and a stateful grouped aggregation maintains the duplicated-window
+    table incrementally — per distinct window, its corpus occurrence
+    count and minimum (doc_id, position). Emitted rows are the windows
+    seen at least twice: exactly the dup-position predicate the batch
+    islands merge consumes, so a downstream batch pass can reconstruct
+    spans from the drained state at any point in the stream.
+
+    MIN/COUNT are arrival-order independent, so the drained table is
+    hash-gateable against the batch oracle (complete-mode memory sink,
+    availableNow drain). State is keyed by the 16-byte md5 of the
+    window (not the text), one row per DISTINCT window — bounded by
+    corpus character count; at production bound it with a watermarked
+    event-time column (the stream_dedup_exact note) or periodically
+    compact to the >=2-count rows, which are the only ones the span
+    pass reads.
+    """
+    from node_gedcom_graph_spark.operators.dedup import SUBSTR_W
+
+    docs = read_documents_stream(spark, sf_dir)
+    pos = (
+        docs.filter(F.length("text") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - SUBSTR_W + 1)
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("bigint").alias("p"),
+            F.md5(F.expr(f"substring(text, p, {SUBSTR_W})")).alias(
+                "window_md5"
+            ),
+        )
+    )
+    agg = (
+        pos.groupBy("window_md5")
+        .agg(
+            F.min(F.struct("doc_id", "p")).alias("k"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "window_md5",
+            F.col("k.doc_id").alias("first_doc"),
+            F.col("k.p").alias("first_p"),
+            "n_occurrences",
+        )
+    )
+    sink = "stream_substr_dedup_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -62,7 +62,20 @@ def main() -> None:
     for name in names:
         t0 = time.monotonic()
         try:
-            rows = qs[name](spark, sf_dir).count()
+            # noop sink, not count(): Catalyst prunes plan branches that
+            # cannot change the row count (see tools/sweep_sf10.py).
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"sweep1_{name}_{int(t0)}")
+            (
+                qs[name](spark, sf_dir)
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            rows = obs.get["rows"]
             wall = round(time.monotonic() - t0, 1)
             out["queries"][name] = {"rows": rows, "wall_s": wall}
             if wall > 15:
