@@ -2945,3 +2945,160 @@ def embedding_pca_power3(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = float(v @ C @ v)
     out = [(i + 1, round(float(v[i]), 6), round(lam, 6)) for i in range(PCA_DIM)]
     return spark.createDataFrame(out, "dim int, loading double, eigval double")
+
+
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture resampling: budget water-filling.
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_FRAC = 0.4
+
+
+@register(
+    "dataset_mix_resample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_docs) AS BIGINT) AS n,
+             CAST(FLOOR(SUM(n_docs) * {MIX_BUDGET_FRAC}) AS BIGINT) AS b
+      FROM counts
+    ), ord AS (
+      SELECT n_docs,
+             ROW_NUMBER() OVER (ORDER BY n_docs, source) AS i,
+             CAST(SUM(n_docs) OVER (ORDER BY n_docs, source) AS BIGINT) AS p
+      FROM counts
+    ), base AS (
+      SELECT COALESCE(MAX(i), 0) AS bi,
+             COALESCE(arg_max(p, i), 0) AS pbi
+      FROM ord, tot
+      WHERE p + (k - i) * n_docs <= b
+    ), lvl AS (
+      SELECT CASE WHEN base.bi >= tot.k
+                  THEN (SELECT MAX(n_docs) FROM counts)
+                  ELSE (tot.b - base.pbi) // (tot.k - base.bi)
+             END AS l
+      FROM base, tot
+    ), marked AS (
+      SELECT d.source, d.n_chars, c.n_docs,
+             LEAST(c.n_docs, lvl.l) AS quota,
+             (c.n_docs <= lvl.l
+              OR CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT) AS HUGEINT)
+                 * c.n_docs
+                 < CAST(LEAST(c.n_docs, lvl.l) AS HUGEINT) * 4294967296)
+               AS kept
+      FROM documents d JOIN counts c USING (source) CROSS JOIN lvl
+    )
+    SELECT source,
+           MIN(n_docs) AS n_docs,
+           MIN(quota) AS quota,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN kept THEN n_chars END), 0)
+                AS BIGINT) AS kept_chars,
+           ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / MIN(n_docs),
+                 6) AS keep_ratio
+    FROM marked GROUP BY source
+    """,
+)
+def dataset_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a data-mixing plan by WATER-FILLING a document
+    budget: keep floor({MIX_BUDGET_FRAC} * N) documents total,
+    allocated as uniformly as possible across sources — every source
+    gets the same level L except those with fewer than L documents,
+    which keep everything (the classic uniform-mixing-under-a-budget
+    allocator; level found on the sorted per-source prefix sums). A
+    document survives iff its source fits its quota outright, or its
+    32-bit md5 bucket falls under quota/n_docs — REPRODUCIBLE across
+    engines, repartitionings, and re-runs, with no RNG; shrinking the
+    budget keeps a strict subset (hash thresholds nest).
+
+    Every selection comparison is EXACT integer arithmetic
+    (h * n_docs < quota * 2^32 in 128-bit/decimal space — no float
+    sums, no pow), which is what makes the per-row keep decision
+    bit-identical on both engines and therefore fully hash-gateable —
+    unlike a temperature mixture whose float normalization could flip
+    boundary documents (source_sampling_temperature reports its
+    weights as ROUNDED OUTPUT for exactly that reason).
+
+    Scale: one count aggregate (map-side combinable), a |sources|-row
+    rank/prefix-sum window to find the level (broadcast back, listed
+    under plan-audit ALLOW), then a pure per-row expression — no
+    corpus-wide shuffle at all; the output is one row per source.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.floor(F.sum("n_docs") * F.lit(MIX_BUDGET_FRAC))
+        .cast("bigint")
+        .alias("b"),
+    )
+    byn = W.partitionBy().orderBy("n_docs", "source")
+    ord_ = counts.select(
+        "n_docs",
+        F.row_number().over(byn).cast("bigint").alias("i"),
+        F.sum("n_docs").over(byn).alias("p"),
+    )
+    base = (
+        ord_.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("p") + (F.col("k") - F.col("i")) * F.col("n_docs")
+            <= F.col("b")
+        )
+        .agg(
+            F.coalesce(F.max("i"), F.lit(0)).alias("bi"),
+            F.coalesce(F.max_by("p", "i"), F.lit(0)).alias("pbi"),
+        )
+    )
+    maxn = counts.agg(F.max("n_docs").alias("mx"))
+    lvl = (
+        base.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(maxn))
+        .select(
+            F.when(F.col("bi") >= F.col("k"), F.col("mx"))
+            .otherwise(
+                F.expr("(b - pbi) DIV (k - bi)")
+            )
+            .alias("l")
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("decimal(19,0)")
+    quota = F.least(F.col("n_docs"), F.col("l"))
+    kept = (F.col("n_docs") <= F.col("l")) | (
+        h * F.col("n_docs").cast("decimal(19,0)")
+        < quota.cast("decimal(19,0)")
+        * F.lit(4294967296).cast("decimal(19,0)")
+    )
+    marked = (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "n_chars",
+            "n_docs",
+            quota.alias("quota"),
+            kept.alias("kept"),
+        )
+    )
+    return marked.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("quota").alias("quota"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0)
+        ).cast("bigint").alias("kept_chars"),
+        F.round(
+            F.sum(F.col("kept").cast("int")) * F.lit(1.0) / F.min("n_docs"),
+            6,
+        ).alias("keep_ratio"),
+    )

@@ -400,10 +400,10 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3
 
 
-def _bpe_unrolled_sql(k: int) -> str:
-    """DuckDB oracle for the k-merge BPE trainer, unrolled (the kcore
-    pattern — SQL can't iterate to a data-dependent argmax, but a fixed
-    k unrolls exactly). Per iteration: overlapping-inclusive adjacent
+def _bpe_unrolled_parts(k: int) -> list[str]:
+    """The k-merge BPE trainer's CTE chain, shared verbatim by the
+    trainer oracle (_bpe_unrolled_sql) and the encoder oracle
+    (_bpe_encode_sql). Per iteration: overlapping-inclusive adjacent
     pair counts (Sennrich's get_stats), argmax with (cnt DESC, a, b)
     ties, then the greedy left-to-right non-overlapping merge. The
     only overlap conflicts are equal-symbol runs (a pair (a,b) with
@@ -466,6 +466,14 @@ def _bpe_unrolled_sql(k: int) -> str:
       ) GROUP BY wid, freq
     )"""
         )
+    return parts
+
+
+def _bpe_unrolled_sql(k: int) -> str:
+    """DuckDB oracle for the k-merge BPE trainer, unrolled (the kcore
+    pattern — SQL can't iterate to a data-dependent argmax, but a fixed
+    k unrolls exactly). See _bpe_unrolled_parts."""
+    parts = _bpe_unrolled_parts(k)
     union = "\n    UNION ALL ".join(
         f"SELECT CAST(merge_iter AS INTEGER) AS merge_iter, a AS sym_a, "
         f"b AS sym_b, cnt FROM best{t}"
@@ -476,6 +484,37 @@ def _bpe_unrolled_sql(k: int) -> str:
         + ",\n    ".join(parts)
         + f"\n    {union}\n    ORDER BY merge_iter"
     )
+
+
+def _bpe_encode_sql(k: int) -> str:
+    """DuckDB oracle for the ENCODER stats: the trainer's unrolled CTE
+    chain (shared verbatim via _bpe_unrolled_parts), finished by
+    joining the initial (wt0) and final (wt{k}) working sets to count
+    symbols before/after the k merges, plus the single-char tokens the
+    trainer's working set excludes (they encode to themselves)."""
+    ctes = "WITH " + ",\n    ".join(_bpe_unrolled_parts(k))
+    return f"""{ctes},
+    short AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_short FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+      ) WHERE length(w) = 1
+    ), enc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+             CAST(SUM(a.freq) AS BIGINT) AS n_long,
+             CAST(SUM(len(a.syms) * a.freq) AS BIGINT) AS sb,
+             CAST(SUM(len(b.syms) * b.freq) AS BIGINT) AS sa
+      FROM wt0 a JOIN wt{k} b USING (wid)
+    )
+    SELECT n_word_types,
+           n_long + n_short AS n_tokens,
+           sb + n_short AS symbols_before,
+           sa + n_short AS symbols_after,
+           sb - sa AS n_merges_applied,
+           CAST(sa + n_short AS DOUBLE) / (sb + n_short)
+             AS compression_ratio
+    FROM enc, short
+    """
 
 
 def _bpe_merge_expr(a: str, b: str) -> F.Column:
@@ -550,6 +589,21 @@ def bpe_multi_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-symbol runs, where greedy keeps odd ranks within each run of
     consecutive match positions; a differential test additionally pins
     the trainer against a pure-Python Sennrich implementation."""
+    rows, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "merge_iter int, sym_a string, sym_b string, cnt bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], DataFrame]:
+    """Run the k-merge trainer; return (merge_rows, final working set).
+
+    The working set is one row per word TYPE of length >= 2:
+    (syms array after all k merges, corpus freq). Shared by the trainer
+    query (which emits the merge table) and the encoder stats query
+    (which aggregates the encoded symbol counts)."""
     from node_gedcom_graph_spark.functions.scalar import tokens
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -588,6 +642,59 @@ def bpe_multi_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         wt = wt.select(
             _bpe_merge_expr(best["a"], best["b"]).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        rows, "merge_iter int, sym_a string, sym_b string, cnt bigint"
+    return rows, wt
+
+
+@register("bpe_encode_corpus_stats", oracle=_bpe_encode_sql(BPE_MERGES))
+def bpe_encode_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE ENCODER applied corpus-wide — the consumption side of
+    bpe_multi_merge_table's trained artifact: every token is encoded
+    with the k trained merges (single-char tokens encode to
+    themselves), and the query reports the corpus token/symbol budget
+    that encoding achieves: (n_word_types, n_tokens, symbols_before,
+    symbols_after, n_merges_applied, compression_ratio). This is the
+    number a tokenizer-ablation pipeline actually reads off a BPE run.
+
+    Scale shape: encoding happens on word TYPES (the trainer's
+    deduplicated working set — vocabulary-sized, not corpus-sized) and
+    re-weights by corpus frequency, so the merge fold cost is
+    O(|vocab| * k), never O(corpus); the corpus itself is scanned once
+    for the token counts (one map-side-combinable aggregate). The
+    trainer's k bounded argmax collects are the only driver scalars.
+
+    Oracle: the trainer's unrolled CTE chain finished by a wt0-to-wtk
+    join (_bpe_encode_sql) — the merge decisions AND the encoded
+    working set are recomputed independently by DuckDB, so a trainer
+    divergence would fail this gate too.
+    """
+    from node_gedcom_graph_spark.functions.scalar import tokens
+
+    _, wt = _bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    short = tok.filter(F.length("w") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_short")
+    )
+    before = tok.filter(F.length("w") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_long"),
+        F.sum(F.length("w")).cast("bigint").alias("sb"),
+    )
+    after = wt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum(F.size("syms") * F.col("freq")).cast("bigint").alias("sa"),
+    )
+    return (
+        after.crossJoin(before)
+        .crossJoin(short)
+        .select(
+            "n_word_types",
+            (F.col("n_long") + F.col("n_short")).alias("n_tokens"),
+            (F.col("sb") + F.col("n_short")).alias("symbols_before"),
+            (F.col("sa") + F.col("n_short")).alias("symbols_after"),
+            (F.col("sb") - F.col("sa")).alias("n_merges_applied"),
+            (
+                (F.col("sa") + F.col("n_short")).cast("double")
+                / (F.col("sb") + F.col("n_short"))
+            ).alias("compression_ratio"),
+        )
     )

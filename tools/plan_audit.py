@@ -85,6 +85,15 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_sampling_temperature": {
         "SinglePartition": "|sources|-row normalization window (result shape)"
     },
+    "dataset_mix_resample": {
+        "SinglePartition": "|sources|-row cap-rank window + one-row rank "
+        "scalar (both broadcast back; the corpus path has no "
+        "single-partition stage)"
+    },
+    "bpe_encode_corpus_stats": {
+        "SinglePartition": "one-row corpus-stats crossJoin branches "
+        "(n_short/before/after scalars merged into the single result row)"
+    },
     "orders_weekday_effect": {
         "SinglePartition": "one-row weekly-total branch (broadcast back)"
     },
