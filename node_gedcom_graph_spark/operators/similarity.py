@@ -753,11 +753,47 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.45 threshold compare identical doubles — set membership cannot
     drift. The argmax is the MIN/MAX-struct hash agg, no per-vector
     window sort; centroids broadcast (16 rows at any corpus size).
+
+    r7 sf10 fix (900 s noop-harness timeout -> seconds at 100x; the
+    count()-based sweep had HIDDEN this for two rounds by letting
+    Catalyst prune the pairwise branch): EXACT-DUPLICATE COLLAPSE on
+    the embedding value first, the dedup_embedding_cosine idiom.
+    Cluster assignment is a pure function of the embedding value
+    (deterministic argmax incl. the -cid tie-break), so identical
+    vectors share a cluster, and every rep id is its group's MINIMUM
+    member id — which makes the member verdict pure arithmetic: member
+    b is pruned iff b_id > m(g_b), where m(g_b) is the smallest rep id
+    among same-cluster neighbor groups with rep cosine >= T, merged
+    with g_b's own rep id when the group has >= 2 members and its
+    self-cosine clears T (the same float the uncollapsed join would
+    compare). The probe is hash-certified dup-freeness
+    (count_distinct(xxhash64) == count): a dup-free corpus runs the
+    original uncollapsed pipeline unchanged, so gate fixtures are
+    byte-identical to the pre-fix shape; the duplicate-heavy path is
+    value-hash-gated by the synth-sf1 gate's oracle.
     """
+    from node_gedcom_graph_spark.operators import persist_tracked
     from node_gedcom_graph_spark.operators.dedup import dot_f32
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    n = _normed(emb)
+    n_raw = emb.count()
+    n_distinct = emb.agg(
+        F.count_distinct(F.xxhash64("embedding")).alias("d")
+    ).first()[0]
+    dup_free = n_distinct == n_raw
+    grp = None
+    if dup_free:
+        src = emb
+    else:
+        grp = persist_tracked(
+            emb.groupBy("embedding").agg(
+                F.min("vec_id").alias("vec_id"),
+                F.collect_list("vec_id").alias("ids"),
+                F.count(F.lit(1)).alias("gsz"),
+            )
+        )
+        src = grp.select("vec_id", "embedding")
+    n = _normed(src)
     cent = F.broadcast(_fixed_centroids(emb))
     cos_c = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
         F.col("nm") * F.col("c_nm")
@@ -800,21 +836,68 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_cos = dot_f32(F.col("a_emb"), F.col("b_emb")).cast("double") / (
         F.col("a_nm") * F.col("b_nm")
     )
-    pruned = (
+    if dup_free:
+        pruned = (
+            a.join(
+                b,
+                (F.col("a_cid") == F.col("b_cid"))
+                & (F.col("a_id") < F.col("b_id")),
+            )
+            .filter(pair_cos >= SEMDEDUP_COSINE_T)
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+            .withColumn("p", F.lit(1))
+        )
+        return assign.join(pruned, "vec_id", "left").select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("pruned"),
+        )
+    # Duplicate-heavy path: rep-level pairs only, member verdicts by
+    # arithmetic (see docstring). nb_min needs BOTH directions of each
+    # rep pair (a smaller-id neighbor group prunes members above its
+    # rep id even when its rep id is larger than b's rep id is not
+    # possible — min() keeps the smallest — but a group's members can
+    # be pruned by a neighbor whose rep id is LARGER than some members
+    # and smaller than others, so the join must not pre-filter a<b).
+    nb_min = (
         a.join(
             b,
             (F.col("a_cid") == F.col("b_cid"))
-            & (F.col("a_id") < F.col("b_id")),
+            & (F.col("a_id") != F.col("b_id")),
         )
         .filter(pair_cos >= SEMDEDUP_COSINE_T)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("p", F.lit(1))
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("nb_min"))
     )
-    return assign.join(pruned, "vec_id", "left").select(
+    self_cos = n.select(
         "vec_id",
+        (
+            dot_f32(F.col("embedding"), F.col("embedding")).cast("double")
+            / (F.col("nm") * F.col("nm"))
+        ).alias("selfcos"),
+    )
+    own = F.when(
+        (F.col("gsz") >= 2) & (F.col("selfcos") >= SEMDEDUP_COSINE_T),
+        F.col("vec_id"),
+    )
+    info = (
+        assign.join(grp.select("vec_id", "ids", "gsz"), "vec_id")
+        .join(self_cos, "vec_id")
+        .join(nb_min, "vec_id", "left")
+        .select(
+            "cid",
+            F.least(F.col("nb_min"), own).alias("m"),
+            F.explode("ids").alias("member_id"),
+        )
+    )
+    return info.select(
+        F.col("member_id").alias("vec_id"),
         "cid",
-        F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("pruned"),
+        F.when(F.col("member_id") > F.col("m"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pruned"),
     )
 
 

@@ -877,3 +877,64 @@ def test_substring_clean_matches_pure_python(spark):
     }
     assert got == expect
     assert any(v[0] > 0 for v in expect.values())
+
+
+def test_semdedup_collapse_matches_bruteforce(spark, tmp_path):
+    """The r7 duplicate-collapse rewrite of semdedup_cluster_prune must
+    reproduce the UNBOUNDED oracle semantics on a duplicate-heavy
+    controlled corpus: brute-force replay in numpy float64 (cosines in
+    the fixture sit far from the 0.45 bar, so fold-order effects can't
+    flip membership), duplicates present in several groups so the
+    member-verdict arithmetic (b pruned iff b_id > m(g_b)) is really
+    exercised."""
+    import hashlib
+
+    import numpy as np
+
+    from node_gedcom_graph_spark.operators.similarity import (
+        SEMDEDUP_COSINE_T,
+        semdedup_cluster_prune,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(8, 6)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for bi in range(8):
+        # one exact-dup group of size 3, one near vector, per base dir
+        for _ in range(3):
+            rows.append((vid, [float(x) for x in base[bi]])); vid += 1
+        near = base[bi] + 0.1 * base[(bi + 1) % 8]
+        near = (near / np.linalg.norm(near)).astype(np.float32)
+        rows.append((vid, [float(x) for x in near])); vid += 1
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    # pure-Python replay of the oracle semantics (float64 cosines)
+    ids = [i for i, _ in rows]
+    V = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    cents = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:16]
+    cos = lambda a, b: float(V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])))  # noqa: E731
+    assign = {
+        i: max(cents, key=lambda c: (cos(i, c), -c)) for i in ids
+    }
+    pruned = {
+        b
+        for b in ids
+        for a in ids
+        if a < b and assign[a] == assign[b] and cos(a, b) >= SEMDEDUP_COSINE_T
+    }
+    got = {
+        r.vec_id: (r.cid, r.pruned)
+        for r in semdedup_cluster_prune.__wrapped__(spark, sf).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i] == (assign[i], int(i in pruned)), i
+    # the fixture must actually exercise the dup path's arithmetic
+    assert any(i in pruned for i in ids) and any(i not in pruned for i in ids)

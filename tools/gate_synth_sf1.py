@@ -85,6 +85,19 @@ GATE_QUERIES = [
     "bpe_multi_merge_table",
     "cross_source_overlap",
     "anti_join_customers_no_urgent_orders",
+    # round-7 additions (second half) under dup pressure: the
+    # ExactSubstr family (10-way duplicated documents make every
+    # window a real dup — spans/stats/clean and the streaming window
+    # table all face full-coverage spans), the semdedup collapse
+    # rewrite (this gate's oracle is what pins the duplicate-heavy
+    # member-verdict arithmetic), the BPE encoder, and the
+    # water-filling resampler.
+    "dedup_substring_spans",
+    "dedup_substring_stats_by_source",
+    "dedup_substring_clean",
+    "stream_dedup_substring_windows",
+    "bpe_encode_corpus_stats",
+    "dataset_mix_resample",
 ]
 
 
