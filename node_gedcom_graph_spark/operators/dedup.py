@@ -149,6 +149,47 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ n-gram Jaccard
 
 
+# Collapse engages only when the corpus carries at least this many
+# EXTRA rows beyond its distinct-text count. The collapse is a pure
+# optimization (the uncollapsed pairwise path computes identical
+# values — identical texts collide in every bucket and score J=1.0 /
+# hamming=0 / containment=1.0 through the same expressions), so the
+# only question is economics: with e = n - d extra rows, the worst
+# uncollapsed inflation is one (e+1)-member group contributing
+# ~(e+1)^2 bucket pairs — ~1M pairs at the default 1024, absorbable —
+# while the collapse machinery costs two extra shuffles + three
+# expansion joins on EVERY run (bench: +75% on dedup_minhash_lsh at
+# sf0.1, whose 5000 docs carry 8 dup texts).
+DUP_COLLAPSE_MIN_EXTRA = int(
+    os.environ.get("DUP_COLLAPSE_MIN_EXTRA", "1024")
+)
+
+
+def _collapse_or_passthrough(
+    docs: DataFrame,
+) -> tuple[DataFrame | None, DataFrame, bool]:
+    """(members, reps, passthrough): the probe-gated collapse every
+    pairwise text-dedup operator front-ends with.
+
+    The probe is ONE map-side-combined 8-byte-key aggregate:
+    (count, count_distinct(xxhash64(text))). When the extra-row count
+    n - d is at or under DUP_COLLAPSE_MIN_EXTRA, callers get
+    (None, docs projected to (doc_id, text), True) and return their
+    pairwise result directly — the pre-collapse r6 plan shape, which
+    is byte-identical output at ANY duplication level (collapse is an
+    optimization, not a semantic change). A hash collision only
+    under-counts d, i.e. OVER-estimates duplication, routing a light
+    corpus down the slower-but-still-correct collapse path."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("text")).alias("d"),
+    ).first()
+    if row["n"] - row["d"] <= DUP_COLLAPSE_MIN_EXTRA:
+        return None, docs.select("doc_id", "text"), True
+    members, reps = _exact_dup_groups(docs)
+    return members, reps, False
+
+
 def _exact_dup_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Collapse exact text duplicates: (members, reps).
 
@@ -341,7 +382,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem plus an output-sized expansion.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    members, reps = _exact_dup_groups(docs)
+    members, reps, passthrough = _collapse_or_passthrough(docs)
     sh = (
         shingled_docs(reps)
         .select("doc_id", F.explode("shingles").alias("shingle"))
@@ -371,6 +412,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+    if passthrough:
+        return rep_pairs
     cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
     # within-group: identical shingle sets -> n_common = na = nb = n,
     # so J = n/(2n-n) = 1.0 via the same division (docs below the
@@ -438,7 +481,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expand in their stored direction and within-group pairs are the
     # ordered a != b combinations (containment of a doc in its
     # identical twin = n/n = 1.0 via the same division).
-    members, reps = _exact_dup_groups(docs)
+    members, reps, passthrough = _collapse_or_passthrough(docs)
     sh = (
         shingled_docs(reps)
         .select("doc_id", F.explode("shingles").alias("shingle"))
@@ -465,6 +508,8 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_inner", "doc_outer", cont.alias("containment"))
         .filter(F.col("containment") >= 0.5)
     )
+    if passthrough:
+        return rep_pairs
     cross = _expand_rep_pairs(
         rep_pairs, members, "doc_inner", "doc_outer", ordered=True
     )
@@ -508,8 +553,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     member-level shuffle anywhere.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    members, reps = _exact_dup_groups(docs)
+    members, reps, passthrough = _collapse_or_passthrough(docs)
     rep_pairs = minhash_lsh_pairs(reps)
+    if passthrough:
+        return rep_pairs
     cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
     shingled = shingled_docs(reps).select("doc_id")
     within = _within_group_pairs(
@@ -616,7 +663,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute bounded by DISTINCT texts.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    members, reps = _exact_dup_groups(docs)
+    members, reps, passthrough = _collapse_or_passthrough(docs)
     tok = reps.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     h = F.xxhash64("t")
     bit_sums = [
@@ -670,6 +717,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 3)
     )
+    if passthrough:
+        return rep_pairs
     cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
     # Identical docs: hamming 0, always <= 3. Reps with no fingerprint
     # (zero tokens) drop via the fp join, exactly as their pairs never
@@ -1401,8 +1450,10 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     band by construction).
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    members, reps = _exact_dup_groups(docs)
+    members, reps, passthrough = _collapse_or_passthrough(docs)
     rep_pairs = minhash_md5_candidates(reps)
+    if passthrough:
+        return rep_pairs
     cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
     shingled = shingled_docs(reps).select("doc_id")
     within = _within_group_pairs(
@@ -1893,7 +1944,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this removes a |group|^2 factor from BOTH candidate generation
     # and verify (the sf1 gate corpus is 10-way duplicated: ~100x
     # fewer candidate pairs).
-    members, reps = _exact_dup_groups(docs)
+    members, reps, passthrough = _collapse_or_passthrough(docs)
     # persist(): five plan branches consume the exploded shingle set
     # (sizes, df ranking, the ranked window, and both verify sides) —
     # without a materialization point each branch re-runs the full
@@ -2003,6 +2054,8 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(t_num / t_den))
     )
+    if passthrough:
+        return rep_pairs
     # Expansion 1 — cross-group: every member pair of a qualifying rep
     # pair inherits its jaccard (identical inputs -> identical double).
     cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
