@@ -938,3 +938,43 @@ def test_semdedup_collapse_matches_bruteforce(spark, tmp_path):
         assert got[i] == (assign[i], int(i in pruned)), i
     # the fixture must actually exercise the dup path's arithmetic
     assert any(i in pruned for i in ids) and any(i not in pruned for i in ids)
+
+
+def test_substring_spans_randomized_small_alphabet(spark):
+    """Randomized differential: 2-letter-alphabet corpora force dense
+    window collisions, island merges at every tolerance, doc-shorter-
+    than-W edges, and empty docs; replay in pure Python at w=8."""
+    import random
+
+    from node_gedcom_graph_spark.operators.dedup import substring_dup_spans
+
+    w = 8
+    rng = random.Random(123)
+    for trial in range(4):
+        docs = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.choice([0, 3, w - 1, w, 25, 60, 120]))))
+            for i in range(rng.randint(2, 7))
+        ]
+        from collections import Counter
+
+        counts = Counter()
+        grams = {}
+        for i, t in docs:
+            g = [t[j : j + w] for j in range(len(t) - w + 1)]
+            grams[i] = g
+            counts.update(g)
+        expect = set()
+        for i, g in grams.items():
+            run = []
+            for p in [j + 1 for j, x in enumerate(g) if counts[x] >= 2] + [None]:
+                if run and (p is None or p - run[-1] > w):
+                    expect.add((i, run[0], run[-1] + w - 1, run[-1] - run[0] + w))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in substring_dup_spans(df, w).collect()
+        }
+        assert got == expect, f"trial {trial}: {sorted(got) and sorted(expect)}"
