@@ -382,6 +382,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem plus an output-sized expansion.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    members, rep_pairs, sizes, passthrough = _ngram_jaccard_rep_pairs(docs)
+    if passthrough:
+        return rep_pairs
+    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
+    # within-group: identical shingle sets -> n_common = na = nb = n,
+    # so J = n/(2n-n) = 1.0 via the same division (docs below the
+    # shingle threshold have no sizes row and drop out, exactly like
+    # the pairwise path).
+    within = _within_group_pairs(
+        members,
+        sizes,
+        (F.col("n").cast("double") / F.col("n")).alias("jaccard"),
+        "doc_a",
+        "doc_b",
+    )
+    return cross.unionByName(within)
+
+
+def _ngram_jaccard_rep_pairs(
+    docs: DataFrame,
+) -> tuple[DataFrame | None, DataFrame, DataFrame, bool]:
+    """(members, rep_pairs, sizes, passthrough): the probe-gated
+    collapsed exact-Jaccard pair pipeline, shared by the pair query
+    (dedup_ngram_jaccard) and the cluster query
+    (dedup_cluster_canonical), which needs the REP-level pair graph —
+    running connected components on expanded member pairs would undo
+    the collapse exactly where it matters most (every member of a dup
+    group carries identical edges)."""
     members, reps, passthrough = _collapse_or_passthrough(docs)
     sh = (
         shingled_docs(reps)
@@ -412,21 +440,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
-    if passthrough:
-        return rep_pairs
-    cross = _expand_rep_pairs(rep_pairs, members, "doc_a", "doc_b")
-    # within-group: identical shingle sets -> n_common = na = nb = n,
-    # so J = n/(2n-n) = 1.0 via the same division (docs below the
-    # shingle threshold have no sizes row and drop out, exactly like
-    # the pairwise path).
-    within = _within_group_pairs(
-        members,
-        sizes,
-        (F.col("n").cast("double") / F.col("n")).alias("jaccard"),
-        "doc_a",
-        "doc_b",
-    )
-    return cross.unionByName(within)
+    return members, rep_pairs, sizes, passthrough
 
 
 # ----------------------------------------------------- n-gram containment
@@ -1108,20 +1122,65 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) deep. The DuckDB oracle computes the same fixpoint as a
     recursive-CTE transitive closure — exponential in cluster size, fine
     at oracle scale, which is exactly why the engine side uses HashMin.
+
+    r7: CC runs on the REP-level pair graph (the collapse idiom's
+    natural endpoint — every member of an exact-dup group carries
+    identical edges, so propagating labels over member pairs redoes
+    the same work |group|^2 times). Rep id = its group's MINIMUM
+    member id, so the rep-component label IS the member-level
+    canonical id; a dup group with no cross-group edge but >= 2
+    shingled members forms its own cluster (its within-group J = 1.0
+    edges put it in the member-level graph), added as an isolated
+    component; cluster_size = sum(gsz) over the component's groups;
+    member verdicts expand by exploding the group id lists. Dup-light
+    corpora (the probe) run the original member-level CC unchanged.
     """
     from pyspark.sql import Window as W
 
     from node_gedcom_graph_spark.graph.queries import connected_components
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    members, rep_pairs, sizes, passthrough = _ngram_jaccard_rep_pairs(docs)
+    edges = rep_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    comp = connected_components(pairs)
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        F.count(F.lit(1)).over(W.partitionBy("component")).alias("cluster_size"),
-        (F.col("id") == F.col("component")).alias("is_kept"),
+    if passthrough:
+        comp = connected_components(edges)
+        return comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("component"))
+            .alias("cluster_size"),
+            (F.col("id") == F.col("component")).alias("is_kept"),
+        )
+    comp = connected_components(edges)
+    # Isolated qualifying dup groups: >= 2 members AND a shingled rep
+    # (shingle-less docs never form J=1.0 within-pairs in the member
+    # graph), not already present via a cross-group edge.
+    iso = (
+        members.filter(F.col("gsz") >= 2)
+        .select(F.col("rep").alias("id"))
+        .join(
+            sizes.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+        .join(comp.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    ginfo = comp.unionByName(iso).join(
+        members.select(F.col("rep").alias("id"), "ids", "gsz"), "id"
+    )
+    stats = ginfo.groupBy("component").agg(
+        F.sum("gsz").alias("cluster_size")
+    )
+    return (
+        ginfo.join(stats, "component")
+        .select(
+            F.explode("ids").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
     )
 
 
