@@ -1228,26 +1228,72 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus and broadcastable as a bloom/hash set —
     here an equi-join so the oracle can mirror it exactly). No
     all-pairs stage; output is per-doc hit counts for thresholding.
+
+    r7: probe-gated exact-dup collapse — hit counts are a function of
+    the TEXT (|sh(text) ∩ benchSet|), so the shingle join runs once
+    per distinct text and member docs inherit the count. Unlike the
+    pair operators, a dup group may SPAN sources (a benchmark doc's
+    exact copy in the training set is contamination by definition),
+    so the collapse groups by text carrying (doc_id, source) members
+    and a has-benchmark flag: bench shingles come from groups with
+    any benchmark member; counts expand only to non-benchmark
+    members. Dup-light corpora run the direct per-doc join unchanged.
     """
     # Filter BEFORE shingling: each branch tokenizes only its own docs
     # (one pass over the corpus total), versus shingling everything and
     # re-attaching `source` with a join — which ran the tokenizer twice
     # and added a shuffle purely to recover a column the scan had.
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("text")).alias("d"),
+    ).first()
+    if row["n"] - row["d"] <= DUP_COLLAPSE_MIN_EXTRA:
+        bench = (
+            shingled_docs(docs.filter(F.col("source") == DECON_BENCH_SOURCE))
+            .select(F.explode("shingles").alias("shingle"))
+            .distinct()
+        )
+        train = shingled_docs(
+            docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+        ).select("doc_id", F.explode("shingles").alias("shingle"))
+        return (
+            train.join(bench, "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_hits"))
+        )
+    grp = persist_tracked(
+        docs.groupBy("text").agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list(F.struct("doc_id", "source")).alias("mems"),
+            F.max(
+                (F.col("source") == DECON_BENCH_SOURCE).cast("int")
+            ).alias("has_bench"),
+        )
+    )
     bench = (
-        shingled_docs(docs.filter(F.col("source") == DECON_BENCH_SOURCE))
+        shingled_docs(
+            grp.filter(F.col("has_bench") == 1).select(
+                F.col("rep").alias("doc_id"), "text"
+            )
+        )
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    train = shingled_docs(
-        docs.filter(F.col("source") != DECON_BENCH_SOURCE)
-    ).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    return (
-        train.join(bench, "shingle")
+    rep_sh = shingled_docs(
+        grp.select(F.col("rep").alias("doc_id"), "text")
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    rep_hits = (
+        rep_sh.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
+        .withColumnRenamed("doc_id", "rep")
+    )
+    return (
+        grp.join(rep_hits, "rep")
+        .select(F.explode("mems").alias("m"), "n_hits")
+        .filter(F.col("m.source") != DECON_BENCH_SOURCE)
+        .select(F.col("m.doc_id").alias("doc_id"), "n_hits")
     )
 
 
