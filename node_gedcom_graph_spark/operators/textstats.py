@@ -886,8 +886,46 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dense 1..n position sequence, identical on both engines;
     partial trailing windows (wn < 16) are excluded on both sides so
     the selected set is exactly the full-window winnow.
+
+    r7: probe-gated exact-dup collapse (the dedup-family idiom) — the
+    sketch is a pure function of the text, so above the dup threshold
+    the k-gram explode + winnow windows run once per DISTINCT text
+    and members inherit the row (sf10's 100-way-duplicated corpus:
+    55.2 s -> seconds). Dup-light corpora run the direct per-doc
+    pipeline unchanged.
     """
+    from node_gedcom_graph_spark.operators.dedup import (
+        DUP_COLLAPSE_MIN_EXTRA,
+    )
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("text")).alias("d"),
+    ).first()
+    if row["n"] - row["d"] <= DUP_COLLAPSE_MIN_EXTRA:
+        return _winnow_per_doc(docs.select("doc_id", "text"))
+    from node_gedcom_graph_spark.operators import persist_tracked
+
+    grp = persist_tracked(
+        docs.groupBy("text").agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+    )
+    per_rep = _winnow_per_doc(
+        grp.select(F.col("rep").alias("doc_id"), "text")
+    ).withColumnRenamed("doc_id", "rep")
+    return (
+        grp.select("rep", F.explode("ids").alias("doc_id"))
+        .join(per_rep, "rep")
+        .select("doc_id", "n_kgrams", "n_fingerprints", "min_fingerprint")
+    )
+
+
+def _winnow_per_doc(docs: DataFrame) -> DataFrame:
+    """The per-document winnow sketch over any (doc_id, text) frame —
+    see doc_winnowing_fingerprints for the design narrative."""
     from pyspark.sql import Window as W
 
     norm = docs.select("doc_id", normalize_text(F.col("text")).alias("t")).filter(
