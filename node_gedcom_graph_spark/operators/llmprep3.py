@@ -295,29 +295,73 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term df) are ONE row produced by a single global aggregate and
     broadcast back — O(#terms) state, no second scan of the corpus
     (Spark reuses the exchange), no collect.
+
+    r7: probe-gated exact-dup collapse — tf/dl are text functions and
+    the corpus stats are integer sums, so above the dup threshold the
+    tokenizer runs once per DISTINCT text with group-size-WEIGHTED
+    stats (n_docs = sum(gsz), avgdl = sum(dl*gsz)/sum(gsz), df =
+    sum(gsz where tf>0) — exact integer arithmetic, so the broadcast
+    stats row and therefore every score double is bit-identical to
+    the uncollapsed pipeline's); members inherit the rep's score row.
     """
+    from node_gedcom_graph_spark.operators import persist_tracked
+    from node_gedcom_graph_spark.operators.dedup import (
+        DUP_COLLAPSE_MIN_EXTRA,
+    )
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    probe = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("text")).alias("d"),
+    ).first()
+    collapsed = probe["n"] - probe["d"] > DUP_COLLAPSE_MIN_EXTRA
     toks = tokens(F.col("text"))
-    per_doc = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
+    tf_cols = [
         # NB: the lambda must be unary — F.filter treats a second
         # parameter as the element-index request.
-        *[
-            F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))).alias(
-                f"tf_{t}"
+        F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))).alias(
+            f"tf_{t}"
+        )
+        for t in BM25_TERMS
+    ]
+    if collapsed:
+        grp = persist_tracked(
+            docs.groupBy("text").agg(
+                F.min("doc_id").alias("doc_id"),
+                F.collect_list("doc_id").alias("ids"),
+                F.count(F.lit(1)).alias("gsz"),
             )
-            for t in BM25_TERMS
-        ],
-    ).filter(F.col("dl") > 0)
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
-            for t in BM25_TERMS
-        ],
-    )
+        )
+        per_doc = grp.select(
+            "doc_id", "ids", "gsz", F.size(toks).alias("dl"), *tf_cols
+        ).filter(F.col("dl") > 0)
+        stats = per_doc.agg(
+            F.sum("gsz").alias("n_docs"),
+            (
+                F.sum(F.col("dl") * F.col("gsz")).cast("double")
+                / F.sum("gsz")
+            ).alias("avgdl"),
+            *[
+                F.sum(
+                    F.when(F.col(f"tf_{t}") > 0, F.col("gsz")).otherwise(0)
+                ).alias(f"df_{t}")
+                for t in BM25_TERMS
+            ],
+        )
+    else:
+        per_doc = docs.select(
+            "doc_id", F.size(toks).alias("dl"), *tf_cols
+        ).filter(F.col("dl") > 0)
+        stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            *[
+                F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(
+                    f"df_{t}"
+                )
+                for t in BM25_TERMS
+            ],
+        )
     scored = per_doc.crossJoin(F.broadcast(stats))
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
     score_cols = []
@@ -329,17 +373,28 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         score_cols.append((idf * ((tf * (k1 + F.lit(1.0))) / norm)).alias(f"s_{t}"))
     scored = scored.select(
-        "doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS], *score_cols
+        *(["ids"] if collapsed else ["doc_id"]),
+        "dl",
+        *[f"tf_{t}" for t in BM25_TERMS],
+        *score_cols,
     )
     total = F.col(f"s_{BM25_TERMS[0]}")
     for t in BM25_TERMS[1:]:
         total = total + F.col(f"s_{t}")
-    return scored.select(
-        "doc_id",
+    out = scored.select(
+        *(["ids"] if collapsed else ["doc_id"]),
         "dl",
         *[f"tf_{t}" for t in BM25_TERMS],
         total.alias("bm25_rational"),
     ).filter(F.col("bm25_rational") > 0)
+    if not collapsed:
+        return out
+    return out.select(
+        F.explode("ids").alias("doc_id"),
+        "dl",
+        *[f"tf_{t}" for t in BM25_TERMS],
+        "bm25_rational",
+    )
 
 
 # ---------------------------------------------------------------------------
