@@ -307,14 +307,11 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_gedcom_graph_spark.operators import persist_tracked
     from node_gedcom_graph_spark.operators.dedup import (
         DUP_COLLAPSE_MIN_EXTRA,
+        text_dup_extra,
     )
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    probe = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.xxhash64("text")).alias("d"),
-    ).first()
-    collapsed = probe["n"] - probe["d"] > DUP_COLLAPSE_MIN_EXTRA
+    collapsed = text_dup_extra(docs, sf_dir) > DUP_COLLAPSE_MIN_EXTRA
     toks = tokens(F.col("text"))
     tf_cols = [
         # NB: the lambda must be unary — F.filter treats a second

@@ -896,14 +896,11 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from node_gedcom_graph_spark.operators.dedup import (
         DUP_COLLAPSE_MIN_EXTRA,
+        text_dup_extra,
     )
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.xxhash64("text")).alias("d"),
-    ).first()
-    if row["n"] - row["d"] <= DUP_COLLAPSE_MIN_EXTRA:
+    if text_dup_extra(docs, sf_dir) <= DUP_COLLAPSE_MIN_EXTRA:
         return _winnow_per_doc(docs.select("doc_id", "text"))
     from node_gedcom_graph_spark.operators import persist_tracked
 
