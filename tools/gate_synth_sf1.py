@@ -98,6 +98,10 @@ GATE_QUERIES = [
     "stream_dedup_substring_windows",
     "bpe_encode_corpus_stats",
     "dataset_mix_resample",
+    # late-r7 collapse rewrites (each hand-verified MATCH at sf1 when
+    # they landed; listed so every future regeneration re-pins them)
+    "doc_winnowing_fingerprints",
+    "bm25_doc_scores",
 ]
 
 
