@@ -98,6 +98,10 @@ HEADLINE = (
     # char span + reconstruct cleaned documents) — the round's new
     # flagship dedup family.
     "dedup_substring_clean",
+    # r7 second half: DSIR importance weighting — the data-SELECTION
+    # step (hashed features -> broadcast weight table -> per-doc mean
+    # log ratio), flagship of the llmprep4 family.
+    "dsir_importance_weights",
 )
 
 N_SYNTH_INDI = 50_000  # synthesized GEDCOM individuals for the ETL bench

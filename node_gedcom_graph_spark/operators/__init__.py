@@ -146,6 +146,7 @@ def _load_all() -> None:
         llmprep,
         llmprep2,
         llmprep3,
+        llmprep4,
         multimodal,
         relational,
         relational_ext,

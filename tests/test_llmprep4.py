@@ -1,0 +1,137 @@
+"""Semantic pins for the llmprep4 surface: boilerplate removal's
+all-occurrence semantics (pure-Python differential), DSIR's defining
+target-affinity property, incremental-snapshot dedup vs a brute-force
+membership check, and the quality classifier's exact integer dot
+product."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from node_gedcom_graph_spark.operators.llmprep4 import (
+    BOILER_MIN_DOCS,
+    PARA_WORDS,
+    QCLS_BUCKETS,
+    QCLS_WEIGHT_MOD,
+    QCLS_WEIGHT_SHIFT,
+    boilerplate_span_removal,
+    dedup_incremental_snapshot,
+    dsir_importance_weights,
+    quality_classifier_logit,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs() -> list[tuple[int, str, str]]:
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    )
+
+
+def _spans(text: str) -> list[str]:
+    w = text.split(" ")
+    return [
+        " ".join(w[s : s + PARA_WORDS])
+        for s in range(0, max(len(w), 1), PARA_WORDS)
+    ]
+
+
+def test_boilerplate_removes_every_occurrence(spark):
+    # Pure-Python differential: a span in >= BOILER_MIN_DOCS distinct
+    # docs disappears from ALL of them (unlike first-occurrence dedup).
+    docs = _docs()
+    span_docs: dict[str, set[int]] = defaultdict(set)
+    for doc_id, _, text in docs:
+        if text:
+            for p in _spans(text):
+                span_docs[p].add(doc_id)
+    boiler = {p for p, ds in span_docs.items() if len(ds) >= BOILER_MIN_DOCS}
+    expected = {}
+    for doc_id, _, text in docs:
+        if not text:
+            continue
+        spans = _spans(text)
+        kept = [p for p in spans if p not in boiler]
+        clean = " ".join(kept)
+        expected[doc_id] = (
+            len(spans),
+            len(spans) - len(kept),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    rows = boilerplate_span_removal(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n_spans, n_boiler, clean_md5 = expected[r.doc_id]
+        assert (r.n_spans, r.n_boiler, r.clean_md5) == (
+            n_spans,
+            n_boiler,
+            clean_md5,
+        )
+    # the fixture must exercise the rule (duplicate docs share spans)
+    assert any(r.n_boiler > 0 for r in rows) or not boiler
+
+
+def test_dsir_prefers_target_source(spark):
+    # The defining DSIR property: documents FROM the target domain
+    # score a higher mean importance weight than the corpus at large
+    # (their features are, by construction, likelier under the target
+    # model).
+    rows = dsir_importance_weights(spark, SF_DIR).collect()
+    assert rows
+    tgt = [r.avg_logratio for r in rows if r.source == "src0"]
+    rest = [r.avg_logratio for r in rows if r.source != "src0"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_incremental_snapshot_matches_bruteforce(spark):
+    docs = _docs()
+    old_fp: dict[str, int] = {}
+    for doc_id, _, text in docs:
+        if doc_id % 10 < 8:
+            fp = hashlib.md5(text.encode()).hexdigest()
+            old_fp[fp] = min(old_fp.get(fp, doc_id), doc_id)
+    rows = dedup_incremental_snapshot(spark, SF_DIR).collect()
+    new_ids = {d for d, _, _ in docs if d % 10 >= 8}
+    assert {r.doc_id for r in rows} == new_ids
+    by_id = {d: t for d, _, t in docs}
+    for r in rows:
+        fp = hashlib.md5(by_id[r.doc_id].encode()).hexdigest()
+        if fp in old_fp:
+            assert r.is_dup == 1 and r.match_old_id == old_fp[fp]
+        else:
+            assert r.is_dup == 0 and r.match_old_id is None
+
+
+def _bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % QCLS_BUCKETS
+
+
+def test_quality_classifier_exact_integer_dot(spark):
+    docs = _docs()
+    rows = {r.doc_id: r for r in quality_classifier_logit(spark, SF_DIR).collect()}
+    checked = 0
+    for doc_id, _, text in docs[:10]:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if not toks:
+            continue
+        logit = sum(
+            _bucket(t) % QCLS_WEIGHT_MOD - QCLS_WEIGHT_SHIFT for t in toks
+        )
+        r = rows[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.logit_sum == logit
+        assert r.pred == (1 if logit / len(toks) > 0 else 0)
+        checked += 1
+    assert checked >= 5
+    counts = Counter(r.pred for r in rows.values())
+    assert set(counts) == {0, 1}  # both classes present in the fixture

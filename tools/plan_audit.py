@@ -70,6 +70,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "bm25_doc_scores": {
         "SinglePartition": "one-row corpus-stats branch (N/avgdl/df broadcast back)"
     },
+    "dsir_importance_weights": {
+        "SinglePartition": "one-row model-total branch (T/R broadcast back "
+        "into the <=8192-row weight table)"
+    },
     "orders_benford_first_digit": {
         "SinglePartition": "one-row order-total branch (broadcast back)"
     },
