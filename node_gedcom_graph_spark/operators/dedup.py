@@ -1594,6 +1594,27 @@ def minhash_md5_candidates(docs: DataFrame) -> DataFrame:
     """The engine-agnostic md5 MinHash+LSH candidate pipeline over any
     (doc_id, text) frame — see dedup_minhash_lsh_md5 for the design
     narrative; also the candidate side of minhash_recall_report."""
+    bands = minhash_md5_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_md5_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key): the engine-agnostic md5 MinHash band keys
+    of every shingled document — the shared candidate-generation stage
+    of dedup_minhash_lsh_md5 (self-join) and the incremental
+    new-vs-old variant (two-sided join in llmprep4)."""
     sh = (
         shingled_docs(docs)
         .select("doc_id", F.explode("shingles").alias("s"))
@@ -1647,19 +1668,7 @@ def minhash_md5_candidates(docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return bands
 
 
 SIMHASH_MD5_BITS = 16

@@ -1908,3 +1908,78 @@ def stream_dedup_substring_windows(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (16th gate): continuous new-crawl ingest
+# checked against the static corpus fingerprint index.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "stream_dedup_incremental",
+    oracle="""
+    WITH old AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS match_old_id
+      FROM documents WHERE doc_id % 10 < 8
+      GROUP BY md5(text)
+    ), new AS (
+      SELECT doc_id, source, md5(text) AS fp
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT n.doc_id, n.source,
+           CAST(CASE WHEN o.match_old_id IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS is_dup,
+           o.match_old_id
+    FROM new n LEFT JOIN old o USING (fp)
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_incremental_snapshot — the production
+    CONTINUOUS-INGEST shape: new crawl documents arrive as a stream
+    and each is checked against the STATIC fingerprint index of the
+    existing corpus (md5 -> min doc_id) by a stream-static LEFT OUTER
+    join. Shares the batch operator's oracle verbatim.
+
+    Scale: completely STATELESS — a stream-static join holds no
+    stream-side state (each micro-batch probes the index
+    independently), so the memory cost is the index side alone, which
+    in production is the persisted artifact the batch operator
+    builds, refreshed between batches, and at 100 TB is still only
+    |distinct texts| x 48 bytes, shardable by fingerprint range. No
+    watermark needed: nothing accumulates. Append mode — each new doc
+    emits exactly one verdict row as it lands.
+    """
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    old = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("match_old_id"))
+    )
+    new = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "source", F.md5("text").alias("fp"))
+    )
+    verdicts = new.join(old, "fp", "left").select(
+        "doc_id",
+        "source",
+        F.when(F.col("match_old_id").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("is_dup"),
+        "match_old_id",
+    )
+    sink = "stream_dedup_incr_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

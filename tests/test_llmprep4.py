@@ -14,12 +14,16 @@ import pyarrow.parquet as pq
 
 from node_gedcom_graph_spark.operators.llmprep4 import (
     BOILER_MIN_DOCS,
+    MINHASH_INC_J,
     PARA_WORDS,
     QCLS_BUCKETS,
     QCLS_WEIGHT_MOD,
     QCLS_WEIGHT_SHIFT,
+    _build_bloom,
     boilerplate_span_removal,
+    decontaminate_ngram_bloom,
     dedup_incremental_snapshot,
+    dedup_minhash_incremental,
     dsir_importance_weights,
     quality_classifier_logit,
 )
@@ -110,6 +114,122 @@ def test_incremental_snapshot_matches_bruteforce(spark):
             assert r.is_dup == 1 and r.match_old_id == old_fp[fp]
         else:
             assert r.is_dup == 0 and r.match_old_id is None
+
+
+def _shingles(text: str) -> set[str]:
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    return {
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    } if len(toks) >= 3 else set()
+
+
+def _md5_minhash_bands(sh: set[str]) -> set[tuple[int, str]]:
+    slots = [
+        min(
+            int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:8], 16)
+            for s in sh
+        )
+        for j in range(16)
+    ]
+    return {
+        (b, "_".join(str(slots[b * 4 + r]) for r in range(4)))
+        for b in range(4)
+    }
+
+
+def test_minhash_incremental_matches_bruteforce(spark):
+    # Full pure-Python replay of the pipeline: md5 minhash bands on
+    # both sides, banded new-vs-old candidates, exact trigram-Jaccard
+    # confirmation, per-new-doc aggregation.
+    docs = _docs()
+    sh = {d: _shingles(t) for d, _, t in docs}
+    bands = {d: _md5_minhash_bands(s) for d, s in sh.items() if s}
+    old = [d for d, _, _ in docs if d % 10 < 8]
+    new = [d for d, _, _ in docs if d % 10 >= 8]
+    expected = {}
+    for nd in new:
+        cands = [
+            od
+            for od in old
+            if nd in bands and od in bands and bands[nd] & bands[od]
+        ]
+        conf = []
+        for od in cands:
+            i = len(sh[nd] & sh[od])
+            if i / (len(sh[nd]) + len(sh[od]) - i) >= MINHASH_INC_J:
+                conf.append(od)
+        expected[nd] = (
+            len(cands),
+            len(conf),
+            min(conf) if conf else None,
+            1 if conf else 0,
+        )
+    rows = dedup_minhash_incremental(spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(new)
+    for r in rows:
+        assert (
+            r.n_candidates,
+            r.n_confirmed,
+            r.match_old_id,
+            r.is_near_dup,
+        ) == expected[r.doc_id]
+
+
+def test_bloom_has_no_false_negatives_and_bounded_fpp():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(-(2**62), 2**62, size=5000, dtype=np.int64)
+    bits, m_bits, k = _build_bloom(members, 0.01)
+
+    def might(h: np.ndarray) -> np.ndarray:
+        h1 = h.astype(np.int64).view(np.uint64)
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            ok &= (
+                bits[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1) != 0
+        return ok
+
+    assert might(members).all()  # no false negatives, ever
+    probes = rng.randint(-(2**62), 2**62, size=20000, dtype=np.int64)
+    fresh = probes[~np.isin(probes, members)]
+    assert might(fresh).mean() < 0.03  # ~fpp, generous 3x margin
+
+
+def test_bloom_decontaminate_equals_exact_operator(spark):
+    from node_gedcom_graph_spark.operators.dedup import (
+        decontaminate_ngram_overlap,
+    )
+
+    exact = {
+        r.doc_id: r.n_hits
+        for r in decontaminate_ngram_overlap(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_hits
+        for r in decontaminate_ngram_bloom(spark, SF_DIR).collect()
+    }
+    assert bloom == exact and exact  # identical, and non-vacuous
+
+
+def test_stream_incremental_equals_batch(spark):
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        stream_dedup_incremental,
+    )
+
+    batch = {
+        r.doc_id: (r.source, r.is_dup, r.match_old_id)
+        for r in dedup_incremental_snapshot(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.doc_id: (r.source, r.is_dup, r.match_old_id)
+        for r in stream_dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert stream == batch and batch
 
 
 def _bucket(tok: str) -> int:

@@ -102,6 +102,18 @@ GATE_QUERIES = [
     # they landed; listed so every future regeneration re-pins them)
     "doc_winnowing_fingerprints",
     "bm25_doc_scores",
+    # r7 second-session additions (llmprep4): boilerplate removal and
+    # the two snapshot-dedup contracts face genuine 10-way dup groups
+    # here (and the dsir/minhash collapse branches only ENGAGE under
+    # dup pressure — this gate is what oracle-pins them); the bloom
+    # decontamination shares the exact operator's oracle.
+    "boilerplate_span_removal",
+    "dsir_importance_weights",
+    "dedup_incremental_snapshot",
+    "dedup_minhash_incremental",
+    "quality_classifier_logit",
+    "decontaminate_ngram_bloom",
+    "stream_dedup_incremental",  # 16th streaming gate
 ]
 
 
