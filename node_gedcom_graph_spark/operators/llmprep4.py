@@ -121,12 +121,39 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the span key reuses the frequency agg's partitioning;
     (4) reassembly aggregates per doc_id, sorting only one document's
     spans at a time — never a corpus-wide ORDER BY.
+
+    Duplicate-heavy corpora (the probe): every per-doc output column
+    is a function of the TEXT given the global boilerplate set, and a
+    span's distinct-doc count is the gsz-sum over the distinct texts
+    containing it — so spans explode once per distinct text and
+    members inherit their rep's verdict row.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    spans = paragraph_spans(docs)
-    freq = spans.groupBy("para").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    if text_dup_extra(docs, sf_dir) <= DUP_COLLAPSE_MIN_EXTRA:
+        spans = paragraph_spans(docs)
+        freq = spans.groupBy("para").agg(
+            F.countDistinct("doc_id").alias("n_docs")
+        )
+        expand = None
+    else:
+        grp = persist_tracked(
+            docs.groupBy("text").agg(
+                F.min("doc_id").alias("rep"),
+                F.collect_list("doc_id").alias("ids"),
+                F.count(F.lit(1)).alias("gsz"),
+            )
+        )
+        spans = paragraph_spans(grp.select(F.col("rep").alias("doc_id"), "text"))
+        freq = (
+            spans.select("doc_id", "para")
+            .distinct()
+            .join(
+                grp.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id"
+            )
+            .groupBy("para")
+            .agg(F.sum("gsz").alias("n_docs"))
+        )
+        expand = grp.select(F.col("rep").alias("doc_id"), "ids")
     marked = spans.join(freq, "para").select(
         "doc_id",
         "pidx",
@@ -144,11 +171,20 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    return marked.groupBy("doc_id").agg(
+    out = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum((~F.col("kept")).cast("int")).cast("bigint").alias("n_boiler"),
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("bigint").alias("clean_chars"),
+    )
+    if expand is None:
+        return out
+    return out.join(expand, "doc_id").select(
+        F.explode("ids").alias("doc_id"),
+        "n_spans",
+        "n_boiler",
+        "clean_md5",
+        "clean_chars",
     )
 
 
@@ -454,22 +490,61 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token explode feeding ONE map-side-combinable
     per-doc agg (the weight is a pure column expression, so no weight
     table even ships); integer sums are exact and order-independent,
-    and the only double is the final int/int division.
+    and the only double is the final int/int division. Duplicate-heavy
+    corpora (the probe): the score is a pure function of the text, so
+    hashing runs once per distinct text and members inherit the row.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    collapsed = text_dup_extra(docs, sf_dir) > DUP_COLLAPSE_MIN_EXTRA
+    if collapsed:
+        grp = persist_tracked(
+            docs.groupBy("text").agg(
+                F.min("doc_id").alias("rep"),
+                F.collect_list(F.struct("doc_id", "source")).alias("mems"),
+            )
+        )
+        base = grp.select(F.col("rep").alias("doc_id"), "text")
+    else:
+        base = docs
     w = (
         md5_bucket(F.col("tok"), QCLS_BUCKETS) % QCLS_WEIGHT_MOD
         - QCLS_WEIGHT_SHIFT
     )
-    tok = docs.select(
-        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", "source", w.alias("w"))
     mean_w = F.sum("w").cast("double") / F.count(F.lit(1))
-    return tok.groupBy("doc_id", "source").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("w").cast("bigint").alias("logit_sum"),
         mean_w.alias("mean_weight"),
         (mean_w > 0).cast("int").alias("pred"),
+    ]
+    if not collapsed:
+        tok = base.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        ).select("doc_id", "source", w.alias("w"))
+        return tok.groupBy("doc_id", "source").agg(*aggs)
+    tok = base.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", w.alias("w"))
+    scored = tok.groupBy("doc_id").agg(*aggs)
+    return (
+        scored.join(
+            grp.select(F.col("rep").alias("doc_id"), "mems"), "doc_id"
+        )
+        .select(
+            F.explode("mems").alias("m"),
+            "n_tokens",
+            "logit_sum",
+            "mean_weight",
+            "pred",
+        )
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.source").alias("source"),
+            "n_tokens",
+            "logit_sum",
+            "mean_weight",
+            "pred",
+        )
     )
 
 
