@@ -485,6 +485,70 @@ def sample_weighted_minhash_replication(
     )
 
 
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS INTEGER) AS w,
+             -ln( (CAST(CAST(('0x' || substr(md5(concat_ws('-',
+                     l_orderkey, l_linenumber)), 1, 8)) AS BIGINT)
+                   AS DOUBLE) + 0.5) / 4294967296.0 )
+               / CAST(l_quantity AS INTEGER) AS priority_key
+      FROM lineitem
+      WHERE CAST(l_quantity AS INTEGER) >= 1
+    )
+    SELECT l_orderkey, l_linenumber, w, priority_key
+    FROM keyed
+    ORDER BY priority_key, l_orderkey, l_linenumber
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of k={WEIGHTED_SAMPLE_K} lineitems by
+    Efraimidis-Spirakis priority sampling — the SCALE-PATH twin of
+    sample_weighted_minhash_replication, closing its docstring's
+    "at 100 TB bound it by the u^(1/w) float variant" note with a
+    gated operator. Each item draws ONE deterministic uniform
+    u = (h32 + 0.5) / 2^32 from an md5 prefix and keys itself with
+    the exponential trick -ln(u)/w (monotone in u^(1/w)); the k
+    SMALLEST keys form a sample with inclusion probability
+    proportional to w (Efraimidis & Spirakis 2006).
+
+    Scale shape: O(n) hashes — one per item, independent of the
+    weight values (the replication twin is O(sum(w))); sf10: 230 s
+    of ticket hashing becomes one scan + TakeOrderedAndProject
+    (per-partition partial top-k, k rows to the driver, no sort).
+    Cross-engine determinism: identical md5-derived doubles through
+    an identical -ln(u)/w expression tree; the gate's 6-decimal
+    rounding sits ~10 orders above double ULP drift.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem", spread=True)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("w"),
+        )
+        .filter(F.col("w") >= 1)
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    key = -F.log((h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("w")
+    return (
+        li.select("l_orderkey", "l_linenumber", "w", key.alias("priority_key"))
+        .orderBy("priority_key", "l_orderkey", "l_linenumber")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Columnar-format roundtrip: ORC sink + source.
 # ---------------------------------------------------------------------------

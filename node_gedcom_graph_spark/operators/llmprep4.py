@@ -902,16 +902,42 @@ def decontaminate_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom/hash set"); above {BLOOM_MAX_ITEMS} benchmark shingles the
     build degrades gracefully to the plain exact join (identical
     results — the cap changes performance, never output).
+
+    Duplicate-heavy corpora: the same probe-gated text-collapse as
+    the exact twin (hit counts are a function of the text; a dup
+    group may span sources, so bench shingles come from groups with
+    any benchmark member and counts expand only to non-benchmark
+    members) — the bloom prefilter then probes each DISTINCT text's
+    shingles once (sf100: 1000-way dup groups pushed the raw-stream
+    probe to 113 s; collapsed, the probe side is 1000x smaller).
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    collapsed = text_dup_extra(docs, sf_dir) > DUP_COLLAPSE_MIN_EXTRA
+    if collapsed:
+        grp = persist_tracked(
+            docs.groupBy("text").agg(
+                F.min("doc_id").alias("rep"),
+                F.collect_list(F.struct("doc_id", "source")).alias("mems"),
+                F.max(
+                    (F.col("source") == DECON_BENCH_SOURCE).cast("int")
+                ).alias("has_bench"),
+            )
+        )
+        bench_docs = grp.filter(F.col("has_bench") == 1).select(
+            F.col("rep").alias("doc_id"), "text"
+        )
+        train_docs = grp.select(F.col("rep").alias("doc_id"), "text")
+    else:
+        bench_docs = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+        train_docs = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
     bench = persist_tracked(
-        shingled_docs(docs.filter(F.col("source") == DECON_BENCH_SOURCE))
+        shingled_docs(bench_docs)
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    train = shingled_docs(
-        docs.filter(F.col("source") != DECON_BENCH_SOURCE)
-    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    train = shingled_docs(train_docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
     fps = bench.select(F.xxhash64("shingle").alias("h")).toPandas()["h"]
     if 0 < len(fps) <= BLOOM_MAX_ITEMS:
@@ -943,8 +969,16 @@ def decontaminate_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(fps),
             BLOOM_MAX_ITEMS,
         )
-    return (
+    hits = (
         train.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    if not collapsed:
+        return hits
+    return (
+        grp.join(hits.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(F.explode("mems").alias("m"), "n_hits")
+        .filter(F.col("m.source") != DECON_BENCH_SOURCE)
+        .select(F.col("m.doc_id").alias("doc_id"), "n_hits")
     )

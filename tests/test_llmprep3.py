@@ -17,6 +17,7 @@ from node_gedcom_graph_spark.operators.llmprep3 import (
     GOPHER_MIN_WORDS,
     bm25_doc_scores,
     sample_weighted_minhash_replication,
+    sample_weighted_priority,
     source_orc_roundtrip_agg,
     text_gopher_filter,
     token_inverted_index_stats,
@@ -81,6 +82,46 @@ def test_weighted_sample_is_global_top_k_and_weight_biased(spark):
     mean_w = li.agg(F.avg(F.col("l_quantity").cast("int"))).collect()[0][0]
     sample_mean_w = sum(r.w for r in out) / len(out)
     assert sample_mean_w > mean_w
+
+
+def test_weighted_priority_matches_pure_python(spark):
+    # Exact differential: one md5-derived uniform per item, key =
+    # -ln(u)/w, global 20 smallest — replayed in pure Python.
+    import hashlib
+    import math
+
+    out = sample_weighted_priority(spark, SF_DIR).collect()
+    assert len(out) == 20
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).collect()
+    keyed = []
+    for r in li:
+        w = int(r.l_quantity)
+        if w < 1:
+            continue
+        h = int(
+            hashlib.md5(
+                f"{r.l_orderkey}-{r.l_linenumber}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        keyed.append(
+            (
+                -math.log((h + 0.5) / 4294967296.0) / w,
+                r.l_orderkey,
+                r.l_linenumber,
+                w,
+            )
+        )
+    expect = sorted(keyed)[:20]
+    got = [(r.priority_key, r.l_orderkey, r.l_linenumber, r.w) for r in out]
+    for (ek, eo, el, ew), (gk, go, gl, gw) in zip(expect, got):
+        assert (eo, el, ew) == (go, gl, gw)
+        assert abs(ek - gk) < 1e-12
+    # weight bias: sampled mean weight exceeds the corpus mean
+    mean_w = sum(k[3] for k in keyed) / len(keyed)
+    assert sum(r.w for r in out) / len(out) > mean_w
 
 
 def test_orc_roundtrip_row_counts(spark):

@@ -114,6 +114,7 @@ GATE_QUERIES = [
     "quality_classifier_logit",
     "decontaminate_ngram_bloom",
     "stream_dedup_incremental",  # 16th streaming gate
+    "sample_weighted_priority",  # E-S float twin of the lottery sampler
 ]
 
 
