@@ -548,12 +548,265 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_INC_J = 0.5  # trigram-Jaccard confirmation bar (shared: the
+# incremental MinHash verifier and the split-leakage report)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval recall.
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 8  # truncated prefix dimensionality (of the fixture's 64)
+
+
+@register(
+    "ann_matryoshka_trunc_recall",
+    oracle=f"""
+    WITH n AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
+               AS nm,
+             embedding[1:{MRL_DIMS}] AS t,
+             sqrt(CAST(list_dot_product(embedding[1:{MRL_DIMS}],
+                                         embedding[1:{MRL_DIMS}]) AS DOUBLE))
+               AS tnm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM n WHERE vec_id % 4 = 0
+    ), exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.embedding, n.embedding)
+                               AS DOUBLE) / (q.nm * n.nm) DESC,
+                          n.vec_id) AS rnk
+        FROM q JOIN n ON n.vec_id <> q.vec_id
+      ) WHERE rnk <= 10
+    ), trunc AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.t, n.t) AS DOUBLE)
+                          / (q.tnm * n.tnm) DESC,
+                          n.vec_id) AS rnk
+        FROM q JOIN n ON n.vec_id <> q.vec_id
+      ) WHERE rnk <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_k
+    FROM exact e
+    LEFT JOIN trunc t ON t.query_id = e.query_id
+                     AND t.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_matryoshka_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval evaluation (Kusupati et al. 2022,
+    arXiv:2205.13147): how much top-10 recall survives when vectors
+    are TRUNCATED to their first {MRL_DIMS} of 64 dimensions — the
+    coarse-to-fine serving trick (search the cheap prefix, rescore
+    full-dim) needs exactly this per-query recall table to pick the
+    prefix length. Both searches are exact brute force over the same
+    %4 query panel the module's other recall gates use; only the
+    metric differs, so the number isolates the cost of truncation.
+
+    Scale shape: two GEMM-kernel probes (topk_cosine — query panel
+    broadcast, corpus scanned once per probe, candidate band
+    re-scored with the bit-exact f32 fold) and an integer pair-join;
+    the truncated probe's FLOPs are {MRL_DIMS}/64 of the full one,
+    which is the production motivation.
+    """
+    from node_gedcom_graph_spark.operators.similarity import (
+        RECALL_K,
+        _cap_queries,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    panel = _cap_queries(emb.filter(F.col("vec_id") % 4 == 0))
+    trunc = F.slice(F.col("embedding"), 1, MRL_DIMS).alias("embedding")
+    emb_t = emb.select("vec_id", trunc)
+    panel_t = panel.select("vec_id", trunc)
+    exact = topk_cosine(emb, panel, k=RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    tr = topk_cosine(emb_t, panel_t, k=RECALL_K).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor")
+    )
+    return (
+        exact.join(
+            tr,
+            (exact.query_id == tr.query_id)
+            & (exact.neighbor_id == tr.t_neighbor),
+            "left",
+        )
+        .drop(tr.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor").cast("bigint").alias("hits"),
+            (
+                F.count("t_neighbor").cast("double")
+                / F.lit(float(RECALL_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-duplicate leakage report.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = """
+      SELECT doc_id,
+             CASE WHEN substr(md5(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'))), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'))), 1, 2) < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+"""
+
+_SPLIT_FRAME = [
+    ("test", "test"),
+    ("test", "train"),
+    ("test", "valid"),
+    ("train", "train"),
+    ("train", "valid"),
+    ("valid", "valid"),
+]
+
+
+@register(
+    "split_leakage_near_dup",
+    min_rows=6,
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    ), splits AS MATERIALIZED (
+      {_SPLIT_SQL}
+    ), lab AS (
+      SELECT LEAST(sa.split, sb.split) AS split_a,
+             GREATEST(sa.split, sb.split) AS split_b,
+             p.jaccard
+      FROM pairs p
+      JOIN splits sa ON sa.doc_id = p.doc_a
+      JOIN splits sb ON sb.doc_id = p.doc_b
+    ), frame AS (
+      SELECT * FROM (VALUES
+        ('test','test'), ('test','train'), ('test','valid'),
+        ('train','train'), ('train','valid'), ('valid','valid')
+      ) t(split_a, split_b)
+    )
+    SELECT f.split_a, f.split_b,
+           CAST(COUNT(l.jaccard) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN l.jaccard >= {MINHASH_INC_J}
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_confirmed
+    FROM frame f
+    LEFT JOIN lab l ON l.split_a = f.split_a AND l.split_b = f.split_b
+    GROUP BY f.split_a, f.split_b
+    """,
+)
+def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage report. The engine's
+    train/valid/test split (split_train_valid_test) hashes the
+    NORMALIZED text, so exact duplicates can never straddle splits —
+    but near-duplicates can, and a near-copy of a test document in
+    the training split is eval contamination the split rule cannot
+    see. This report buckets every exact word-3-gram Jaccard >= 0.2
+    pair (dedup_ngram_jaccard, collapse-probed internally) by the
+    UNORDERED pair of splits its endpoints land in, with a
+    J >= {MINHASH_INC_J} confirmed-near-dup count — the go/no-go
+    table reviewed before an eval suite is trusted.
+
+    All six split combinations are emitted (zeros included, via the
+    literal frame — the vacuity-floor lesson), so "no leakage" is a
+    visible row, not an absent one.
+
+    Scale shape: the pair table rides dedup_ngram_jaccard's
+    shingle-keyed shuffle + collapse; split labels are a per-row
+    expression on a doc_id-projected scan, joined twice by doc_id;
+    the final agg is 6 rows.
+    """
+    from node_gedcom_graph_spark.functions.scalar import normalize_text
+    from node_gedcom_graph_spark.operators.dedup import dedup_ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(normalize_text(F.col("text"))), 1, 2)
+    splits = docs.select(
+        "doc_id",
+        F.when(b < "cc", "train")
+        .when(b < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    lab = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "jaccard",
+        )
+    )
+    frame = spark.createDataFrame(
+        _SPLIT_FRAME, "split_a string, split_b string"
+    )
+    return (
+        F.broadcast(frame)
+        .join(lab, ["split_a", "split_b"], "left")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("jaccard").cast("bigint").alias("n_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("jaccard") >= MINHASH_INC_J, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_confirmed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash near-dedup (new crawl vs existing corpus, LSH).
 # ---------------------------------------------------------------------------
-
-MINHASH_INC_J = 0.5  # trigram-Jaccard confirmation bar for candidates
-
 
 @register(
     "dedup_minhash_incremental",

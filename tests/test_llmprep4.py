@@ -216,6 +216,47 @@ def test_bloom_decontaminate_equals_exact_operator(spark):
     assert bloom == exact and exact  # identical, and non-vacuous
 
 
+def test_matryoshka_recall_bounded_and_lossy(spark):
+    from node_gedcom_graph_spark.operators.llmprep4 import (
+        ann_matryoshka_trunc_recall,
+    )
+
+    rows = ann_matryoshka_trunc_recall(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits <= 10
+        assert abs(r.recall_at_k - r.hits / 10.0) < 1e-12
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    # truncation to 8/64 dims must lose SOMETHING on the synthetic
+    # (unstructured) embeddings, and the eval must not be vacuously 0
+    # everywhere either
+    assert 0 < mean < 1
+    assert any(r.hits > 0 for r in rows)
+    assert any(r.hits < 10 for r in rows)
+
+
+def test_split_leakage_frame_complete_and_consistent(spark):
+    from node_gedcom_graph_spark.operators.dedup import dedup_ngram_jaccard
+    from node_gedcom_graph_spark.operators.llmprep4 import (
+        split_leakage_near_dup,
+    )
+
+    rows = split_leakage_near_dup(spark, SF_DIR).collect()
+    assert len(rows) == 6  # all unordered split combos, zeros included
+    assert {(r.split_a, r.split_b) for r in rows} == {
+        ("test", "test"),
+        ("test", "train"),
+        ("test", "valid"),
+        ("train", "train"),
+        ("train", "valid"),
+        ("valid", "valid"),
+    }
+    n_pairs_total = sum(r.n_pairs for r in rows)
+    assert n_pairs_total == dedup_ngram_jaccard(spark, SF_DIR).count()
+    for r in rows:
+        assert 0 <= r.n_confirmed <= r.n_pairs
+
+
 def test_stream_incremental_equals_batch(spark):
     from node_gedcom_graph_spark.streaming.pipeline import (
         stream_dedup_incremental,

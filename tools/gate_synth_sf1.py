@@ -115,6 +115,8 @@ GATE_QUERIES = [
     "decontaminate_ngram_bloom",
     "stream_dedup_incremental",  # 16th streaming gate
     "sample_weighted_priority",  # E-S float twin of the lottery sampler
+    "ann_matryoshka_trunc_recall",  # truncated-dim recall eval
+    "split_leakage_near_dup",  # cross-split near-dup contamination
 ]
 
 
