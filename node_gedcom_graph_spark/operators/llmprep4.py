@@ -1235,3 +1235,207 @@ def decontaminate_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("m.source") != DECON_BENCH_SOURCE)
         .select(F.col("m.doc_id").alias("doc_id"), "n_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report (the pipeline's per-stage attrition dashboard).
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MAX_PUNCT = 0.1
+
+
+@register(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH cand AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS punct_ratio
+      FROM documents
+      WHERE source <> '{DECON_BENCH_SOURCE}' AND LENGTH(text) > 0
+    ), scored AS MATERIALIZED (
+      SELECT c.doc_id, c.source, c.text,
+             len(c.toks) AS n_tokens,
+             c.punct_ratio,
+             (SELECT SUM(CAST(('0x' || substr(md5(t.tok), 1, 4)) AS INTEGER)
+                         % {QCLS_BUCKETS} % {QCLS_WEIGHT_MOD}
+                         - {QCLS_WEIGHT_SHIFT})
+              FROM unnest(c.toks) AS t(tok)) AS logit_sum
+      FROM cand c
+    ), st AS MATERIALIZED (
+      SELECT s.*,
+             (s.n_tokens >= {FUNNEL_MIN_TOKENS}
+              AND s.punct_ratio <= {FUNNEL_MAX_PUNCT}) AS pass_quality,
+             CAST(s.logit_sum AS DOUBLE) / s.n_tokens > 0 AS pass_classifier
+      FROM scored s
+    ), bench AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' '
+                 || regexp_extract_all(lower(text), '[a-z0-9]+')[i+2] || ' '
+                 || regexp_extract_all(lower(text), '[a-z0-9]+')[i+3])))
+               AS shingle
+      FROM documents WHERE source = '{DECON_BENCH_SOURCE}'
+    ), contaminated AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM (
+        SELECT c.doc_id,
+               unnest(list_distinct(list_transform(range(len(c.toks) - 2),
+                 i -> c.toks[i+1] || ' ' || c.toks[i+2] || ' '
+                   || c.toks[i+3]))) AS shingle
+        FROM cand c
+      ) t JOIN bench b ON b.shingle = t.shingle
+    ), staged AS MATERIALIZED (
+      SELECT st.*,
+             st.pass_quality AND st.pass_classifier
+               AND ct.doc_id IS NULL AS pass_decontam
+      FROM st LEFT JOIN contaminated ct ON ct.doc_id = st.doc_id
+    ), firsts AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+      FROM staged WHERE pass_decontam
+      GROUP BY md5(text)
+    ), final AS (
+      SELECT g.*,
+             g.pass_decontam AND f.keep_id IS NOT NULL AS kept
+      FROM staged g
+      LEFT JOIN firsts f ON f.keep_id = g.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_quality,
+           CAST(SUM(CASE WHEN pass_quality AND pass_classifier
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_classifier,
+           CAST(SUM(CASE WHEN pass_decontam THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_decontam,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM final
+    GROUP BY source
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's per-source FUNNEL: every training
+    candidate (source != '{DECON_BENCH_SOURCE}') walks the sequential
+    gauntlet quality gates ({FUNNEL_MIN_TOKENS}+ tokens, punct ratio
+    <= {FUNNEL_MAX_PUNCT}) -> linear quality classifier (positive
+    mean hashed-feature weight, quality_classifier_logit's exact
+    integer arithmetic) -> n-gram decontamination (no word-3-gram
+    shared with the held-out source) -> exact dedup (first occurrence
+    per md5 among survivors), and the report counts each stage's
+    survivors plus the final kept token budget per source — the
+    attrition dashboard reviewed before every pretraining run, here
+    as ONE oracle-gated query composing the session's operators.
+
+    Scale shape: one scan computes tokens/punct/logit together (the
+    classifier weight is a pure column expression inside the same
+    explode), contamination is the shingle-keyed semi-join with the
+    distinct-reduced bench side (the bloom prefilter slots in front
+    unchanged — decontaminate_ngram_bloom), dedup is the 16-byte
+    fingerprint agg over survivors only, and the output is one row
+    per source.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cand = docs.filter(
+        (F.col("source") != DECON_BENCH_SOURCE) & (F.length("text") > 0)
+    )
+    w = (
+        md5_bucket(F.col("tok"), QCLS_BUCKETS) % QCLS_WEIGHT_MOD
+        - QCLS_WEIGHT_SHIFT
+    )
+    tokstats = (
+        cand.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("logit_sum"),
+        )
+    )
+    punct = (
+        F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    st = cand.select("doc_id", "source", "text", punct.alias("punct_ratio")).join(
+        tokstats, "doc_id"
+    )
+    st = st.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_tokens",
+        (
+            (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+            & (F.col("punct_ratio") <= FUNNEL_MAX_PUNCT)
+        ).alias("pass_quality"),
+        (F.col("logit_sum").cast("double") / F.col("n_tokens") > 0).alias(
+            "pass_classifier"
+        ),
+    )
+    bench = (
+        shingled_docs(docs.filter(F.col("source") == DECON_BENCH_SOURCE))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        shingled_docs(cand)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(bench, "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    staged = persist_tracked(
+        st.join(contaminated, "doc_id", "left").select(
+            "doc_id",
+            "source",
+            "text",
+            "n_tokens",
+            "pass_quality",
+            "pass_classifier",
+            (
+                F.col("pass_quality")
+                & F.col("pass_classifier")
+                & F.col("is_cont").isNull()
+            ).alias("pass_decontam"),
+        )
+    )
+    firsts = (
+        staged.filter("pass_decontam")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+        .withColumn("is_first", F.lit(1))
+    )
+    final = staged.join(
+        firsts, staged.doc_id == firsts.keep_id, "left"
+    ).select(
+        "source",
+        "n_tokens",
+        "pass_quality",
+        "pass_classifier",
+        "pass_decontam",
+        (F.col("pass_decontam") & F.col("is_first").isNotNull()).alias("kept"),
+    )
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("pass_quality").cast("int")).cast("bigint").alias(
+            "n_pass_quality"
+        ),
+        F.sum(
+            (F.col("pass_quality") & F.col("pass_classifier")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_pass_classifier"),
+        F.sum(F.col("pass_decontam").cast("int")).cast("bigint").alias(
+            "n_pass_decontam"
+        ),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

@@ -257,6 +257,59 @@ def test_split_leakage_frame_complete_and_consistent(spark):
         assert 0 <= r.n_confirmed <= r.n_pairs
 
 
+def test_curation_funnel_monotone_and_consistent(spark):
+    from node_gedcom_graph_spark.operators.dedup import (
+        DECON_BENCH_SOURCE,
+        decontaminate_ngram_overlap,
+    )
+    from node_gedcom_graph_spark.operators.llmprep4 import (
+        curation_funnel_report,
+    )
+
+    rows = curation_funnel_report(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.source != DECON_BENCH_SOURCE
+        assert (
+            r.n_candidates
+            >= r.n_pass_quality
+            >= r.n_pass_classifier
+            >= r.n_pass_decontam
+            >= r.n_kept
+            >= 0
+        )
+        assert (r.kept_tokens > 0) == (r.n_kept > 0)
+    # cross-operator consistency: the classifier stage must agree with
+    # quality_classifier_logit's verdicts on the quality survivors,
+    # and decontamination with decontaminate_ngram_overlap's flags.
+    preds = {
+        r.doc_id: r.pred
+        for r in quality_classifier_logit(spark, SF_DIR).collect()
+    }
+    contaminated = {
+        r.doc_id for r in decontaminate_ngram_overlap(spark, SF_DIR).collect()
+    }
+    docs = _docs()
+    import re as _re
+
+    expect_classifier = 0
+    expect_decontam = 0
+    for doc_id, source, text in docs:
+        if source == DECON_BENCH_SOURCE or not text:
+            continue
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        punct = sum(
+            1 for ch in text.lower() if not (ch.isalnum() or ch.isspace())
+        ) / len(text)
+        q = len(toks) >= 10 and punct <= 0.1
+        c = q and preds.get(doc_id) == 1
+        d = c and doc_id not in contaminated
+        expect_classifier += int(c)
+        expect_decontam += int(d)
+    assert sum(r.n_pass_classifier for r in rows) == expect_classifier
+    assert sum(r.n_pass_decontam for r in rows) == expect_decontam
+
+
 def test_stream_incremental_equals_batch(spark):
     from node_gedcom_graph_spark.streaming.pipeline import (
         stream_dedup_incremental,

@@ -117,6 +117,7 @@ GATE_QUERIES = [
     "sample_weighted_priority",  # E-S float twin of the lottery sampler
     "ann_matryoshka_trunc_recall",  # truncated-dim recall eval
     "split_leakage_near_dup",  # cross-split near-dup contamination
+    "curation_funnel_report",  # the end-to-end per-stage attrition table
 ]
 
 
