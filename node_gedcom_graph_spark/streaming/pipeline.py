@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1983,3 +1984,184 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation scoring (17th gate): the funnel's per-document
+# scoring path as a STATELESS continuous query; dedup + rollup stay in
+# the batch layer over the drained verdicts (the hypertable hybrid
+# pattern — cross-document state by definition belongs to the merge).
+# ---------------------------------------------------------------------------
+
+
+def _curation_funnel_oracle() -> str:
+    from node_gedcom_graph_spark.operators import all_oracles
+
+    return all_oracles()["curation_funnel_report"]
+
+
+@_register("stream_curation_funnel", oracle=_curation_funnel_oracle())
+def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_funnel_report: every arriving
+    training candidate is scored IN the stream — token count, punct
+    ratio, the hashed-feature classifier logit (an `F.aggregate` fold
+    over the token array: interpreted per element, but STATELESS,
+    which is what a row-at-a-time continuous scorer needs), and the
+    n-gram contamination verdict via an exact membership probe of the
+    held-out shingle set broadcast to the executors — and the drained
+    per-document verdict table is rolled up by a batch layer that adds
+    the one inherently cross-document stage (first-occurrence dedup on
+    the streamed fingerprint) plus the per-source counts. Shares the
+    batch funnel's oracle verbatim.
+
+    Scale: the streaming side holds NO state at all — every verdict
+    column is a per-row expression, and the reference set is the only
+    memory cost (exact set here, gate-sized by contract like the eval
+    suites; at 100 TB swap in the bloom prefilter of
+    decontaminate_ngram_bloom and let the batch layer's exact join
+    confirm). Dedup state lives in the batch merge, where it is the
+    product.
+    """
+    import pandas as pd
+
+    from node_gedcom_graph_spark.functions.scalar import md5_bucket, tokens
+    from node_gedcom_graph_spark.operators.dedup import (
+        DECON_BENCH_SOURCE,
+        shingled_docs,
+        shingles_from_tokens,
+    )
+    from node_gedcom_graph_spark.operators.llmprep4 import (
+        FUNNEL_MAX_PUNCT,
+        FUNNEL_MIN_TOKENS,
+        QCLS_BUCKETS,
+        QCLS_WEIGHT_MOD,
+        QCLS_WEIGHT_SHIFT,
+    )
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    bench_rows = (
+        shingled_docs(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") == DECON_BENCH_SOURCE
+            )
+        )
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .collect()
+    )
+    bench_set = frozenset(r.s for r in bench_rows)
+    b_set = spark.sparkContext.broadcast(bench_set)
+
+    @F.pandas_udf("boolean")
+    def any_contaminated(shingles: pd.Series) -> pd.Series:
+        ref = b_set.value
+        return pd.Series(
+            [
+                any(s in ref for s in (arr if arr is not None else ()))
+                for arr in shingles
+            ]
+        )
+
+    docs = read_documents_stream(spark, sf_dir).filter(
+        (F.col("source") != DECON_BENCH_SOURCE) & (F.length("text") > 0)
+    )
+    # Materialize the token array BEFORE any higher-order lambda
+    # references it (shingles_from_tokens' CSE warning: an inline
+    # tokens(...) expression re-evaluates the tokenizer per element).
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        (
+            F.length(
+                F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    w_of = lambda t: (  # noqa: E731 — inline weight expression
+        md5_bucket(t, QCLS_BUCKETS) % QCLS_WEIGHT_MOD - QCLS_WEIGHT_SHIFT
+    )
+    logit = F.aggregate(
+        F.col("toks"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
+    )
+    scored = base.select(
+        "doc_id",
+        "source",
+        "fp",
+        F.size("toks").alias("n_tokens"),
+        logit.alias("logit_sum"),
+        "punct_ratio",
+        any_contaminated(shingles_from_tokens(F.col("toks"))).alias(
+            "is_cont"
+        ),
+    ).select(
+        "doc_id",
+        "source",
+        "fp",
+        "n_tokens",
+        (
+            (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+            & (F.col("punct_ratio") <= FUNNEL_MAX_PUNCT)
+        ).alias("pass_quality"),
+        (F.col("logit_sum").cast("double") / F.col("n_tokens") > 0).alias(
+            "pass_classifier"
+        ),
+        (~F.col("is_cont")).alias("not_cont"),
+    )
+    sink = "stream_curation_gate"  # fixed name: see stream_tumbling_gate
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    verdicts = spark.table(sink).select(
+        "doc_id",
+        "source",
+        "fp",
+        "n_tokens",
+        "pass_quality",
+        "pass_classifier",
+        (
+            F.col("pass_quality") & F.col("pass_classifier") & F.col("not_cont")
+        ).alias("pass_decontam"),
+    )
+    firsts = (
+        verdicts.filter("pass_decontam")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+        .withColumn("is_first", F.lit(1))
+    )
+    final = verdicts.join(
+        firsts, verdicts.doc_id == firsts.keep_id, "left"
+    ).select(
+        "source",
+        "n_tokens",
+        "pass_quality",
+        "pass_classifier",
+        "pass_decontam",
+        (F.col("pass_decontam") & F.col("is_first").isNotNull()).alias("kept"),
+    )
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("pass_quality").cast("int")).cast("bigint").alias(
+            "n_pass_quality"
+        ),
+        F.sum(
+            (F.col("pass_quality") & F.col("pass_classifier")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_pass_classifier"),
+        F.sum(F.col("pass_decontam").cast("int")).cast("bigint").alias(
+            "n_pass_decontam"
+        ),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

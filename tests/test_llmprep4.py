@@ -310,6 +310,19 @@ def test_curation_funnel_monotone_and_consistent(spark):
     assert sum(r.n_pass_decontam for r in rows) == expect_decontam
 
 
+def test_stream_curation_funnel_equals_batch(spark):
+    from node_gedcom_graph_spark.operators.llmprep4 import (
+        curation_funnel_report,
+    )
+    from node_gedcom_graph_spark.streaming.pipeline import (
+        stream_curation_funnel,
+    )
+
+    batch = {tuple(r) for r in curation_funnel_report(spark, SF_DIR).collect()}
+    stream = {tuple(r) for r in stream_curation_funnel(spark, SF_DIR).collect()}
+    assert stream == batch and batch
+
+
 def test_stream_incremental_equals_batch(spark):
     from node_gedcom_graph_spark.streaming.pipeline import (
         stream_dedup_incremental,

@@ -118,6 +118,7 @@ GATE_QUERIES = [
     "ann_matryoshka_trunc_recall",  # truncated-dim recall eval
     "split_leakage_near_dup",  # cross-split near-dup contamination
     "curation_funnel_report",  # the end-to-end per-stage attrition table
+    "stream_curation_funnel",  # 17th streaming gate (stateless scoring)
 ]
 
 
