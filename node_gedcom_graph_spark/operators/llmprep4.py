@@ -744,15 +744,27 @@ def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal frame — the vacuity-floor lesson), so "no leakage" is a
     visible row, not an absent one.
 
-    Scale shape: the pair table rides dedup_ngram_jaccard's
-    shingle-keyed shuffle + collapse; split labels are a per-row
-    expression on a doc_id-projected scan, joined twice by doc_id;
-    the final agg is 6 rows.
+    Scale shape — NO member pair is ever materialized (the
+    minhash_recall_report arithmetic pattern; the first draft rode
+    dedup_ngram_jaccard's member-expanded pairs and died at the
+    sf100 tier on ~2.7 B expansion rows): a split label is a
+    function of the NORMALIZED text, so every member of an exact-dup
+    group shares one label, and the report is rep-level gsz
+    arithmetic — a cross rep pair (A, B, j) contributes
+    gszA*gszB pairs to its (split_A, split_B) cell, a shingled dup
+    group contributes C(gsz, 2) within-group pairs at j = 1.0 to its
+    own (s, s) cell. Dup-light corpora run the member-level pair
+    table directly (identical by the same arithmetic, gsz = 1).
     """
     from node_gedcom_graph_spark.functions.scalar import normalize_text
-    from node_gedcom_graph_spark.operators.dedup import dedup_ngram_jaccard
+    from node_gedcom_graph_spark.operators.dedup import (
+        _ngram_jaccard_rep_pairs,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    members, rep_pairs, sizes, passthrough = _ngram_jaccard_rep_pairs(
+        docs, sf_dir
+    )
     b = F.substring(F.md5(normalize_text(F.col("text"))), 1, 2)
     splits = docs.select(
         "doc_id",
@@ -761,26 +773,68 @@ def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
-    lab = (
-        pairs.join(
-            splits.select(
-                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
-            ),
-            "doc_a",
+    if passthrough:
+        lab = (
+            rep_pairs.join(
+                splits.select(
+                    F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+                ),
+                "doc_a",
+            )
+            .join(
+                splits.select(
+                    F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+                ),
+                "doc_b",
+            )
+            .select(
+                F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"),
+                "jaccard",
+                F.lit(1).cast("bigint").alias("w"),
+            )
         )
-        .join(
-            splits.select(
-                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
-            ),
-            "doc_b",
+    else:
+        rep_splits = splits.join(
+            members.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id"
         )
-        .select(
-            F.least("sa", "sb").alias("split_a"),
-            F.greatest("sa", "sb").alias("split_b"),
-            "jaccard",
+        cross = (
+            rep_pairs.join(
+                rep_splits.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("sa"),
+                    F.col("gsz").alias("ga"),
+                ),
+                "doc_a",
+            )
+            .join(
+                rep_splits.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("sb"),
+                    F.col("gsz").alias("gb"),
+                ),
+                "doc_b",
+            )
+            .select(
+                F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"),
+                "jaccard",
+                (F.col("ga") * F.col("gb")).cast("bigint").alias("w"),
+            )
         )
-    )
+        within = (
+            rep_splits.filter(F.col("gsz") >= 2)
+            .join(sizes.select("doc_id"), "doc_id", "left_semi")
+            .select(
+                F.col("split").alias("split_a"),
+                F.col("split").alias("split_b"),
+                F.lit(1.0).alias("jaccard"),
+                (F.col("gsz") * (F.col("gsz") - 1) / 2)
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+        lab = cross.unionByName(within)
     frame = spark.createDataFrame(
         _SPLIT_FRAME, "split_a string, split_b string"
     )
@@ -789,11 +843,11 @@ def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lab, ["split_a", "split_b"], "left")
         .groupBy("split_a", "split_b")
         .agg(
-            F.count("jaccard").cast("bigint").alias("n_pairs"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("n_pairs"),
             F.coalesce(
                 F.sum(
                     F.when(
-                        F.col("jaccard") >= MINHASH_INC_J, 1
+                        F.col("jaccard") >= MINHASH_INC_J, F.col("w")
                     ).otherwise(0)
                 ),
                 F.lit(0),

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import HealthCheck, given, settings
 
+import node_gedcom_graph_spark.operators.dedup as dd
 import node_gedcom_graph_spark.operators.llmprep4 as l4
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
@@ -79,6 +80,8 @@ OPS = [
     "quality_classifier_logit",
     "dedup_minhash_incremental",
     "decontaminate_ngram_bloom",
+    # rides dedup's probe bound (_ngram_jaccard_rep_pairs), patched below
+    "split_leakage_near_dup",
 ]
 
 
@@ -92,16 +95,17 @@ def test_collapse_path_equals_passthrough(spark, tmp_path_factory, docs):
     sf_dir = _write_fixture(
         str(tmp_path_factory.mktemp("llmprep4prop")), docs
     )
-    orig = l4.DUP_COLLAPSE_MIN_EXTRA
+    orig_l4, orig_dd = l4.DUP_COLLAPSE_MIN_EXTRA, dd.DUP_COLLAPSE_MIN_EXTRA
     try:
         for name in OPS:
             fn = getattr(l4, name)
             # force the DIRECT path (probe can never exceed the bound)
-            l4.DUP_COLLAPSE_MIN_EXTRA = 10**9
+            l4.DUP_COLLAPSE_MIN_EXTRA = dd.DUP_COLLAPSE_MIN_EXTRA = 10**9
             direct = _rows(fn(spark, sf_dir))
             # force the COLLAPSED path (any duplication engages it)
-            l4.DUP_COLLAPSE_MIN_EXTRA = -1
+            l4.DUP_COLLAPSE_MIN_EXTRA = dd.DUP_COLLAPSE_MIN_EXTRA = -1
             collapsed = _rows(fn(spark, sf_dir))
             assert collapsed == direct, name
     finally:
-        l4.DUP_COLLAPSE_MIN_EXTRA = orig
+        l4.DUP_COLLAPSE_MIN_EXTRA = orig_l4
+        dd.DUP_COLLAPSE_MIN_EXTRA = orig_dd
