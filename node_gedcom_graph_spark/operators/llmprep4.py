@@ -1390,11 +1390,34 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged — decontaminate_ngram_bloom), dedup is the 16-byte
     fingerprint agg over survivors only, and the output is one row
     per source.
+
+    Duplicate-heavy corpora (the probe): every stage verdict is a
+    function of the TEXT, so the token pass, shingle probe, and flag
+    assembly run once per distinct text; the dedup stage's keeper is
+    exactly the group's minimum candidate id (first occurrence per
+    fingerprint == per text), so member rows explode with their
+    group's flags plus one `doc_id == rep` comparison — counts are
+    ordinary per-source sums. Both bench sides also dedupe texts
+    before shingling (distinct shingle sets are text functions). At
+    the 1000x tier this takes the token pass from 1.5 B to 1.5 M
+    hashes.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    cand = docs.filter(
+    cand_all = docs.filter(
         (F.col("source") != DECON_BENCH_SOURCE) & (F.length("text") > 0)
     )
+    collapsed = text_dup_extra(docs, sf_dir) > DUP_COLLAPSE_MIN_EXTRA
+    if collapsed:
+        grp = persist_tracked(
+            cand_all.groupBy("text").agg(
+                F.min("doc_id").alias("doc_id"),
+                F.collect_list(F.struct("doc_id", "source")).alias("mems"),
+            )
+        )
+        # rep-level candidates; member sources re-attach at the end
+        cand = grp.select("doc_id", F.lit(None).cast("string").alias("source"), "text")
+    else:
+        cand = cand_all.select("doc_id", "source", "text")
     w = (
         md5_bucket(F.col("tok"), QCLS_BUCKETS) % QCLS_WEIGHT_MOD
         - QCLS_WEIGHT_SHIFT
@@ -1431,7 +1454,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bench = (
-        shingled_docs(docs.filter(F.col("source") == DECON_BENCH_SOURCE))
+        shingled_docs(
+            docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+            .select("doc_id", "text")
+            .dropDuplicates(["text"])
+        )
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
@@ -1458,6 +1485,50 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pass_decontam"),
         )
     )
+    if collapsed:
+        final = (
+            staged.withColumnRenamed("doc_id", "rep")
+            .join(grp.select(F.col("doc_id").alias("rep"), "mems"), "rep")
+            .select(
+                F.explode("mems").alias("m"),
+                "rep",
+                "n_tokens",
+                "pass_quality",
+                "pass_classifier",
+                "pass_decontam",
+            )
+            .select(
+                F.col("m.source").alias("source"),
+                "n_tokens",
+                "pass_quality",
+                "pass_classifier",
+                "pass_decontam",
+                (
+                    F.col("pass_decontam")
+                    & (F.col("m.doc_id") == F.col("rep"))
+                ).alias("kept"),
+            )
+        )
+        return final.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.col("pass_quality").cast("int")).cast("bigint").alias(
+                "n_pass_quality"
+            ),
+            F.sum(
+                (F.col("pass_quality") & F.col("pass_classifier")).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_pass_classifier"),
+            F.sum(F.col("pass_decontam").cast("int")).cast("bigint").alias(
+                "n_pass_decontam"
+            ),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
     firsts = (
         staged.filter("pass_decontam")
         .groupBy(F.md5("text").alias("fp"))

@@ -82,6 +82,7 @@ OPS = [
     "decontaminate_ngram_bloom",
     # rides dedup's probe bound (_ngram_jaccard_rep_pairs), patched below
     "split_leakage_near_dup",
+    "curation_funnel_report",
 ]
 
 
