@@ -838,8 +838,12 @@ def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = spark.createDataFrame(
         _SPLIT_FRAME, "split_a string, split_b string"
     )
+    # no broadcast hint: the 6-row frame is the PRESERVED side of the
+    # left join, which Spark cannot use as the broadcast build side
+    # (the hint only produced a HintErrorLogger warning); the 6-row
+    # exchange is free.
     return (
-        F.broadcast(frame)
+        frame
         .join(lab, ["split_a", "split_b"], "left")
         .groupBy("split_a", "split_b")
         .agg(
