@@ -1568,3 +1568,172 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold calibration (pairs + affected docs per cutoff).
+# ---------------------------------------------------------------------------
+
+CALIB_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
+
+
+@register(
+    "dedup_threshold_calibration",
+    min_rows=len(CALIB_THRESHOLDS),
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+            >= {min(CALIB_THRESHOLDS)}
+    ), thresholds AS (
+      SELECT * FROM (VALUES {', '.join(f'({t})' for t in CALIB_THRESHOLDS)})
+        tt(threshold)
+    ), per AS (
+      SELECT t.threshold, COUNT(p.jaccard) AS n_pairs
+      FROM thresholds t LEFT JOIN pairs p ON p.jaccard >= t.threshold
+      GROUP BY t.threshold
+    ), affected AS (
+      SELECT t.threshold, COUNT(DISTINCT d.doc_id) AS n_docs_affected
+      FROM thresholds t
+      LEFT JOIN (
+        SELECT doc_a AS doc_id, jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, jaccard FROM pairs
+      ) d ON d.jaccard >= t.threshold
+      GROUP BY t.threshold
+    )
+    SELECT p.threshold,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST(a.n_docs_affected AS BIGINT) AS n_docs_affected
+    FROM per p JOIN affected a ON a.threshold = p.threshold
+    """,
+)
+def dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD CALIBRATION: for each candidate Jaccard
+    cutoff ({', '.join(str(t) for t in CALIB_THRESHOLDS)}) the table
+    reports how many exact word-3-gram pairs qualify and how many
+    distinct documents those pairs touch — the pairs-vs-affected-docs
+    curve every dedup deployment inspects before committing to a
+    cutoff (too low deletes content, too high leaves duplicates).
+    Every threshold row is always emitted (min_rows pins it), so an
+    empty tier is a visible zero.
+
+    Scale shape: rides _ngram_jaccard_rep_pairs' collapse-probed
+    shingle pipeline; with dup pressure, pair counts are gsz
+    arithmetic over REP pairs (cross: gszA*gszB; within a shingled
+    dup group: C(gsz,2), Jaccard 1.0) and affected-doc counts are
+    gsz sums over the affected group set — no member pair or member
+    list is ever materialized (the split_leakage_near_dup lesson,
+    applied at design time instead of after an sf100 failure).
+    """
+    from node_gedcom_graph_spark.operators.dedup import (
+        _ngram_jaccard_rep_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    members, rep_pairs, sizes, passthrough = _ngram_jaccard_rep_pairs(
+        docs, sf_dir
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in CALIB_THRESHOLDS], "threshold double"
+    )
+    if passthrough:
+        pairs = rep_pairs.select(
+            "doc_a", "doc_b", "jaccard", F.lit(1).cast("bigint").alias("w"),
+            F.lit(1).cast("bigint").alias("ga"),
+            F.lit(1).cast("bigint").alias("gb"),
+        )
+    else:
+        g = members.select(F.col("rep").alias("doc_id"), "gsz")
+        cross = (
+            rep_pairs.join(
+                g.select(
+                    F.col("doc_id").alias("doc_a"), F.col("gsz").alias("ga")
+                ),
+                "doc_a",
+            )
+            .join(
+                g.select(
+                    F.col("doc_id").alias("doc_b"), F.col("gsz").alias("gb")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                "jaccard",
+                (F.col("ga") * F.col("gb")).cast("bigint").alias("w"),
+                F.col("ga").cast("bigint").alias("ga"),
+                F.col("gb").cast("bigint").alias("gb"),
+            )
+        )
+        within = (
+            members.filter(F.col("gsz") >= 2)
+            .join(
+                sizes.select(F.col("doc_id")),
+                members.rep == F.col("doc_id"),
+                "left_semi",
+            )
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("rep").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+                (F.col("gsz") * (F.col("gsz") - 1) / 2)
+                .cast("bigint")
+                .alias("w"),
+                F.col("gsz").cast("bigint").alias("ga"),
+                F.lit(0).cast("bigint").alias("gb"),
+            )
+        )
+        pairs = cross.unionByName(within)
+    pairs = persist_tracked(pairs)
+    per = (
+        thresholds.join(
+            pairs, pairs.jaccard >= thresholds.threshold, "left"
+        )
+        .groupBy("threshold")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("n_pairs"))
+    )
+    # affected docs: sum of group sizes over DISTINCT affected groups
+    # (a group is affected when it appears on either side of a
+    # qualifying pair; within-pairs carry the whole group in ga).
+    sides = pairs.select(
+        F.col("doc_a").alias("g"), "jaccard", F.col("ga").alias("gsz")
+    ).unionByName(
+        pairs.filter(F.col("gb") > 0).select(
+            F.col("doc_b").alias("g"), "jaccard", F.col("gb").alias("gsz")
+        )
+    )
+    affected = (
+        thresholds.join(sides, sides.jaccard >= thresholds.threshold, "left")
+        .groupBy("threshold", "g", "gsz")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("g").isNotNull(), F.col("gsz"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected")
+        )
+    )
+    return per.join(affected, "threshold").select(
+        "threshold", "n_pairs", "n_docs_affected"
+    )

@@ -83,6 +83,7 @@ OPS = [
     # rides dedup's probe bound (_ngram_jaccard_rep_pairs), patched below
     "split_leakage_near_dup",
     "curation_funnel_report",
+    "dedup_threshold_calibration",
 ]
 
 

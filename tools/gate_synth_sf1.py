@@ -119,6 +119,7 @@ GATE_QUERIES = [
     "split_leakage_near_dup",  # cross-split near-dup contamination
     "curation_funnel_report",  # the end-to-end per-stage attrition table
     "stream_curation_funnel",  # 17th streaming gate (stateless scoring)
+    "dedup_threshold_calibration",  # cutoff tuning table (gsz arithmetic)
 ]
 
 
