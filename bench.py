@@ -46,8 +46,49 @@ def _steal_jiffies() -> int:
         return 0
 
 
-def _timed_best(run, max_iters: int = 10, agree: float = 1.08) -> float:
-    """Min wall-clock over adaptive iterations.
+def _tree_cpu_s() -> float:
+    """CPU seconds consumed by this process tree: the Python driver,
+    the Spark JVM (its child), the pyspark.daemon, and every live
+    Python worker, plus each live process's REAPED children
+    (cutime/cstime — a worker that died between snapshots has been
+    folded into the daemon's child totals, so the sum stays monotone
+    and nothing is counted twice).
+
+    CPU time is the steal-invariant companion to wall-clock: hypervisor
+    steal inflates wall but not scheduled-CPU, so two passes taken
+    under different host weather remain comparable on this column
+    (What's-wrong #1, round-7 verdict).
+    """
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                raw = fh.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: parse around the LAST ')'.
+        rest = raw[raw.rindex(")") + 2 :].split()
+        pid = int(d)
+        ppid[pid] = int(rest[1])  # field 4 (ppid)
+        # fields 14-17: utime stime cutime cstime (indices 11-14 here)
+        cpu[pid] = sum(int(rest[i]) for i in (11, 12, 13, 14))
+    kids: dict[int, list[int]] = {}
+    for pid, par in ppid.items():
+        kids.setdefault(par, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
+def _timed_best(run, max_iters: int = 10, agree: float = 1.08) -> tuple[float, float]:
+    """(min wall-clock, CPU-per-iteration) over adaptive iterations.
 
     Runs 3 timed iterations; while the best two disagree by more than
     ``agree``x (a steal/GC/JIT transient polluted the sample), runs up
@@ -64,8 +105,14 @@ def _timed_best(run, max_iters: int = 10, agree: float = 1.08) -> float:
     samples within 8% per QUERY bounds the suite-sum drift at ~the 5%
     reproducibility target; extra iterations cost bench runtime, never
     the metric (min is reported).
+
+    The second element is the mean process-tree CPU seconds per
+    iteration across ALL iterations (CPU barely varies run-to-run —
+    steal and GC pauses inflate wall, not scheduled CPU — so the mean
+    over every iteration is the stable estimator and costs nothing).
     """
     times: list[float] = []
+    cpu0 = _tree_cpu_s()
     for _ in range(3):
         t0 = time.monotonic()
         run()
@@ -74,7 +121,8 @@ def _timed_best(run, max_iters: int = 10, agree: float = 1.08) -> float:
         t0 = time.monotonic()
         run()
         times.append(time.monotonic() - t0)
-    return min(times)
+    cpu_per_iter = max(0.0, (_tree_cpu_s() - cpu0) / len(times))
+    return min(times), cpu_per_iter
 
 # Headline set: the reference-pipeline shape, core relational ops, and
 # the scale-path LLM-pipeline operators.
@@ -144,13 +192,16 @@ def _measure(spark, qs) -> dict:
     # two best disagree by >1.25x (the _timed_best agree default).
     steal0 = _steal_jiffies()
     timings: dict[str, float] = {}
+    cpu_s: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         def run(name=name):
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
         run()  # warm
-        timings[name] = round(_timed_best(run), 3)
+        timings[name], cpu_s[name] = _timed_best(run)
+        timings[name] = round(timings[name], 3)
+        cpu_s[name] = round(cpu_s[name], 3)
         total += timings[name]
 
     # Two warm iterations: the GEDCOM stack's generated classes are the
@@ -165,14 +216,16 @@ def _measure(spark, qs) -> dict:
     bench_gedcom_pipeline(spark)
     cold = round(time.monotonic() - t0, 3)
     bench_gedcom_pipeline(spark)
-    timings["gedcom_pipeline_synth50k"] = round(
-        _timed_best(lambda: bench_gedcom_pipeline(spark)), 3
-    )
+    ged_wall, ged_cpu = _timed_best(lambda: bench_gedcom_pipeline(spark))
+    timings["gedcom_pipeline_synth50k"] = round(ged_wall, 3)
+    cpu_s["gedcom_pipeline_synth50k"] = round(ged_cpu, 3)
     total += timings["gedcom_pipeline_synth50k"]
     steal_s = round((_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1)
     return {
         "value": round(total, 3),
         "queries": timings,
+        "queries_cpu_s": cpu_s,
+        "cpu_total_s": round(sum(cpu_s.values()), 3),
         "gedcom_pipeline_synth50k_cold": cold,
         "host_steal_s": steal_s,
     }
@@ -189,16 +242,25 @@ def main() -> None:
 
     qs = ent.queries()
 
-    # Steal-aware selection: one measured pass normally; if the host
-    # stole > STEAL_RERUN_S of CPU during it (observed bursts have made
-    # a best-ever suite read as a regression), measure once more and
-    # publish the lower-steal pass. Every pass stays in the artifact
-    # under "runs" with the selection rule, so a polluted number can
-    # never silently become the round's record.
+    # Retry-until-quiet (round-7 verdict item 1): a pass measured under
+    # hypervisor steal is weather, not engine — r7's two passes carried
+    # 10.6/20.9 s of steal and made the round's delta unverifiable. So:
+    # measure, and while the pass recorded > STEAL_RERUN_S of steal,
+    # back off (the observed bursts last minutes) and measure again, up
+    # to MAX_PASSES total. Publish the FIRST quiet pass, else the
+    # lowest-steal one; every pass stays in the artifact under "runs".
+    # The per-query CPU columns (queries_cpu_s / cpu_total_s) make even
+    # an all-polluted artifact comparable across rounds: steal inflates
+    # wall-clock, never scheduled CPU.
+    backoffs = [30, 60, 120, 240, 300]  # s between passes; ~12.5 min max
     runs = [_measure(spark, qs)]
-    if runs[0]["host_steal_s"] > STEAL_RERUN_S:
+    while runs[-1]["host_steal_s"] > STEAL_RERUN_S and len(runs) <= len(backoffs):
+        time.sleep(backoffs[len(runs) - 1])
         runs.append(_measure(spark, qs))
-    best = min(runs, key=lambda r: r["host_steal_s"])
+    best = next(
+        (r for r in runs if r["host_steal_s"] <= STEAL_RERUN_S),
+        min(runs, key=lambda r: r["host_steal_s"]),
+    )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -207,16 +269,26 @@ def main() -> None:
         "value": best["value"],
         "unit": "sec",
         "queries": best["queries"],
+        "queries_cpu_s": best["queries_cpu_s"],
+        "cpu_total_s": best["cpu_total_s"],
         "gedcom_pipeline_synth50k_cold": best["gedcom_pipeline_synth50k_cold"],
         "host_steal_s": best["host_steal_s"],
         "sf": sf,
     }
     if len(runs) > 1:
         out["runs"] = [
-            {"value": r["value"], "host_steal_s": r["host_steal_s"]}
+            {
+                "value": r["value"],
+                "host_steal_s": r["host_steal_s"],
+                "cpu_total_s": r["cpu_total_s"],
+            }
             for r in runs
         ]
-        out["selection"] = f"lower-steal pass (rerun when steal > {STEAL_RERUN_S}s)"
+        out["selection"] = (
+            f"first pass with steal <= {STEAL_RERUN_S}s "
+            f"(backoff-retry, max {len(backoffs) + 1} passes), "
+            "else lowest-steal"
+        )
     print(json.dumps(out))
     spark.stop()
 

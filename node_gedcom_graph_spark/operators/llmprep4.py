@@ -616,6 +616,15 @@ def ann_matryoshka_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scored with the bit-exact f32 fold) and an integer pair-join;
     the truncated probe's FLOPs are {MRL_DIMS}/64 of the full one,
     which is the production motivation.
+
+    Precondition (deliberate): every {MRL_DIMS}-dim PREFIX must have a
+    nonzero norm. A vector whose first {MRL_DIMS} dims are all zero is
+    un-rankable under cosine; topk_cosine's require_nonzero_norms then
+    raises with the offending vec_ids, where the SQL oracle would
+    silently emit NaN similarities and an arbitrary ranking. Failing
+    loudly over degenerate inputs is the chosen divergence — a real
+    Matryoshka-trained embedding front-loads variance into the prefix,
+    so an all-zero prefix means the data is wrong, not the query.
     """
     from node_gedcom_graph_spark.operators.similarity import (
         RECALL_K,
@@ -1250,8 +1259,14 @@ def decontaminate_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("shingle")
     )
 
-    fps = bench.select(F.xxhash64("shingle").alias("h")).toPandas()["h"]
-    if 0 < len(fps) <= BLOOM_MAX_ITEMS:
+    # Cap BEFORE collecting: the driver pull itself is the OOM hazard
+    # for a pathological benchmark set, so probe the cardinality with a
+    # bounded limit+count (cheap: bench is persisted) and only then
+    # bring the fingerprints over. ``limit(cap+1)`` never materializes
+    # more than cap+1 rows regardless of the true count.
+    n_bench = bench.limit(BLOOM_MAX_ITEMS + 1).count()
+    if 0 < n_bench <= BLOOM_MAX_ITEMS:
+        fps = bench.select(F.xxhash64("shingle").alias("h")).toPandas()["h"]
         bits, m_bits, k = _build_bloom(fps.to_numpy(), BLOOM_FPP)
         b_bits = spark.sparkContext.broadcast(bits.tobytes())
 
@@ -1274,10 +1289,10 @@ def decontaminate_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         train = train.filter(might_contain(F.xxhash64("shingle")))
     else:
         log.warning(
-            "decontaminate_ngram_bloom: %d benchmark shingles exceed "
+            "decontaminate_ngram_bloom: %s benchmark shingles exceed "
             "BLOOM_MAX_ITEMS=%d (or none exist) — running the plain "
             "exact join (identical results, no shuffle reduction)",
-            len(fps),
+            f">{BLOOM_MAX_ITEMS}" if n_bench > BLOOM_MAX_ITEMS else n_bench,
             BLOOM_MAX_ITEMS,
         )
     hits = (
@@ -1441,9 +1456,17 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.length("text")
     )
+    # LEFT join + coalesce: a non-empty document with zero alphanumeric
+    # tokens (punctuation-only) produces no explode rows, so an inner
+    # join would drop it from the funnel entirely while the oracle's
+    # len(toks)=0 and the streaming twin's F.size(toks)=0 keep it as a
+    # candidate that fails pass_quality. n_tokens coalesces to 0;
+    # logit_sum stays NULL (the oracle's SUM over an empty unnest),
+    # making pass_classifier NULL/0 -> NULL on both sides.
     st = cand.select("doc_id", "source", "text", punct.alias("punct_ratio")).join(
-        tokstats, "doc_id"
+        tokstats, "doc_id", "left"
     )
+    st = st.withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0).cast("bigint")))
     st = st.select(
         "doc_id",
         "source",

@@ -18,6 +18,7 @@ tests) and continuous triggers.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import pandas as pd
@@ -25,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.session import apply_engine_confs
+
+log = logging.getLogger(__name__)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1853,12 +1856,26 @@ def stream_dedup_substring_windows(
 
     MIN/COUNT are arrival-order independent, so the drained table is
     hash-gateable against the batch oracle (complete-mode memory sink,
-    availableNow drain). State is keyed by the 16-byte md5 of the
-    window (not the text), one row per DISTINCT window — bounded by
-    corpus character count; at production bound it with a watermarked
-    event-time column (the stream_dedup_exact note) or periodically
-    compact to the >=2-count rows, which are the only ones the span
-    pass reads.
+    availableNow drain).
+
+    STATE BOUND (the structural cost, stated): state is keyed by the
+    16-byte raw md5 of the window — exactly ONE row per DISTINCT
+    W-char window, value = (min struct 16 B + count 8 B), so state
+    rows <= total corpus characters and state bytes ~= rows x ~56 B
+    (measured via the progress stateOperators metrics this function
+    exposes as ``last_state_metrics``; pinned by
+    tests/test_r8_fixes.py and the committed STATE_SUBSTR_r8.json
+    curve). This table is not overhead — it IS the product, the same
+    first-occurrence index the batch operator materializes; the sf10
+    wall is the state-store commit of that product-sized table (the
+    batch twin writes the same table as a shuffle instead, which is
+    why it is the throughput path). Production bounds state three
+    ways: (a) key-range sharding — the md5 key is uniform, so N
+    stores of rows/N; (b) periodic compaction to the >=2-count rows,
+    the only rows the downstream span pass reads; (c) a dedup
+    HORIZON via watermarked event time when the corpus carries one
+    (windows older than the horizon age out — the Lee et al. 2022
+    pipeline dedups within a crawl snapshot, not across all time).
     """
     from node_gedcom_graph_spark.operators.dedup import SUBSTR_W
 
@@ -1908,6 +1925,18 @@ def stream_dedup_substring_windows(
         .start()
     )
     q.awaitTermination()
+    # Surface the stateful-agg state size (rows / bytes) from the last
+    # progress event so tests and the sweep can pin the documented
+    # state bound instead of trusting the docstring.
+    metrics = {}
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators"):
+        so = prog["stateOperators"][0]
+        metrics = {
+            "state_rows": so.get("numRowsTotal"),
+            "state_bytes": so.get("memoryUsedBytes"),
+        }
+    stream_dedup_substring_windows.last_state_metrics = metrics
     return spark.table(sink)
 
 
@@ -2031,6 +2060,7 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_from_tokens,
     )
     from node_gedcom_graph_spark.operators.llmprep4 import (
+        BLOOM_MAX_ITEMS,
         FUNNEL_MAX_PUNCT,
         FUNNEL_MIN_TOKENS,
         QCLS_BUCKETS,
@@ -2039,7 +2069,7 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from node_gedcom_graph_spark.sources.tables import load_table
 
-    bench_rows = (
+    bench_df = (
         shingled_docs(
             load_table(spark, sf_dir, "documents").filter(
                 F.col("source") == DECON_BENCH_SOURCE
@@ -2047,19 +2077,37 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.explode("shingles").alias("s"))
         .distinct()
-        .collect()
     )
-    bench_set = frozenset(r.s for r in bench_rows)
-    b_set = spark.sparkContext.broadcast(bench_set)
+    # Size-gate the driver collect (same cap as decontaminate_ngram_
+    # bloom, counted via a bounded limit BEFORE anything reaches the
+    # driver): an oversized held-out set must not OOM the driver just
+    # to build the broadcast probe. Above the cap the stream carries
+    # each document's shingle array through the sink instead, and the
+    # contamination verdict becomes a static-batch join over the
+    # drained table — identical results, the membership probe just
+    # moves from the hot streaming path to the batch merge that
+    # already owns the cross-document stages.
+    n_bench = bench_df.limit(BLOOM_MAX_ITEMS + 1).count()
+    small_bench = n_bench <= BLOOM_MAX_ITEMS
+    if small_bench:
+        bench_set = frozenset(r.s for r in bench_df.collect())
+        b_set = spark.sparkContext.broadcast(bench_set)
 
-    @F.pandas_udf("boolean")
-    def any_contaminated(shingles: pd.Series) -> pd.Series:
-        ref = b_set.value
-        return pd.Series(
-            [
-                any(s in ref for s in (arr if arr is not None else ()))
-                for arr in shingles
-            ]
+        @F.pandas_udf("boolean")
+        def any_contaminated(shingles: pd.Series) -> pd.Series:
+            ref = b_set.value
+            return pd.Series(
+                [
+                    any(s in ref for s in (arr if arr is not None else ()))
+                    for arr in shingles
+                ]
+            )
+    else:
+        log.warning(
+            "stream_curation_funnel: >%d benchmark shingles — skipping "
+            "the driver collect/broadcast; contamination moves to a "
+            "stream-static join over the drained verdicts",
+            BLOOM_MAX_ITEMS,
         )
 
     docs = read_documents_stream(spark, sf_dir).filter(
@@ -2086,6 +2134,14 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit = F.aggregate(
         F.col("toks"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
     )
+    probe = (
+        any_contaminated(shingles_from_tokens(F.col("toks"))).alias("is_cont")
+        if small_bench
+        # fallback: ship the shingle array itself through the sink so
+        # the batch merge can join it against the (oversized) static
+        # bench side — no driver materialization anywhere.
+        else shingles_from_tokens(F.col("toks")).alias("shingles")
+    )
     scored = base.select(
         "doc_id",
         "source",
@@ -2093,9 +2149,7 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         logit.alias("logit_sum"),
         "punct_ratio",
-        any_contaminated(shingles_from_tokens(F.col("toks"))).alias(
-            "is_cont"
-        ),
+        probe,
     ).select(
         "doc_id",
         "source",
@@ -2108,7 +2162,7 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("logit_sum").cast("double") / F.col("n_tokens") > 0).alias(
             "pass_classifier"
         ),
-        (~F.col("is_cont")).alias("not_cont"),
+        (~F.col("is_cont")).alias("not_cont") if small_bench else F.col("shingles"),
     )
     sink = "stream_curation_gate"  # fixed name: see stream_tumbling_gate
     q = (
@@ -2119,7 +2173,36 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    verdicts = spark.table(sink).select(
+    drained = spark.table(sink)
+    if not small_bench:
+        # Single pass, no self-join of the sink view (the memory-sink
+        # View cannot be deduplicated for a self-join): explode each
+        # doc's shingles (outer: zero-shingle docs stay), left-join the
+        # static bench side, and fold back to one verdict row per doc.
+        drained = (
+            drained.select(
+                "doc_id",
+                "source",
+                "fp",
+                "n_tokens",
+                "pass_quality",
+                "pass_classifier",
+                F.explode_outer("shingles").alias("s"),
+            )
+            .join(bench_df.withColumn("hit", F.lit(1)), "s", "left")
+            .groupBy(
+                "doc_id",
+                "source",
+                "fp",
+                "n_tokens",
+                "pass_quality",
+                "pass_classifier",
+            )
+            .agg(
+                (F.max(F.coalesce("hit", F.lit(0))) == 0).alias("not_cont")
+            )
+        )
+    verdicts = drained.select(
         "doc_id",
         "source",
         "fp",

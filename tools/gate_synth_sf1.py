@@ -235,11 +235,12 @@ def main() -> int:
     }
     _gate_registered(spark, con, sf_dir, out)
     _gate_stream_minhash(spark, sf_dir, out)
-    statuses = [q["status"] for q in out["queries"].values()]
-    out["summary"] = {
-        "pass": statuses.count("PASS"),
-        "fail": statuses.count("FAIL"),
-    }
+    # Recomputed from the rows just written (shared census with
+    # verify_local) — a merged/partial run can never ship a summary
+    # that disagrees with its own rows.
+    from verify_local import summarize_rows
+
+    out["summary"] = summarize_rows(out["queries"])
     doc = json.dumps(out, indent=1)
     if len(sys.argv) > 2:
         with open(sys.argv[2], "w") as fh:

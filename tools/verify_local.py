@@ -198,15 +198,59 @@ def main() -> int:
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if json_out:
-        art["summary"] = {
-            "pass": n_pass, "fail": n_fail, "rows_only": n_rows_only,
-            "registered": len(qs),
-        }
+        # The summary is RECOMPUTED from the per-query rows just
+        # written — never from the loop counters — so the artifact can
+        # never carry a summary that disagrees with its own rows
+        # (GATE_SF01_r7.json shipped 279/289 against 282/292 rows after
+        # rows were merged in without touching the summary). Merging
+        # partial runs therefore stays safe: rerun with --json and the
+        # census always reflects the final row set.
+        art["summary"] = summarize_rows(art["queries"], registered=len(qs))
         with open(json_out, "w") as fh:
             json.dump(art, fh, indent=1)
             fh.write("\n")
+        errs = lint_artifact(json.load(open(json_out)))
+        if errs:  # pragma: no cover - summarize_rows makes this unreachable
+            raise AssertionError(f"gate artifact self-check failed: {errs}")
     spark.stop()
     return 1 if n_fail else 0
+
+
+def summarize_rows(rows: dict, registered: int | None = None) -> dict:
+    """Census of a gate artifact's per-query rows (the only source of
+    truth for the summary block)."""
+    census = {"pass": 0, "fail": 0, "rows_only": 0}
+    for r in rows.values():
+        st = r.get("status")
+        if st == "PASS":
+            census["pass"] += 1
+        elif st == "ROWS":
+            census["rows_only"] += 1
+        else:
+            census["fail"] += 1
+    census["registered"] = len(rows) if registered is None else registered
+    return census
+
+
+def lint_artifact(art: dict) -> list[str]:
+    """Errors iff a gate artifact's summary disagrees with its rows.
+
+    Only keys the summary actually carries are compared (the synth-sf1
+    gate writes a slimmer pass/fail block), so the lint catches real
+    drift — a count that contradicts the rows — not shape differences.
+    """
+    rows = art.get("queries", {})
+    want = summarize_rows(rows, registered=art.get("summary", {}).get("registered"))
+    got = art.get("summary", {})
+    errs = []
+    for k in ("pass", "fail", "rows_only"):
+        if k in got and got[k] != want[k]:
+            errs.append(f"summary.{k}={got[k]} but rows say {want[k]}")
+    if "registered" in got and got["registered"] < len(rows):
+        errs.append(
+            f"summary.registered={got['registered']} < {len(rows)} rows present"
+        )
+    return errs
 
 
 if __name__ == "__main__":
