@@ -1195,10 +1195,15 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 5)
 
 
-def _srp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _srp_scored(
+    spark: SparkSession, sf_dir: str, sample: int | None = None
+) -> DataFrame:
     """Within-bucket cosine-scored SRP candidates (query_id, bucket,
     neighbor_id, cosine) for the vec_id % 4 == 0 query set — the shared
-    candidate stage of ann_srp_bucket_topk and retrieval_recall_at_k."""
+    candidate stage of ann_srp_bucket_topk and retrieval_recall_at_k.
+    ``sample``: md5-rank panel size for the sampled recall eval (cuts
+    the per-bucket probe work by |panel|/|%4 set|, not just the
+    output)."""
     from node_gedcom_graph_spark.operators.dedup import dot_f32
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
@@ -1224,7 +1229,9 @@ def _srp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nm"
         ),
     )
-    q = _cap_queries(bucketed.filter(F.col("vec_id") % 4 == 0)).select(
+    qside = bucketed.filter(F.col("vec_id") % 4 == 0)
+    qside = _md5_panel(qside, sample) if sample else _cap_queries(qside)
+    q = qside.select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
@@ -1245,11 +1252,41 @@ def _srp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RECALL_K = 10
 
+# Deterministic md5-sampled query-panel size for the *_sampled recall
+# evals (r7 verdict item 6): exact-ground-truth cost is
+# |panel| x corpus, so at sf100 the full %4 panel (8192 after the hash
+# cap) costs 867.6 s of GEMM — a 128-query md5-rank panel bounds the
+# eval at ANY corpus size while the mean-recall estimator stays tight
+# (recall in [0,1]: the 128-sample standard error is <= 0.045, far
+# inside the pinned floor margins). md5-rank (ORDER BY md5(vec_id),
+# vec_id LIMIT k) is the mix-resample idiom: deterministic,
+# engine-agnostic, and SQL-expressible — unlike the xxhash64 serving
+# cap, the SAMPLE is part of the oracle contract and binds at every
+# scale.
+RECALL_SAMPLE_PANEL = 128
 
-@register(
-    "retrieval_recall_at_k",
-    oracle=f"""
-    WITH n AS MATERIALIZED (
+
+def _md5_panel(df: DataFrame, cap: int) -> DataFrame:
+    """Deterministic md5-rank sample — TakeOrderedAndProject, O(cap)
+    driver cost at any corpus size, same rank DuckDB computes."""
+    return df.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(cap)
+
+
+_QPANEL_FULL = "SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0"
+_QPANEL_SAMPLED = f"""SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {RECALL_SAMPLE_PANEL}"""
+
+
+def _recall_oracle(qpanel: str) -> str:
+    """The retrieval-recall oracle, parameterized ONLY by the query
+    panel CTE so the full and sampled variants cannot drift."""
+    return f"""
+    WITH qpanel AS MATERIALIZED (
+      {qpanel}
+    ), n AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS nm
       FROM embeddings
@@ -1261,7 +1298,7 @@ RECALL_K = 10
                  ORDER BY CAST(list_dot_product(q.embedding, n.embedding)
                                AS DOUBLE) / (q.nm * n.nm) DESC,
                           n.vec_id) AS rnk
-        FROM (SELECT * FROM n WHERE vec_id % 4 = 0) q
+        FROM (SELECT n.* FROM n JOIN qpanel USING (vec_id)) q
         JOIN n ON n.vec_id <> q.vec_id
       ) WHERE rnk <= {RECALL_K}
     ), sig AS (
@@ -1282,7 +1319,7 @@ RECALL_K = 10
                  ORDER BY CAST(list_dot_product(q.embedding, c.embedding)
                                AS DOUBLE) / (q.nm * c.nm) DESC,
                           c.vec_id) AS rnk
-        FROM (SELECT * FROM bucketed WHERE vec_id % 4 = 0) q
+        FROM (SELECT b.* FROM bucketed b JOIN qpanel USING (vec_id)) q
         JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
       ) WHERE rnk <= {RECALL_K}
     ), cent AS (
@@ -1309,7 +1346,7 @@ RECALL_K = 10
                  ORDER BY CAST(list_dot_product(nq.embedding, nc.embedding)
                                AS DOUBLE) / (nq.nm * nc.nm) DESC,
                           c.vec_id) AS rnk
-        FROM (SELECT * FROM assign WHERE vec_id % 4 = 0) q
+        FROM (SELECT a.* FROM assign a JOIN qpanel USING (vec_id)) q
         JOIN assign c ON c.cid = q.cid AND c.vec_id <> q.vec_id
         JOIN n nq ON nq.vec_id = q.vec_id
         JOIN n nc ON nc.vec_id = c.vec_id
@@ -1336,8 +1373,10 @@ RECALL_K = 10
           CROSS JOIN (SELECT 'srp' AS method UNION ALL SELECT 'ivf') m) g
     LEFT JOIN annk k ON k.method = g.method AND k.query_id = g.query_id
     LEFT JOIN hit h ON h.method = g.method AND h.query_id = g.query_id
-    """,
-)
+    """
+
+
+@register("retrieval_recall_at_k", oracle=_recall_oracle(_QPANEL_FULL))
 def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end retrieval QUALITY gate: per-query recall@{RECALL_K}
     of BOTH pruned-ANN geometries — SRP hyperplane buckets ('srp') and
@@ -1365,16 +1404,50 @@ def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism IS the corpus scan's split count — without it the
     # whole |queries| x |corpus| fold ran on one core (sf1 sweep:
     # 731 s; spread, it's the same ~30x-parallel shape as knn).
+    return _recall_report(spark, sf_dir)
+
+
+@register(
+    "retrieval_recall_at_k_sampled",
+    oracle=_recall_oracle(_QPANEL_SAMPLED),
+)
+def retrieval_recall_at_k_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """retrieval_recall_at_k on a deterministic {RECALL_SAMPLE_PANEL}-
+    query md5-rank panel (r7 verdict item 6): identical metric, same
+    oracle template, but the exact-ground-truth cost — the eval's
+    structural wall, |panel| x corpus GEMM, 867.6 s at sf100 for the
+    full panel — is bounded at ANY corpus size because the panel no
+    longer grows with the %4 set. The md5-rank sample is part of the
+    ORACLE contract (ORDER BY md5(vec_id), vec_id LIMIT n — both
+    engines compute the same rank), so unlike the serving-side
+    xxhash64 cap it binds at every scale and the gate still hash-
+    matches. Sampling error: recall lies in [0,1], so the
+    {RECALL_SAMPLE_PANEL}-query mean-recall standard error is at most
+    0.5/sqrt({RECALL_SAMPLE_PANEL}) ~ 0.045 — the pinned floors leave
+    a wider margin than that. The ANN candidate stages receive the
+    sample too, so THEIR per-bucket/per-cell probe work shrinks with
+    the panel, not just the exact side's."""
+    return _recall_report(spark, sf_dir, sample=RECALL_SAMPLE_PANEL)
+
+
+def _recall_report(
+    spark: SparkSession, sf_dir: str, sample: int | None = None
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    # The SAME capped panel the serving sides use (_srp_scored /
-    # _ivf_fixed_scored both apply _cap_queries with the default salt,
-    # and the capped SET depends only on (vec_id, salt, cap)): above
-    # KNN_QUERY_CAP the exact side would otherwise keep the full %4
-    # panel — an unbounded O(queries x corpus) brute force whose
-    # out-of-sample queries score recall=0 and drag the corpus mean
-    # to zero. Below the cap (every gated SF) the limit doesn't bind
-    # and the panel is exactly the oracle's %4 set.
-    panel = _cap_queries(emb.filter(F.col("vec_id") % 4 == 0))
+    # Full variant: the SAME capped panel the serving sides use
+    # (_srp_scored / _ivf_fixed_scored both apply _cap_queries with the
+    # default salt, and the capped SET depends only on
+    # (vec_id, salt, cap)): above KNN_QUERY_CAP the exact side would
+    # otherwise keep the full %4 panel — an unbounded
+    # O(queries x corpus) brute force whose out-of-sample queries score
+    # recall=0 and drag the corpus mean to zero. Below the cap (every
+    # gated SF) the limit doesn't bind and the panel is exactly the
+    # oracle's %4 set. Sampled variant: the md5-rank panel, which DOES
+    # bind everywhere and is part of the oracle.
+    qside = emb.filter(F.col("vec_id") % 4 == 0)
+    panel = _md5_panel(qside, sample) if sample else _cap_queries(qside)
     exact = topk_cosine(emb, panel, k=RECALL_K).select(
         "query_id", "neighbor_id"
     )
@@ -1389,8 +1462,8 @@ def retrieval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ann = topk(_srp_scored(spark, sf_dir), "srp").unionByName(
-        topk(_ivf_fixed_scored(spark, sf_dir), "ivf")
+    ann = topk(_srp_scored(spark, sf_dir, sample=sample), "srp").unionByName(
+        topk(_ivf_fixed_scored(spark, sf_dir, sample=sample), "ivf")
     )
     annk = ann.groupBy("method", "query_id").agg(
         F.count(F.lit(1)).alias("ann_candidates")
@@ -1490,10 +1563,13 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 5)
 
 
-def _ivf_fixed_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_fixed_scored(
+    spark: SparkSession, sf_dir: str, sample: int | None = None
+) -> DataFrame:
     """Within-cell cosine-scored IVF candidates (query_id, cid,
     neighbor_id, cosine) for the vec_id % 4 == 0 query set — the shared
-    candidate stage of ann_ivf_fixed_topk and retrieval_recall_at_k."""
+    candidate stage of ann_ivf_fixed_topk and retrieval_recall_at_k.
+    ``sample``: md5-rank panel size for the sampled recall eval."""
     from node_gedcom_graph_spark.operators.dedup import dot_f32
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
@@ -1522,7 +1598,9 @@ def _ivf_fixed_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = assign.join(n, "vec_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    q = _cap_queries(mem.filter(F.col("vec_id") % 4 == 0)).select(
+    qside = mem.filter(F.col("vec_id") % 4 == 0)
+    qside = _md5_panel(qside, sample) if sample else _cap_queries(qside)
+    q = qside.select(
         F.col("vec_id").alias("query_id"),
         F.col("cid"),
         F.col("embedding").alias("q_emb"),
@@ -1928,18 +2006,109 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- IVF-PQ (cell-pruned ADC)
 
+# Serving-tier probe width for the oracle-gated IVF-PQ query (r7
+# verdict item 7): with the SCALED coarse geometry (nlist ~ sqrt(n),
+# scaled_ivf_geometry) the per-query candidate count is
+# nprobe * n/nlist ~ nprobe * sqrt(n) — sublinear only if nprobe is a
+# CONSTANT latency dial, which is exactly how FAISS serves IVF (nprobe
+# 1-32 against thousands of cells). The recall EVAL keeps its separate
+# high-recall nprobe = nlist/4 dial (IVF_SCALED_NPROBE_MIN notes);
+# this gated query demonstrates the serving shape, where the oracle
+# pins exact agreement and recall is ann_ivf_scaled_recall's job.
+IVF_ADC_NPROBE = 8
+
+
+def _cell_fold_topk(vecs: DataFrame, cent_pd, k: int) -> DataFrame:
+    """(vec_id, cid): each vector's top-k centroid cells under the
+    EXACT f32-fold cosine, at GEMM speed — the topk_cosine band trick
+    applied to cell assignment, which becomes the bottleneck once
+    nlist scales as sqrt(n) (the interpreted fold is n * nlist dots:
+    89 M at sf10, minutes of expression evaluation; the f64 GEMM is
+    one BLAS call per Arrow batch). Per row, cells within
+    TOPK_GEMM_MARGIN of the k-th-largest GEMM score are re-scored with
+    the exact sequential float32 fold (numpy cumsum(float32) ==
+    dot_f32 bit-for-bit), so the emitted (cos DESC, cid ASC) top-k is
+    identical to the oracle's ROW_NUMBER over the fold cosine.
+
+    ``cent_pd``: pandas (cid, c_emb, c_nm) from _fixed_centroids —
+    bounded at sqrt(n) rows, broadcast whole.
+    """
+    import numpy as np
+
+    spark = vecs.sparkSession
+    cids = cent_pd["cid"].to_numpy(dtype=np.int64)
+    c32 = np.stack(cent_pd["c_emb"].to_numpy()).astype(np.float32)
+    c_nm = cent_pd["c_nm"].to_numpy(dtype=np.float64)
+    require_nonzero_norms(c_nm, "cell fold-topk (centroids)")
+    cn64 = c32.astype(np.float64) / c_nm[:, None]
+    bc = spark.sparkContext.broadcast((cids, c32, c_nm, cn64))
+    kk = min(k, len(cids))
+    margin = TOPK_GEMM_MARGIN
+
+    def scan(batches):
+        import pandas as pd
+
+        cids_, cm32, cnm, cn = bc.value
+        nlist = len(cids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v32 = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v_nm = np.sqrt(
+                np.cumsum(v32 * v32, axis=1, dtype=np.float32)[:, -1].astype(
+                    np.float64
+                )
+            )
+            require_nonzero_norms(v_nm, "cell fold-topk (vector batch)")
+            s = (v32.astype(np.float64) / v_nm[:, None]) @ cn.T
+            if nlist > kk:
+                kth = np.partition(s, nlist - kk, axis=1)[:, nlist - kk]
+                keep = s >= kth[:, None] - margin
+            else:
+                keep = np.ones_like(s, dtype=bool)
+            rows, cols = np.nonzero(keep)
+            if not len(rows):
+                continue
+            prods = v32[rows] * cm32[cols]
+            dots = np.cumsum(prods, axis=1, dtype=np.float32)[:, -1].astype(
+                np.float64
+            )
+            cos = dots / (v_nm[rows] * cnm[cols])
+            order = np.lexsort((cids_[cols], -cos, rows))
+            r = rows[order]
+            idx = np.arange(len(r))
+            first = np.r_[True, r[1:] != r[:-1]]
+            grp_start = np.maximum.accumulate(np.where(first, idx, 0))
+            take = (idx - grp_start) < kk
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids[r[take]],
+                    "cid": cids_[cols[order][take]],
+                }
+            )
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        scan, "vec_id long, cid long"
+    )
+
 
 @register(
     "ann_ivf_pq_adc_topk",
-    oracle="""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS c_emb,
-             sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
-               AS c_nm
+    oracle=f"""
+    WITH g AS (
+      SELECT GREATEST(16, CAST(round(sqrt(COUNT(*))) AS INTEGER)) AS nlist
       FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT 16
-    ), n AS (
+    ), cent AS MATERIALIZED (
+      SELECT cid, c_emb, c_nm FROM (
+        SELECT vec_id AS cid, embedding AS c_emb,
+               sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
+                 AS c_nm,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) t, g WHERE t.rn <= g.nlist
+    ), n AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE))
                AS nm
@@ -1954,17 +2123,32 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           c.cid ASC) AS rn
         FROM n v CROSS JOIN cent c
       ) t WHERE rn = 1
+    ), qprobe AS MATERIALIZED (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(list_dot_product(v.embedding, c.c_emb)
+                               AS DOUBLE) / (v.nm * c.c_nm) DESC,
+                          c.cid ASC) AS rn
+        FROM n v CROSS JOIN cent c WHERE v.vec_id % 4 = 0
+      ) t WHERE rn <= {IVF_ADC_NPROBE}
+    ), cent16 AS (
+      SELECT vec_id AS cid, embedding AS c_emb
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
     ), sub AS (
       SELECT unnest([0, 1, 2, 3]) AS m
     ), cb AS MATERIALIZED (
       SELECT m, cid,
              list_slice(c_emb, m * 16 + 1, m * 16 + 16) AS sub_c
-      FROM cent CROSS JOIN sub
+      FROM cent16 CROSS JOIN sub
     ), v AS MATERIALIZED (
       SELECT vec_id, m,
              list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sub_v
       FROM embeddings CROSS JOIN sub
-    ), scored AS (
+    ), scoredpq AS (
       SELECT v.vec_id, v.m, cb.cid,
              ROW_NUMBER() OVER (
                PARTITION BY v.vec_id, v.m
@@ -1972,20 +2156,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cb.cid ASC) AS rn
       FROM v JOIN cb ON cb.m = v.m
     ), codes AS MATERIALIZED (
-      SELECT vec_id, m, cid AS code FROM scored WHERE rn = 1
+      SELECT vec_id, m, cid AS code FROM scoredpq WHERE rn = 1
     ), lut AS MATERIALIZED (
       SELECT q.vec_id AS query_id, cb.m, cb.cid AS code,
              CAST(list_dot_product(q.sub_v, cb.sub_c) AS DOUBLE) AS dot
       FROM v q JOIN cb ON cb.m = q.m
       WHERE q.vec_id % 4 = 0
     ), adc AS (
-      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+      SELECT qp.query_id, ca.vec_id AS neighbor_id,
              CAST(SUM(CAST(l.dot AS DECIMAL(28,14))) AS DOUBLE) AS adc
-      FROM assign qa
-      JOIN assign ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
+      FROM qprobe qp
+      JOIN assign ca ON ca.cid = qp.cid AND ca.vec_id <> qp.query_id
       JOIN codes c ON c.vec_id = ca.vec_id
-      JOIN lut l ON l.query_id = qa.vec_id AND l.m = c.m AND l.code = c.code
-      WHERE qa.vec_id % 4 = 0
+      JOIN lut l ON l.query_id = qp.query_id AND l.m = c.m AND l.code = c.code
       GROUP BY 1, 2
     )
     SELECT query_id, neighbor_id, adc, rnk FROM (
@@ -1996,48 +2179,44 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ: the billion-scale ANN layout (Jegou et al.; the FAISS
-    IVFPQ index) composed from this module's two gated primitives —
-    coarse IVF cells prune the candidate set to the query's Voronoi
-    cell (ann_ivf_fixed_topk's assignment), and asymmetric PQ distance
-    ranks the survivors from their 4-byte codes alone
-    (ann_pq_adc_topk's LUT scan). Queries are the vec_id % 4 == 0
-    panel under the module's non-binding hash cap.
+    """IVF-PQ at PRODUCTION geometry: the billion-scale ANN layout
+    (Jegou et al.; the FAISS IVFPQ index) with the coarse cell count
+    SCALING with the corpus — nlist = scaled_ivf_geometry(n)'s sqrt(n)
+    (r7 verdict item 7: the old fixed-16-cell pinning made |cell| =
+    n/16 grow linearly, 89.5 s at sf10) — and a constant serving
+    probe width (IVF_ADC_NPROBE cells per query), so per-query
+    candidate work is nprobe * n/nlist ~ sqrt(n): sublinear, the
+    actual FAISS serving shape. Centroids stay the md5-order
+    deterministic corpus sample so the oracle can enumerate them; the
+    PQ codebook stays the fixed 16-entry table (4-bit codes —
+    independent of the coarse geometry, as in FAISS). Queries are the
+    vec_id % 4 == 0 panel under the module's non-binding hash cap.
 
-    Scale shape: corpus-side state is (cid, 4 code rows) per vector —
-    the raw vectors are read once to encode and never again. Both the
-    capped query panel and the queries x PQ_M x 16 LUT broadcast; the
-    code table streams through two broadcast hash joins at full scan
-    parallelism (cell fan-out = queries landing in that cell), and the
-    (query, neighbor) ADC sum is one map-side-combinable shuffle.
-    Unlike the linear-scan ADC, per-query candidate work is |cell|,
-    not the corpus. The top-10 is a rank-limit window
+    Scale shape: cell assignment and query cell-probing run through
+    _cell_fold_topk — one f64 GEMM per Arrow batch against the
+    broadcast sqrt(n)-row centroid matrix, band-rescored with the
+    exact f32 fold (bit-identical to the interpreted dot_f32 plan and
+    the oracle). Corpus-side state is (cid, 4 code rows) per vector;
+    the nprobe*|panel| probe table and the queries x PQ_M x 16 LUT
+    broadcast; the code table streams through broadcast hash joins at
+    full scan parallelism, and the (query, neighbor) ADC sum is one
+    map-side-combinable shuffle. The top-10 is a rank-limit window
     (WindowGroupLimit partial top-k), never a global sort.
 
-    Determinism: the cell argmax reuses the (cos, -cid) struct-MAX
-    with the f32 fold (dot_f32 == DuckDB list_dot_product
-    bit-for-bit), and the 4-term ADC sum is cast per-term to
-    DECIMAL(28,14) — order-independent, so cell membership, scores,
-    and rank boundaries agree with the oracle exactly.
+    Determinism: cell ranking uses the f32 fold (== DuckDB
+    list_dot_product bit-for-bit) with (cos DESC, cid ASC) ties, and
+    the 4-term ADC sum is cast per-term to DECIMAL(28,14) —
+    order-independent, so cell membership, probe sets, scores, and
+    rank boundaries agree with the oracle exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    n = _normed(emb)
-    cent = F.broadcast(_fixed_centroids(emb))
-    cos_c = dot_f32(F.col("embedding"), F.col("c_emb")).cast("double") / (
-        F.col("nm") * F.col("c_nm")
-    )
-    assign = (
-        n.crossJoin(cent)
-        .select(
-            "vec_id",
-            F.struct(
-                cos_c.alias("cos"), (-F.col("cid")).alias("ncid")
-            ).alias("s"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
-        .select("vec_id", (-F.col("s.ncid")).alias("cid"))
-    )
+    n = emb.count()
+    nlist, _ = scaled_ivf_geometry(n)
+    nprobe = min(IVF_ADC_NPROBE, nlist)
+    # sqrt(n)-row driver pull: 16 MB at a billion vectors — the
+    # centroid table is the broadcast side by construction.
+    cent_pd = _fixed_centroids(emb, k=nlist).toPandas()
+    assign = _cell_fold_topk(emb, cent_pd, 1)
     codes = embedding_pq_assign(spark, sf_dir).select(
         "vec_id", F.col("subspace").alias("m"), "code"
     )
@@ -2048,16 +2227,17 @@ def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cellcodes = assign.join(codes, "vec_id").repartition(
         spark.sparkContext.defaultParallelism
     )
-    q = _cap_queries(assign.filter(F.col("vec_id") % 4 == 0)).select(
-        F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
+    q = _cap_queries(emb.filter(F.col("vec_id") % 4 == 0)).select(
+        "vec_id", "embedding"
+    )
+    probes = _cell_fold_topk(q, cent_pd, nprobe).select(
+        F.col("vec_id").alias("query_id"), "cid"
     )
     cb = _subspaced(
         _fixed_centroids(emb).select("cid", "c_emb"), "c_emb", "sub_c"
     ).select("m", F.col("cid").alias("lcode"), "sub_c")
     qsub = _subspaced(
-        emb.join(
-            q.select(F.col("query_id").alias("vec_id")), "vec_id"
-        ).select(F.col("vec_id").alias("query_id"), "embedding"),
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
         "embedding",
         "q_sub",
     ).select("query_id", F.col("m").alias("lm"), "q_sub")
@@ -2071,8 +2251,8 @@ def ann_ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        F.broadcast(q)
-        .join(cellcodes, q["qcid"] == cellcodes["cid"])
+        F.broadcast(probes)
+        .join(cellcodes, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(
             lut,

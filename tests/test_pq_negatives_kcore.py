@@ -249,23 +249,28 @@ def test_bfs_converged_matches_pure_python(spark):
 
 
 def test_ivf_pq_adc_matches_numpy(spark):
-    """Differential for ann_ivf_pq_adc_topk: rebuild the IVF cells, PQ
-    codes, ADC table, and per-query top-10 in float64 numpy and check
-    the engine's (neighbor set, adc values, ranking) — skipping
-    float32-vs-float64 boundary ties the same way the PQ differential
-    does."""
+    """Differential for ann_ivf_pq_adc_topk at the SCALED geometry:
+    rebuild the sqrt(n) IVF cells, the query's top-IVF_ADC_NPROBE
+    probe set, the fixed-16 PQ codes, ADC table, and per-query top-10
+    in float64 numpy and check the engine's (neighbor set, adc
+    values, ranking) — skipping float32-vs-float64 boundary ties the
+    same way the PQ differential does."""
     from node_gedcom_graph_spark.operators.similarity import (
+        IVF_ADC_NPROBE,
         ann_ivf_pq_adc_topk,
+        scaled_ivf_geometry,
     )
 
     rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
-    cents = _centroids(rows)
+    nlist, _ = scaled_ivf_geometry(len(rows))
+    nprobe = min(IVF_ADC_NPROBE, nlist)
+    cents = _centroids(rows, nlist)
+    cents16 = _centroids(rows, 16)  # the PQ codebook stays 16-entry
 
-    def cell_of(v):
-        """(cid, margin): argmax cosine cell + distance to runner-up."""
+    def cell_ranking(v):
         nv = np.asarray(v, dtype=np.float64)
         nm = float(np.linalg.norm(nv))
-        scored = sorted(
+        return sorted(
             (
                 (
                     -float(
@@ -277,7 +282,21 @@ def test_ivf_pq_adc_matches_numpy(spark):
                 for c in cents
             ),
         )
+
+    def cell_of(v):
+        """(cid, margin): argmax cosine cell + distance to runner-up."""
+        scored = cell_ranking(v)
         return scored[0][1], scored[1][0] - scored[0][0]
+
+    def probes_of(v):
+        """(probe cid set, margin at the nprobe boundary)."""
+        scored = cell_ranking(v)
+        boundary = (
+            scored[nprobe][0] - scored[nprobe - 1][0]
+            if len(scored) > nprobe
+            else float("inf")
+        )
+        return {cid for _, cid in scored[:nprobe]}, boundary
 
     def codes_of(v):
         nv = np.asarray(v, dtype=np.float64)
@@ -287,16 +306,19 @@ def test_ivf_pq_adc_matches_numpy(spark):
             best = sorted(
                 (
                     (-float(np.dot(nv[sl], np.asarray(c.embedding, np.float64)[sl])), c.vec_id)
-                    for c in cents
+                    for c in cents16
                 )
             )
             out.append((best[0][1], best[0][0] - best[1][0]))
         return out
 
     cell = {r.vec_id: cell_of(r.embedding) for r in rows}
+    probes = {
+        r.vec_id: probes_of(r.embedding) for r in rows if r.vec_id % 4 == 0
+    }
     codes = {r.vec_id: codes_of(r.embedding) for r in rows}
     emb = {r.vec_id: np.asarray(r.embedding, np.float64) for r in rows}
-    cent_emb = {c.vec_id: np.asarray(c.embedding, np.float64) for c in cents}
+    cent_emb = {c.vec_id: np.asarray(c.embedding, np.float64) for c in cents16}
 
     got = ann_ivf_pq_adc_topk(spark, SF_DIR).collect()
     assert got, "IVF-PQ top-k must be non-empty at sf0.001"
@@ -312,11 +334,11 @@ def test_ivf_pq_adc_matches_numpy(spark):
         # ranking is (adc desc, neighbor_id asc)
         pairs = [(-r.adc, r.neighbor_id) for r in lst]
         assert pairs == sorted(pairs)
-        qcid, qmargin = cell[qid]
+        qprobes, qmargin = probes[qid]
         for r in lst:
             ncid, nmargin = cell[r.neighbor_id]
             if qmargin > SAFE and nmargin > SAFE:
-                assert ncid == qcid, (qid, r.neighbor_id)
+                assert ncid in qprobes, (qid, r.neighbor_id)
             # ADC value: sum over subspaces of dot(q_sub, codeword),
             # skipped when any subspace code is boundary-ambiguous
             expect = 0.0

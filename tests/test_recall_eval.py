@@ -133,3 +133,63 @@ def test_scaled_ivf_recall_floors_and_tier_ordering(spark):
     # and the unquantized flat tier beats both.
     assert means["ivf_pq_refine"] > means["ivf_pq_adc"]
     assert means["ivf_flat"] > means["ivf_pq_refine"]
+
+
+def test_sampled_recall_panel_binds_and_floors(spark):
+    """The md5-rank sampled panel (retrieval_recall_at_k_sampled): at
+    sf0.1 the %4 set is 500 queries, so the 128-query sample BINDS;
+    the selected panel must be exactly the md5-rank-lowest 128 (the
+    oracle's ORDER BY md5(vec_id), vec_id LIMIT 128), and each
+    method's sampled mean recall must clear the same floors as the
+    full eval (the sample is a uniform-in-hash subset)."""
+    import hashlib
+
+    from node_gedcom_graph_spark.operators.similarity import (
+        RECALL_SAMPLE_PANEL,
+        retrieval_recall_at_k_sampled,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    rows = retrieval_recall_at_k_sampled(spark, sf01).collect()
+    got_panel = {r.query_id for r in rows}
+    all_q = [
+        r.vec_id
+        for r in load_table(spark, sf01, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    assert len(all_q) > RECALL_SAMPLE_PANEL  # the sample must bind here
+    want_panel = set(
+        sorted(
+            all_q,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:RECALL_SAMPLE_PANEL]
+    )
+    assert got_panel == want_panel
+    assert len(rows) == 2 * RECALL_SAMPLE_PANEL
+    for method, floor in RECALL_FLOORS.items():
+        rec = [r.recall_at_k for r in rows if r.method == method]
+        assert len(rec) == RECALL_SAMPLE_PANEL
+        assert sum(rec) / len(rec) >= floor, method
+
+
+def test_sampled_matryoshka_matches_full_on_panel(spark):
+    """ann_matryoshka_trunc_recall_sampled is the full eval restricted
+    to the md5 panel: at sf0.001 the %4 set is under the sample size,
+    so sampled == full row-for-row; the metric itself is pinned by
+    test_matryoshka_recall_bounded_and_lossy."""
+    from node_gedcom_graph_spark.operators.llmprep4 import (
+        ann_matryoshka_trunc_recall,
+        ann_matryoshka_trunc_recall_sampled,
+    )
+
+    full = {
+        (r.query_id, r.hits)
+        for r in ann_matryoshka_trunc_recall(spark, SF_DIR).collect()
+    }
+    sampled = {
+        (r.query_id, r.hits)
+        for r in ann_matryoshka_trunc_recall_sampled(spark, SF_DIR).collect()
+    }
+    assert sampled == full and full
