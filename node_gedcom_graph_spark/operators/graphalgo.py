@@ -1031,13 +1031,23 @@ def copurchase_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     edges = _copurchase_edges(spark, sf_dir)
-    sym = (
+    # COLUMNAR persist for the (static) symmetric edge list, NOT
+    # localCheckpoint: localCheckpoint materializes row-format blocks
+    # on the heap (~32 B+overhead per edge, deserialized), which OOMed
+    # the 32 g local JVM at the sf100 tier (~0.9 B directed edges);
+    # the DataFrame cache stores compressed columnar batches
+    # (long-delta encoding, ~a tenth the footprint) and spills cleanly
+    # to disk. Lineage is static (one projection over the cached edge
+    # table), so the checkpoint's lineage-cut wasn't buying anything —
+    # the per-ROUND tables (frontier, dist) keep localCheckpoint,
+    # which is what bounds lineage depth.
+    sym = persist_tracked(
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
             edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
+    sym.count()  # eager: materialize once before the rounds begin
     seed = edges.agg(F.min("pa")).collect()[0][0]
     dist = spark.createDataFrame(
         [(int(seed), 0)], "node long, dist int"

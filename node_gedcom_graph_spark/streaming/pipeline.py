@@ -785,14 +785,35 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = "stream_session_gate"  # fixed name: see stream_tumbling_gate
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # RocksDB state store for THIS query (provider is read at stream
+    # start; restored after the drain): session-window state is the
+    # heaviest in the suite — per user, the pre-merge window list
+    # within a batch — and the default HDFS-backed store keeps the
+    # whole state map ON HEAP, which OOMed the 32 g local JVM at the
+    # sf100 tier (100 M events, 1.5 M users at 1000x per-user density).
+    # RocksDB holds state off-heap/on-disk with the same exact
+    # semantics — the production choice for large-state streaming.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
     return spark.table(sink)
 
 
