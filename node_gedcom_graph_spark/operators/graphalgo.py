@@ -655,7 +655,12 @@ def copurchase_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     edges = _copurchase_edges(spark, sf_dir)
-    e = edges.localCheckpoint(eager=True)
+    # Round 0 reads the columnar cache _copurchase_edges already holds
+    # — an initial localCheckpoint would duplicate the full edge list
+    # as row-format heap blocks (the copurchase_bfs_converged sf100 OOM
+    # class) for zero lineage benefit; the per-round checkpoints of the
+    # SHRINKING peeled list below are what bound lineage depth.
+    e = edges
     n_prev = e.count()
     for rnd in range(KCORE_FIX_UNROLL):
         obs = Observation(f"kcore_edges_{rnd}_{id(e)}")
@@ -729,11 +734,17 @@ def copurchase_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     edges = _copurchase_edges(spark, sf_dir)
-    sym = (
+    # Columnar persist for the STATIC symmetric edge list (the
+    # copurchase_bfs_converged sf100 lesson: localCheckpoint's
+    # row-format heap blocks OOM the local JVM near a billion directed
+    # edges; the compressed columnar cache is ~a tenth the footprint
+    # and spills to disk). Per-round tables keep localCheckpoint —
+    # that's the lineage cut.
+    sym = persist_tracked(
         edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .unionByName(edges.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
-        .localCheckpoint(eager=True)
     )
+    sym.count()  # eager: materialize once before the rounds begin
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -1146,7 +1157,9 @@ def copurchase_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     edges = _copurchase_edges(spark, sf_dir, keep_weight=True)
-    sym = (
+    # Columnar persist, not localCheckpoint, for the static weighted
+    # edge list (the copurchase_bfs_converged sf100 OOM lesson).
+    sym = persist_tracked(
         edges.select(
             F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("w")
         )
@@ -1155,8 +1168,8 @@ def copurchase_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("w")
             )
         )
-        .localCheckpoint(eager=True)
     )
+    sym.count()  # eager: materialize once before the rounds begin
     seed = edges.agg(F.min("pa")).collect()[0][0]
     dist = spark.createDataFrame(
         [(int(seed), 0)], "node long, dist long"
@@ -1269,13 +1282,15 @@ def copurchase_harmonic_centrality_seeds(
     from pyspark.sql import Observation
 
     edges = _copurchase_edges(spark, sf_dir)
-    sym = (
+    # Columnar persist for the static symmetric edge list (the
+    # copurchase_bfs_converged sf100 OOM lesson).
+    sym = persist_tracked(
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
             edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
+    sym.count()  # eager: materialize once before the rounds begin
     seeds = [
         r.src
         for r in sym.select("src").distinct().orderBy("src").limit(
