@@ -115,7 +115,14 @@ GATE_QUERIES = [
     "decontaminate_ngram_bloom",
     "stream_dedup_incremental",  # 16th streaming gate
     "sample_weighted_priority",  # E-S float twin of the lottery sampler
-    "ann_matryoshka_trunc_recall",  # truncated-dim recall eval
+    # r8: the md5-SAMPLED eval twins replace the full-panel matryoshka
+    # eval at this tier — the full variant's exact-ground-truth oracle
+    # is O(panel x corpus) in DuckDB (r7: 1694.5 s and a ~60 GB spill
+    # at sf1, which now exceeds the disk headroom); the 128-query
+    # md5-rank panel is the bounded-eval contract built for exactly
+    # this, and the full variant stays oracle-gated at sf0.01/sf0.1.
+    "ann_matryoshka_trunc_recall_sampled",
+    "retrieval_recall_at_k_sampled",
     "split_leakage_near_dup",  # cross-split near-dup contamination
     "curation_funnel_report",  # the end-to-end per-stage attrition table
     "stream_curation_funnel",  # 17th streaming gate (stateless scoring)
