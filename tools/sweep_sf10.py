@@ -60,9 +60,21 @@ def main() -> None:
 
     qs = ent.queries()
     done: dict = {}
+    carried: dict = {}
     if out_path and os.path.exists(out_path):
         try:  # resume: keep prior entries, sweep only the remainder
-            done = json.load(open(out_path)).get("queries", {})
+            prev_doc = json.load(open(out_path))
+            done = prev_doc.get("queries", {})
+            # Carry forward hand-written annotation keys (what/notes/…):
+            # a resume run must never silently drop the committed
+            # structural notes (it did once, r8).
+            carried = {
+                k: v
+                for k, v in prev_doc.items()
+                if k
+                not in ("sf_dir", "timeout_s", "queries", "over_60s",
+                        "timeouts", "errors", "stopped")
+            }
         except Exception:
             done = {}
     if not names:
@@ -81,6 +93,7 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "timeout_s": QUERY_TIMEOUT_S,
+        **carried,
         "queries": dict(done),
         "over_60s": [n for n, v in done.items() if v.get("wall_s", 0) > 60],
         "timeouts": [n for n, v in done.items() if v.get("timeout")],
