@@ -18,8 +18,11 @@ tests) and continuous triggers.
 
 from __future__ import annotations
 
+import atexit
 import logging
 import os
+import shutil
+import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -2158,10 +2161,17 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         any_contaminated(shingles_from_tokens(F.col("toks"))).alias("is_cont")
         if small_bench
-        # fallback: ship the shingle array itself through the sink so
-        # the batch merge can join it against the (oversized) static
-        # bench side — no driver materialization anywhere.
-        else shingles_from_tokens(F.col("toks")).alias("shingles")
+        # fallback: ship 8-byte xxhash64 shingle FINGERPRINTS (not the
+        # raw strings — an order of magnitude smaller per row) through
+        # a temp PARQUET sink (not the in-driver memory sink — the
+        # whole point of this path is that the corpus is too big to
+        # materialize on the driver), so the batch merge can join them
+        # against the (oversized) static bench side hashed the same
+        # way. Collision risk is ~n_shingles*n_bench/2^64 — negligible,
+        # and only this over-cap path (never the gate) carries it.
+        else F.transform(
+            shingles_from_tokens(F.col("toks")), lambda s: F.xxhash64(s)
+        ).alias("shingle_fps")
     )
     scored = base.select(
         "doc_id",
@@ -2183,23 +2193,48 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("logit_sum").cast("double") / F.col("n_tokens") > 0).alias(
             "pass_classifier"
         ),
-        (~F.col("is_cont")).alias("not_cont") if small_bench else F.col("shingles"),
+        (~F.col("is_cont")).alias("not_cont")
+        if small_bench
+        else F.col("shingle_fps"),
     )
-    sink = "stream_curation_gate"  # fixed name: see stream_tumbling_gate
-    q = (
-        scored.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drained = spark.table(sink)
+    if small_bench:
+        # Per-doc scalar rows only — bounded, the memory sink is fine.
+        sink = "stream_curation_gate"  # fixed name: see stream_tumbling_gate
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drained = spark.table(sink)
+    else:
+        # Over-cap path: the drained table is corpus-sized (one
+        # fingerprint array per document), so it must NOT pass through
+        # the driver — drain to a temp parquet sink and read it back as
+        # a distributed table (removed at interpreter exit; the final
+        # report below is one row per source either way).
+        spill = tempfile.mkdtemp(prefix="funnel_fallback_")
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
+        q = (
+            scored.writeStream.format("parquet")
+            .option("path", f"{spill}/data")
+            .option("checkpointLocation", f"{spill}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drained = spark.read.parquet(f"{spill}/data")
     if not small_bench:
-        # Single pass, no self-join of the sink view (the memory-sink
-        # View cannot be deduplicated for a self-join): explode each
-        # doc's shingles (outer: zero-shingle docs stay), left-join the
-        # static bench side, and fold back to one verdict row per doc.
+        # Single pass: explode each doc's shingle fingerprints (outer:
+        # zero-shingle docs stay), left-join the static bench side
+        # hashed with the same xxhash64, and fold back to one verdict
+        # row per doc.
+        bench_fps = bench_df.select(
+            F.xxhash64("s").alias("s_fp")
+        ).distinct()
         drained = (
             drained.select(
                 "doc_id",
@@ -2208,9 +2243,9 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens",
                 "pass_quality",
                 "pass_classifier",
-                F.explode_outer("shingles").alias("s"),
+                F.explode_outer("shingle_fps").alias("s_fp"),
             )
-            .join(bench_df.withColumn("hit", F.lit(1)), "s", "left")
+            .join(bench_fps.withColumn("hit", F.lit(1)), "s_fp", "left")
             .groupBy(
                 "doc_id",
                 "source",

@@ -9,9 +9,10 @@ Usage: python tools/lint_gate.py [--fix] GATE_*.json ...
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.verify_local import lint_artifact, summarize_rows  # noqa: E402
 

@@ -187,12 +187,17 @@ def main() -> None:
             and min(walls, key=lambda w: w["wall_s"])["steal_s"] > 2
         ):
             one_run()
-        best = min(w["wall_s"] for w in walls)
+        # Pair the published cpu_s with the SAME run that won on wall
+        # (r8's min-over-warm cpu could come from a different run than
+        # best_wall_s, making the pair internally inconsistent); the
+        # full per-run pairs stay in "runs".
+        best_run = min(walls, key=lambda w: w["wall_s"])
+        best = best_run["wall_s"]
         result["extract"] = {
             "runs": walls,
             "best_wall_s": best,
             "krec_per_s": round(n_indi / best / 1e3, 1),
-            "best_cpu_s": min(w["cpu_s"] for w in walls[1:] or walls),
+            "best_cpu_s": best_run["cpu_s"],
             "in_memory_sweep_krec_per_s": {"500k": 153.8, "5M": 193.9},
         }
         print(json.dumps(result, indent=1))
