@@ -152,6 +152,18 @@ HEADLINE = (
     "dsir_importance_weights",
 )
 
+# r9 (r8 verdict item 6): the families that dominate sf100 risk join the
+# headline — one iterative-graph convergence member (HashMin CC with the
+# keyed edge cache) and one stateful streaming gate (session windows on
+# RocksDB, full availableNow drain). Kept OUTSIDE the r8-comparable
+# tuple so round-over-round subtotals stay apples-to-apples (the
+# artifact reports both sums).
+R8_COMPARABLE = HEADLINE
+HEADLINE = HEADLINE + (
+    "copurchase_cc_converged",
+    "stream_session_windows",
+)
+
 N_SYNTH_INDI = 50_000  # synthesized GEDCOM individuals for the ETL bench
 
 def synth_gedcom_lines(spark):
@@ -264,6 +276,22 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    subset = {
+        "wall_s": round(
+            sum(best["queries"][n] for n in R8_COMPARABLE if n in best["queries"])
+            + best["queries"].get("gedcom_pipeline_synth50k", 0.0),
+            3,
+        ),
+        "cpu_s": round(
+            sum(
+                best["queries_cpu_s"][n]
+                for n in R8_COMPARABLE
+                if n in best["queries_cpu_s"]
+            )
+            + best["queries_cpu_s"].get("gedcom_pipeline_synth50k", 0.0),
+            3,
+        ),
+    }
     out = {
         "metric": "headline_queries_total_wall",
         "value": best["value"],
@@ -274,7 +302,57 @@ def main() -> None:
         "gedcom_pipeline_synth50k_cold": best["gedcom_pipeline_synth50k_cold"],
         "host_steal_s": best["host_steal_s"],
         "sf": sf,
+        "r8_comparable_subtotal": subset,
     }
+    # Steal-invariant round-over-round comparison (r8 verdict item 1):
+    # per-query CPU delta against the newest committed prior-round
+    # artifact (the driver wraps its bench record under "parsed"). CPU
+    # is the primary comparison column — hypervisor steal inflates
+    # wall-clock, never scheduled CPU — so this table is weather-proof
+    # on both sides.
+    prior_paths = sorted(
+        p
+        for p in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if re.fullmatch(r"BENCH_r\d+\.json", p)
+    )
+    if prior_paths:
+        prior_name = prior_paths[-1]
+        try:
+            prior = json.load(
+                open(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), prior_name
+                    )
+                )
+            )
+            prior = prior.get("parsed", prior)
+            prior_cpu = prior.get("queries_cpu_s", {})
+        except (OSError, ValueError):
+            prior_cpu = {}
+        delta = {}
+        for name, now in best["queries_cpu_s"].items():
+            then = prior_cpu.get(name)
+            if then is None:
+                continue
+            delta[name] = {
+                "prior_cpu_s": then,
+                "cpu_s": now,
+                "delta_pct": round(100.0 * (now - then) / then, 1)
+                if then
+                else None,
+            }
+        if delta:
+            common_then = sum(v["prior_cpu_s"] for v in delta.values())
+            common_now = sum(v["cpu_s"] for v in delta.values())
+            out["cpu_delta_vs_prior"] = {
+                "prior_artifact": prior_name,
+                "queries": delta,
+                "common_prior_cpu_s": round(common_then, 3),
+                "common_cpu_s": round(common_now, 3),
+                "common_delta_pct": round(
+                    100.0 * (common_now - common_then) / common_then, 1
+                ),
+            }
     if len(runs) > 1:
         out["runs"] = [
             {

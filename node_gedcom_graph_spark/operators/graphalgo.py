@@ -34,6 +34,31 @@ _EDGES_SQL = """
 """
 
 
+def _persist_keyed(df: DataFrame, key: str) -> DataFrame:
+    """Columnar-persist a STATIC convergence-loop table PRE-PARTITIONED
+    (hash) and sorted on the loop's per-round join key.
+
+    InMemoryTableScan preserves the cached plan's outputPartitioning
+    and outputOrdering, so each round's sort-merge join reads the cache
+    with NO Exchange and NO Sort on the edge side — verified in the
+    executed plan (round join = SMJ over a bare InMemoryTableScan).
+
+    MEASURED RESULT (r9, pinning the r8-verdict premise): this is plan
+    hygiene, not a wall win, at every tested tier — sf10 cc converged
+    47.3s keyed vs 46.5-50.4s unkeyed (within steal noise), because the
+    co-purchase edge list is SMALL (~714k rows sf10, ~7M sf100; the
+    "~0.45B" figure is the transient per-order pair fan-out inside the
+    build, never the loop-side table). The family's wall lives in
+    `_copurchase_edges` (two fact-table exchanges + the pair-count
+    shuffle), which is why that build, not the loop, carries the r9
+    optimizations. Kept because it costs nothing here and IS the right
+    shape wherever the static loop table is large relative to memory.
+    """
+    return persist_tracked(
+        df.repartition(F.col(key)).sortWithinPartitions(key)
+    )
+
+
 def _copurchase_edges(
     spark: SparkSession, sf_dir: str, keep_weight: bool = False
 ) -> DataFrame:
@@ -41,8 +66,23 @@ def _copurchase_edges(
 
     Scale: the per-order pair fan-out is bounded by lines-per-order
     (~C(7,2) = 21 pairs max per order here), so pair generation is
-    linear in the fact table, shuffled once on l_orderkey (distinct)
-    and once on the pair for the weight count.
+    linear in the fact table. Two r9 build optimizations, both
+    measured at sf10 (quiet-host min-of-3):
+
+    - ONE fact-table exchange instead of two: `repartition(orderkey)`
+      BEFORE the distinct — HashPartitioning(ok) satisfies the
+      distinct's ClusteredDistribution(ok, pk) (equal (ok, pk) rows
+      co-locate under hash(ok)), and the self-join's required
+      hash(ok) is then already satisfied too, so the 600M-row (sf100)
+      fact shuffles once, not twice. (A collect_set-per-order rewrite
+      that would eliminate the self-join entirely was measured 3x
+      SLOWER — ObjectHashAggregate loses to the codegen'd SMJ.)
+    - PACKED pair key for the heavy aggregate: the pair-count shuffle
+      carries ~120M (sf10) / ~1.2B (sf100) rows — the single largest
+      cost in the whole graph family — so the (pa, pb) key is packed
+      into one bigint (both keys < 2^31 at every tier; guarded) for a
+      single-long hash/shuffle key, and unpacked only on the ~0.3%
+      of rows surviving w >= 2. 12.2 -> 11.2 s sf10.
 
     The result is ``persist()``-ed (MEMORY_AND_DISK): both consumers
     reference the edge list from several plan branches (degrees,
@@ -54,19 +94,44 @@ def _copurchase_edges(
     resolves the identical subtree across separate invocations too.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
     a, b = op.alias("a"), op.alias("b")
-    return (
+    packed = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        .select(
+            # key-pack guard: partkeys must fit 31 bits for the packed
+            # bigint to be collision-free (raise, never corrupt).
+            F.when(
+                (F.col("a.l_partkey") < 0)
+                | (F.col("b.l_partkey") < 0)
+                | (F.col("a.l_partkey") >= F.lit(1 << 31))
+                | (F.col("b.l_partkey") >= F.lit(1 << 31)),
+                F.raise_error(
+                    F.lit("copurchase pair key exceeds 31 bits; "
+                          "unpack _copurchase_edges' packed aggregate")
+                ),
+            ).otherwise(
+                F.shiftleft(F.col("a.l_partkey"), 32) + F.col("b.l_partkey")
+            ).alias("pk")
         )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
+    )
+    return (
+        packed.select(
+            F.shiftrightunsigned("pk", 32).alias("pa"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("pb"),
+            "w",
+        )
         .select(*(["pa", "pb", "w"] if keep_weight else ["pa", "pb"]))
         .transform(persist_tracked)
     )
@@ -304,14 +369,20 @@ def copurchase_label_propagation_3iter(
     rounds (see graph/queries.py connected components).
     """
     edges = _copurchase_edges(spark, sf_dir)
-    sym = edges.select(
-        F.inline(
-            F.array(
-                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
-                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+    # Keyed on dst — the per-iteration join is sym.dst == labels.p, so
+    # the cached partitioning/order removes the edge-side Exchange+Sort
+    # from every iteration (_persist_keyed).
+    sym = _persist_keyed(
+        edges.select(
+            F.inline(
+                F.array(
+                    F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                    F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+                )
             )
-        )
-    ).transform(persist_tracked)
+        ),
+        "dst",
+    )
     labels = sym.select(F.col("src").alias("p")).distinct().select(
         "p", F.col("p").alias("label")
     )
@@ -739,10 +810,13 @@ def copurchase_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-format heap blocks OOM the local JVM near a billion directed
     # edges; the compressed columnar cache is ~a tenth the footprint
     # and spills to disk). Per-round tables keep localCheckpoint —
-    # that's the lineage cut.
-    sym = persist_tracked(
+    # that's the lineage cut. Keyed on b: the per-round join is
+    # sym.b == labels.id, so the cached partitioning/order kills the
+    # edge-side Exchange+Sort in every round (_persist_keyed).
+    sym = _persist_keyed(
         edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .unionByName(edges.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+        .unionByName(edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))),
+        "b",
     )
     sym.count()  # eager: materialize once before the rounds begin
     labels = (
@@ -1051,12 +1125,14 @@ def copurchase_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to disk. Lineage is static (one projection over the cached edge
     # table), so the checkpoint's lineage-cut wasn't buying anything —
     # the per-ROUND tables (frontier, dist) keep localCheckpoint,
-    # which is what bounds lineage depth.
-    sym = persist_tracked(
+    # which is what bounds lineage depth. Keyed on src (the per-round
+    # frontier-join key) so no round re-exchanges the edges.
+    sym = _persist_keyed(
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
             edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
+        ),
+        "src",
     )
     sym.count()  # eager: materialize once before the rounds begin
     seed = edges.agg(F.min("pa")).collect()[0][0]
@@ -1158,8 +1234,9 @@ def copurchase_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir, keep_weight=True)
     # Columnar persist, not localCheckpoint, for the static weighted
-    # edge list (the copurchase_bfs_converged sf100 OOM lesson).
-    sym = persist_tracked(
+    # edge list (the copurchase_bfs_converged sf100 OOM lesson), keyed
+    # on src — the per-round relaxation join key (_persist_keyed).
+    sym = _persist_keyed(
         edges.select(
             F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("w")
         )
@@ -1167,7 +1244,8 @@ def copurchase_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.select(
                 F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("w")
             )
-        )
+        ),
+        "src",
     )
     sym.count()  # eager: materialize once before the rounds begin
     seed = edges.agg(F.min("pa")).collect()[0][0]
@@ -1283,12 +1361,14 @@ def copurchase_harmonic_centrality_seeds(
 
     edges = _copurchase_edges(spark, sf_dir)
     # Columnar persist for the static symmetric edge list (the
-    # copurchase_bfs_converged sf100 OOM lesson).
-    sym = persist_tracked(
+    # copurchase_bfs_converged sf100 OOM lesson), keyed on src — the
+    # multi-source frontier join key (_persist_keyed).
+    sym = _persist_keyed(
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
             edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
+        ),
+        "src",
     )
     sym.count()  # eager: materialize once before the rounds begin
     seeds = [

@@ -821,6 +821,123 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_session_windows_production",
+    min_rows=1,
+)
+def stream_session_windows_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION-SHAPE measurement twin of stream_session_windows (r8
+    verdict item 3): watermarked session windows in APPEND mode drained
+    to a distributed PARQUET sink — closed sessions evict from the
+    RocksDB store and flow executor-side to files; the driver never
+    materializes a row. This is the shape an unbounded deployment runs,
+    and it is what the sf100 tier should measure: the gate twin's
+    complete-mode memory-sink drain was paying a 95.5M-row driver
+    materialization that graded the harness, not the operator.
+
+    NO ORACLE, BY DESIGN (rows-only driver check): append mode emits
+    only sessions CLOSED by the watermark (global max event time minus
+    1 h), so the tail of still-open sessions is legitimately absent —
+    the emitted-row total is still deterministic (append emits each
+    session exactly once, when it closes; batch boundaries change only
+    WHEN, never WHETHER — the availableNow no-data batch flushes every
+    session the final watermark closes). Final-state equality is
+    already oracle-gated by the complete-mode twin.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start")
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    spill = tempfile.mkdtemp(prefix="session_prod_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{spill}/data")
+            .option("checkpointLocation", f"{spill}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+    return spark.read.parquet(f"{spill}/data")
+
+
+@_register(
+    "stream_user_stats_production",
+    min_rows=1,
+)
+def stream_user_stats_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION-SHAPE measurement twin of stream_user_stats_stateful
+    (r8 verdict item 3): the applyInPandasWithState per-user aggregator
+    in update mode drained through a foreachBatch NOOP write — each
+    micro-batch's updated rows are consumed distributed, executor-side;
+    the driver sees only scalar counters. The gate twin's update-mode
+    memory sink accumulates every per-batch update row on the driver,
+    which is a harness cost, not an operator cost.
+
+    NO ORACLE, BY DESIGN (rows-only driver check): the per-batch update
+    stream depends on micro-batch boundaries (one row per user PER
+    BATCH that touched the user); final-state equality is already
+    oracle-gated by stream_user_stats_stateful. Returns a one-row
+    summary (rows_emitted, n_batches) with a stable schema.
+    """
+    events = read_events_stream(spark, sf_dir)
+    totals = {"rows": 0, "batches": 0}
+
+    def _drain(bdf: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"user_stats_prod_{epoch_id}")
+        bdf.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        totals["rows"] += obs.get["n"]
+        totals["batches"] += 1
+
+    spill = tempfile.mkdtemp(prefix="user_stats_prod_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    q = (
+        stream_user_stats_stateful(events)
+        .writeStream.foreachBatch(_drain)
+        .outputMode("update")
+        .option("checkpointLocation", f"{spill}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(int(totals["rows"]), int(totals["batches"]))],
+        "rows_emitted long, n_batches long",
+    )
+
+
+@_register(
     "stream_static_enrich_segment",
     oracle="""
     SELECT c.c_mktsegment AS segment,
@@ -1864,6 +1981,61 @@ def _stream_substring_oracle() -> str:
     """
 
 
+def _substr_precombine_batches(batches):
+    """Arrow-batched ExactSubstr pre-combine kernel (module-level so
+    tests can pin the combine math directly): explode each document
+    into its W-char window positions AND fold to (window fingerprint,
+    min (doc_id, p), count) within the batch, in one vectorizable pass.
+    See stream_dedup_substring_windows for why this beats the
+    interpreted microbatch explode."""
+    import hashlib
+
+    from node_gedcom_graph_spark.operators.dedup import SUBSTR_W
+
+    md5 = hashlib.md5
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        wks: list = []
+        dids: list = []
+        pps: list = []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            n = len(text) - SUBSTR_W + 1
+            if n <= 0:
+                continue
+            wks.extend(
+                md5(text[i : i + SUBSTR_W].encode("utf-8")).digest()
+                for i in range(n)
+            )
+            dids.extend([did] * n)
+            pps.extend(range(1, n + 1))
+        if not wks:
+            continue
+        pf = pd.DataFrame(
+            {
+                "wk": wks,
+                "doc_id": pd.array(dids, dtype="int64"),
+                "p": pd.array(pps, dtype="int64"),
+                "cnt": 1,
+            }
+        )
+        # distinct-min + count per window within the batch: rows are
+        # generated in (doc_id, p) order per doc but docs may
+        # interleave arbitrarily — one stable sort makes "first" the
+        # lexicographic min(struct(doc_id, p)).
+        pf.sort_values(["doc_id", "p"], inplace=True, kind="stable")
+        grp = pf.groupby("wk", sort=False)
+        out = grp.agg(
+            doc_id=("doc_id", "first"),
+            p=("p", "first"),
+            cnt=("cnt", "size"),
+        ).reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        yield out[["wk", "doc_id", "p", "cnt"]]
+
+
 @_register("stream_dedup_substring_windows", oracle=_stream_substring_oracle())
 def stream_dedup_substring_windows(
     spark: SparkSession, sf_dir: str
@@ -1904,33 +2076,34 @@ def stream_dedup_substring_windows(
     from node_gedcom_graph_spark.operators.dedup import SUBSTR_W
 
     docs = read_documents_stream(spark, sf_dir)
-    pos = (
+
+    # Per-microbatch PARTIAL PRE-AGGREGATION (r8 verdict item 5): the
+    # microbatch planner runs the explode+md5 position fan-out without
+    # AQE/whole-stage codegen, so the 130M-position (sf10) exploded
+    # table used to reach the stateful shuffle row-at-a-time. This
+    # Arrow-batched kernel fuses the fan-out WITH a distinct-min/count
+    # combine per window fingerprint inside each batch, so (a) the hot
+    # path is vectorized pandas instead of interpreted expressions and
+    # (b) under dup pressure (the synth tiers are 100-way dup groups)
+    # the stateful shuffle receives one row per distinct window per
+    # Arrow batch, not one per position. State/shuffle key stays the
+    # RAW 16-byte digest (half the state width of hex); the digest is
+    # md5 of the UTF-8 bytes of the CHARACTER-based window slice —
+    # identical to both Spark's md5(substring(...)) and DuckDB's
+    # md5(substr(...)).
+    pre = (
         docs.filter(F.length("text") >= SUBSTR_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - SUBSTR_W + 1)
-            ).alias("p"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.col("p").cast("bigint").alias("p"),
-            # State/shuffle key is the RAW 16-byte digest (unhex), not
-            # the 32-char hex string — half the state size and shuffle
-            # width for 130M+ positions at the 100x tier (wall there is
-            # state-OP-bound, ~unchanged; the win is state memory);
-            # hex-encode only the drained (dup-only) rows.
-            F.unhex(
-                F.md5(F.expr(f"substring(text, p, {SUBSTR_W})"))
-            ).alias("wk"),
+        .select("doc_id", "text")
+        .mapInPandas(
+            _substr_precombine_batches,
+            "wk binary, doc_id bigint, p bigint, cnt bigint",
         )
     )
     agg = (
-        pos.groupBy("wk")
+        pre.groupBy("wk")
         .agg(
             F.min(F.struct("doc_id", "p")).alias("k"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("cnt").alias("n_occurrences"),
         )
         .filter(F.col("n_occurrences") >= 2)
         .select(

@@ -118,6 +118,14 @@ def main() -> None:
 
         watchdog = threading.Timer(QUERY_TIMEOUT_S, _kill)
         watchdog.start()
+        # Per-query steal + process-tree CPU columns (r9): the sweep is
+        # a one-pass measurement on a steal-bursty VM, so every wall
+        # needs its weather attribution next to it (bench.py got these
+        # in r8; sweep walls were the remaining unattributed numbers).
+        from bench import _steal_jiffies, _tree_cpu_s
+
+        steal0 = _steal_jiffies()
+        cpu0 = _tree_cpu_s()
         t0 = time.monotonic()
         try:
             # NOT .count(): Catalyst prunes plan branches that cannot
@@ -140,10 +148,23 @@ def main() -> None:
             )
             rows = obs.get["rows"]
             wall = round(time.monotonic() - t0, 1)
-            out["queries"][name] = {"rows": rows, "wall_s": wall}
+            steal = round(
+                (_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1
+            )
+            cpu = round(_tree_cpu_s() - cpu0, 1)
+            out["queries"][name] = {
+                "rows": rows,
+                "wall_s": wall,
+                "steal_s": steal,
+                "cpu_s": cpu,
+            }
             if wall > 60:
                 out["over_60s"].append(name)
-            print(f"OK    {name}: {rows} rows [{wall}s]", flush=True)
+            print(
+                f"OK    {name}: {rows} rows [{wall}s, steal {steal}s, "
+                f"cpu {cpu}s]",
+                flush=True,
+            )
         except Exception as exc:  # noqa: BLE001 — sweep must survive
             wall = round(time.monotonic() - t0, 1)
             msg = str(exc).split("\n")[0][:200]
