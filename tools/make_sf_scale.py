@@ -64,6 +64,16 @@ def main() -> None:
             raise SystemExit(f"unknown tables: {sorted(unknown)}")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # Bound the buffer pool: the default (80% of RAM) let the sf100
+    # lineitem COPY (600M-row cross join) buffer the whole result and
+    # get OOM-killed when other JVMs held memory. With a limit duckdb
+    # spills to disk; dropping insertion-order preservation lets the
+    # COPY stream instead of materializing (row order is meaningless
+    # in these fixtures — every consumer is a declarative query).
+    mem_gb = os.environ.get("MAKE_SF_MEM_GB", "24")
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute(f"SET temp_directory='{dst}/.duckdb_tmp'")
     # Offset by the key-range SIZE (max - min + 1), not max: 0-based key
     # spaces (doc_id, vec_id, event_id) would otherwise duplicate their
     # boundary id across adjacent copies (caught by the sf1 gate run:
