@@ -641,14 +641,20 @@ def source_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-independent.
 
     Scale: JSONL is the interchange format of LLM data pipelines;
-    writes are per-partition (no shuffle) and the read is splittable
-    by line.
+    writes are per-partition (no shuffle). The sink is gzip-compressed
+    per partition file (zstd is absent from this Spark build's text codecs) — read parallelism is file-granular (one task
+    per .gz file, = write partitions), and the disk cost drops ~6x
+    (measured at sf100: 23 GB raw JSONL of the 150M-row orders table
+    lingering in scratch starved a later query's shuffle spill and
+    tripped the sweep's disk floor).
     """
     out = os.path.join(
         "/tmp/ngg_roundtrip_json",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    load_table(spark, sf_dir, "orders").write.mode("overwrite").json(out)
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
     back = spark.read.schema(_ORDERS_SCHEMA).json(out)
     return _roundtrip_agg(back)
 
@@ -668,13 +674,34 @@ def source_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
         "header", "true"
-    ).csv(out)
+    ).option("compression", "gzip").csv(out)
     back = (
         spark.read.schema(_ORDERS_SCHEMA)
         .option("header", "true")
         .csv(out)
     )
     return _roundtrip_agg(back)
+
+
+#: Scratch roots the three roundtrip queries write under. A finished
+#: roundtrip leaves one table copy per format on disk (the lazy
+#: DataFrame needs the files at materialization time, so the query
+#: itself cannot clean up); harnesses that run MANY queries back to
+#: back (sweeps, gates) should call clear_roundtrip_scratch() between
+#: queries — at sf100 the leftovers reached 33 GB and starved an
+#: unrelated query's shuffle spill.
+ROUNDTRIP_SCRATCH = (
+    "/tmp/ngg_roundtrip_orc",
+    "/tmp/ngg_roundtrip_json",
+    "/tmp/ngg_roundtrip_csv",
+)
+
+
+def clear_roundtrip_scratch() -> None:
+    import shutil
+
+    for d in ROUNDTRIP_SCRATCH:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ----------------------- Neyman-allocation stratified sampling

@@ -200,6 +200,18 @@ def main() -> None:
                 spark.sparkContext.setJobGroup("", "")
             except Exception:
                 pass
+            # The format-roundtrip queries leave a table copy per
+            # format in scratch (33 GB at sf100) — clean between
+            # queries so leftovers can't starve a later query's
+            # shuffle spill (tripped the disk floor mid-sweep, r9).
+            try:
+                from node_gedcom_graph_spark.operators.llmprep3 import (
+                    clear_roundtrip_scratch,
+                )
+
+                clear_roundtrip_scratch()
+            except Exception:
+                pass
         if out_path:  # checkpoint after every query — a crash keeps data
             with open(out_path, "w") as fh:
                 json.dump(out, fh, indent=1)
