@@ -1737,16 +1737,25 @@ def stream_view_purchase_left_outer(
     ).select(
         "purchase_id", "p_user", "purchase_ts", "view_id", "view_ts", "amount"
     )
-    sink = "stream_loj_gate"  # fixed name: see stream_tumbling_gate
+    # Distributed parquet drain, not the in-driver memory sink: the
+    # join's output is ~linear in the purchase side (every purchase
+    # emits matched or null-side rows), and at sf100 the memory sink's
+    # collect-back blew spark.driver.maxResultSize (serialized results
+    # of 21 tasks > 1 GiB — caught by the r9 tier sweep). Append mode
+    # supports file sinks, so the gate query itself can BE the
+    # production drain shape; rows are identical either way.
+    spill = tempfile.mkdtemp(prefix="stream_loj_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
+        joined.writeStream.format("parquet")
+        .option("path", f"{spill}/data")
+        .option("checkpointLocation", f"{spill}/ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    return spark.read.parquet(f"{spill}/data").select(
         "purchase_id",
         "p_user",
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),

@@ -151,7 +151,13 @@ def main() -> None:
             steal = round(
                 (_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1
             )
-            cpu = round(_tree_cpu_s() - cpu0, 1)
+            # max(0): if a pyspark.daemon died mid-query (streaming
+            # teardown), its accumulated children's CPU leaves the
+            # process tree and the delta can go NEGATIVE (observed
+            # -10528s on stream_dedup_substring_windows at sf100) —
+            # clamp; a clamped 0.0 reads as "attribution lost", never
+            # as real work.
+            cpu = round(max(0.0, _tree_cpu_s() - cpu0), 1)
             out["queries"][name] = {
                 "rows": rows,
                 "wall_s": wall,
