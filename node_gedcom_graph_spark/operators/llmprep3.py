@@ -461,6 +461,21 @@ def sample_weighted_minhash_replication(
         # zero/negative weights produce no tickets in BOTH engines.
         .filter(F.col("w") >= 1)
     )
+    # Keep the partial aggregate IN the hash map: every group
+    # (l_orderkey, l_linenumber) comes from exactly one source row, so
+    # the map-side combine always collapses a group within its task —
+    # but only while the per-task GROUP COUNT fits the aggregate hash
+    # map. At sf100 a 128 MB input split carries ~6M groups; the
+    # partial agg fell back to sort-based aggregation and spilled the
+    # full exploded ticket fan-out (~23 GB per task, "No space left"
+    # with 57 GB free — caught by the r9 sf100 sweep). Fanning the
+    # 3-column projection out to ~8x the scan's split count caps
+    # per-task groups near 0.75M (a ~60 MB map), so the ticket
+    # explosion never touches a sort or the disk; the only shuffles
+    # are this narrow repartition and the final agg's one-row-per-item
+    # exchange.
+    nparts = max(32, li.rdd.getNumPartitions() * 8)
+    li = li.repartition(nparts)
     rep = li.select(
         "l_orderkey",
         "l_linenumber",
