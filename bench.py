@@ -330,6 +330,7 @@ def main() -> None:
     )
     if prior_paths:
         prior_name = prior_paths[-1]
+        prior_estimator = None
         try:
             prior = json.load(
                 open(
@@ -338,10 +339,13 @@ def main() -> None:
                     )
                 )
             )
-            prior = prior.get("parsed", prior)
-            prior_cpu = prior.get("queries_cpu_s_min") or prior.get(
-                "queries_cpu_s", {}
-            )
+            prior = prior.get("parsed", prior) or {}
+            if prior.get("queries_cpu_s_min"):
+                prior_cpu = prior["queries_cpu_s_min"]
+                prior_estimator = "cpu_min_of_passes"
+            else:
+                prior_cpu = prior.get("queries_cpu_s", {})
+                prior_estimator = "single_pass"
         except (OSError, ValueError):
             prior_cpu = {}
         delta = {}
@@ -359,8 +363,14 @@ def main() -> None:
         if delta:
             common_then = sum(v["prior_cpu_s"] for v in delta.values())
             common_now = sum(v["cpu_s"] for v in delta.values())
+            # Estimator provenance (r9 ADVICE): a transition-round
+            # delta whose prior side is a single contended pass reads
+            # up to ~30% better than real — name both estimators so
+            # readers can discount asymmetric comparisons.
             out["cpu_delta_vs_prior"] = {
                 "prior_artifact": prior_name,
+                "estimator": "cpu_min_of_passes",
+                "prior_estimator": prior_estimator,
                 "queries": delta,
                 "common_prior_cpu_s": round(common_then, 3),
                 "common_cpu_s": round(common_now, 3),
@@ -382,7 +392,38 @@ def main() -> None:
             f"(backoff-retry, max {len(backoffs) + 1} passes), "
             "else lowest-steal"
         )
-    print(json.dumps(out))
+    # The driver records only the LAST ~2000 bytes of stdout and parses
+    # the JSON line found there; r9's full record outgrew that window
+    # and the official artifact carried parsed: null (r9 verdict item
+    # 2). So: the FULL record goes to a side file named in the compact
+    # record, and the printed line keeps the headline (wall + per-query
+    # wall + cpu-min + delta SUMMARY) under a hard byte budget, dropping
+    # per-query maps innermost-first if a future round outgrows it.
+    detail_name = "BENCH_local_full.json"
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1)
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k not in ("runs", "queries_cpu_s", "cpu_delta_vs_prior")
+    }
+    compact["detail_file"] = detail_name
+    compact["n_passes"] = len(runs)
+    if "cpu_delta_vs_prior" in out:
+        compact["cpu_delta_vs_prior"] = {
+            k: v
+            for k, v in out["cpu_delta_vs_prior"].items()
+            if k != "queries"
+        }
+    for drop in ("queries_cpu_s_min", "queries"):
+        if len(json.dumps(compact)) <= 1900:
+            break
+        compact.pop(drop, None)
+        compact[f"dropped_{drop}"] = f"see {detail_name}"
+    print(json.dumps(compact))
     spark.stop()
 
 

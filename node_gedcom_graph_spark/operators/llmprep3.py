@@ -402,6 +402,23 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_K = 20
 
 
+def _dir_bytes(path: str) -> int:
+    """On-disk bytes of a parquet file or directory of part files —
+    the plan-construction-time input-size proxy used to size explode
+    fan-outs (no Spark job, unlike DataFrame.rdd introspection)."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _d, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 @register(
     "sample_weighted_minhash_replication",
     oracle=f"""
@@ -449,7 +466,10 @@ def sample_weighted_minhash_replication(
     k rows to the driver — never a full sort.
     """
     li = (
-        load_table(spark, sf_dir, "lineitem", spread=True)
+        # No spread=True: the explicit group-count repartition below
+        # supersedes it (two stacked shuffles otherwise — Catalyst's
+        # CollapseRepartition cannot merge them across the projection).
+        load_table(spark, sf_dir, "lineitem")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -461,21 +481,30 @@ def sample_weighted_minhash_replication(
         # zero/negative weights produce no tickets in BOTH engines.
         .filter(F.col("w") >= 1)
     )
-    # Keep the partial aggregate IN the hash map: every group
-    # (l_orderkey, l_linenumber) comes from exactly one source row, so
-    # the map-side combine always collapses a group within its task —
-    # but only while the per-task GROUP COUNT fits the aggregate hash
-    # map. At sf100 a 128 MB input split carries ~6M groups; the
-    # partial agg fell back to sort-based aggregation and spilled the
-    # full exploded ticket fan-out (~23 GB per task, "No space left"
-    # with 57 GB free — caught by the r9 sf100 sweep). Fanning the
-    # 3-column projection out to ~8x the scan's split count caps
-    # per-task groups near 0.75M (a ~60 MB map), so the ticket
-    # explosion never touches a sort or the disk; the only shuffles
-    # are this narrow repartition and the final agg's one-row-per-item
-    # exchange.
-    nparts = max(32, li.rdd.getNumPartitions() * 8)
-    li = li.repartition(nparts)
+    # ONE exchange, ONE aggregate (r10, closing the r9 sf100 sweep's
+    # only unexplained failure): repartition BY THE GROUP KEY before
+    # exploding. HashPartitioning(l_orderkey, l_linenumber) satisfies
+    # the aggregate's ClusteredDistribution (its expressions are a
+    # subset of the grouping keys), so Catalyst plans a SINGLE hash
+    # aggregate fused after the explode in the post-shuffle stage — no
+    # partial/final split, no second exchange. Only the NARROW
+    # pre-explode rows cross the network (~12 GB at sf100); the ~15B
+    # exploded tickets collapse into the per-task hash map inside the
+    # stage. The r9 attempt (8x round-robin fan-out + partial/final
+    # agg) died twice at sf100: first the partial agg's ~2.3M-group
+    # map fell back to sort and spilled the full ticket fan-out, then
+    # after widening, the FINAL agg's 32 reduce tasks held ~19M groups
+    # each and the one-row-per-item exchange (~34 GB) plus its sort
+    # fallback overran the 57 GB scratch (both runs captured with root
+    # causes in the r10 repro logs). Partition count is sized from the
+    # fixture's on-disk bytes — ~4 MB of parquet per task caps the
+    # per-task group count near 0.4M (~60 MB hash map, 10x memory
+    # headroom at 32 concurrent tasks) — NOT from
+    # .rdd.getNumPartitions(), whose RDD conversion materialized the
+    # upstream plan as three extra jobs.
+    li_bytes = _dir_bytes(os.path.join(sf_dir.rstrip("/"), "lineitem.parquet"))
+    nparts = max(32, -(-li_bytes // (4 << 20)))
+    li = li.repartition(nparts, F.col("l_orderkey"), F.col("l_linenumber"))
     rep = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -569,6 +598,37 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Scratch roots the three roundtrip queries write under, keyed by
+#: format — each query derives its own out path from THIS dict, so the
+#: cleanup list cannot drift from the writers (r9 ADVICE: the paths
+#: were previously duplicated as literals inside each query). A
+#: finished roundtrip leaves one table copy per format on disk (the
+#: lazy DataFrame needs the files at materialization time, so the
+#: query itself cannot clean up); harnesses that run MANY queries back
+#: to back (sweeps, gates) should call clear_roundtrip_scratch()
+#: between queries — at sf100 the leftovers reached 33 GB and starved
+#: an unrelated query's shuffle spill.
+ROUNDTRIP_SCRATCH = {
+    "orc": "/tmp/ngg_roundtrip_orc",
+    "json": "/tmp/ngg_roundtrip_json",
+    "csv": "/tmp/ngg_roundtrip_csv",
+}
+
+
+def _roundtrip_out(fmt: str, sf_dir: str) -> str:
+    return os.path.join(
+        ROUNDTRIP_SCRATCH[fmt],
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def clear_roundtrip_scratch() -> None:
+    import shutil
+
+    for d in ROUNDTRIP_SCRATCH.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "source_orc_roundtrip_agg",
     oracle="""
@@ -595,10 +655,7 @@ def source_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan enjoys the same predicate pushdown/column pruning the parquet
     path gets (ORC carries min/max stride indexes).
     """
-    out = os.path.join(
-        "/tmp/ngg_roundtrip_orc",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    out = _roundtrip_out("orc", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
     )
@@ -663,10 +720,7 @@ def source_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lingering in scratch starved a later query's shuffle spill and
     tripped the sweep's disk floor).
     """
-    out = os.path.join(
-        "/tmp/ngg_roundtrip_json",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    out = _roundtrip_out("json", sf_dir)
     load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
         "compression", "gzip"
     ).json(out)
@@ -683,10 +737,7 @@ def source_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     generic csv source/sink preserves numerics and timestamps
     bit-exactly under a declared schema.
     """
-    out = os.path.join(
-        "/tmp/ngg_roundtrip_csv",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    out = _roundtrip_out("csv", sf_dir)
     load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
         "header", "true"
     ).option("compression", "gzip").csv(out)
@@ -698,25 +749,7 @@ def source_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
-#: Scratch roots the three roundtrip queries write under. A finished
-#: roundtrip leaves one table copy per format on disk (the lazy
-#: DataFrame needs the files at materialization time, so the query
-#: itself cannot clean up); harnesses that run MANY queries back to
-#: back (sweeps, gates) should call clear_roundtrip_scratch() between
-#: queries — at sf100 the leftovers reached 33 GB and starved an
-#: unrelated query's shuffle spill.
-ROUNDTRIP_SCRATCH = (
-    "/tmp/ngg_roundtrip_orc",
-    "/tmp/ngg_roundtrip_json",
-    "/tmp/ngg_roundtrip_csv",
-)
 
-
-def clear_roundtrip_scratch() -> None:
-    import shutil
-
-    for d in ROUNDTRIP_SCRATCH:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 # ----------------------- Neyman-allocation stratified sampling

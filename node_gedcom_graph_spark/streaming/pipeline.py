@@ -883,7 +883,9 @@ def stream_session_windows_production(
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, old_prov)
-    return spark.read.parquet(f"{spill}/data")
+    # Explicit schema: zero committed files leave only _spark_metadata,
+    # where inference raises — pinned schema degrades to empty.
+    return spark.read.schema(agg.schema).parquet(f"{spill}/data")
 
 
 @_register(
@@ -1755,7 +1757,12 @@ def stream_view_purchase_left_outer(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{spill}/data").select(
+    # Explicit schema (r9 ADVICE): a run that commits ZERO output files
+    # leaves only _spark_metadata in the sink dir, and schema inference
+    # would raise 'Unable to infer schema' where the old memory sink
+    # returned an empty table — with the schema pinned, the empty case
+    # degrades to an empty DataFrame.
+    return spark.read.schema(joined.schema).parquet(f"{spill}/data").select(
         "purchase_id",
         "p_user",
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
@@ -2408,7 +2415,9 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        drained = spark.read.parquet(f"{spill}/data")
+        # Explicit schema: see the left-outer drain — the empty-commit
+        # case must degrade to an empty table, not an inference error.
+        drained = spark.read.schema(scored.schema).parquet(f"{spill}/data")
     if not small_bench:
         # Single pass: explode each doc's shingle fingerprints (outer:
         # zero-shingle docs stay), left-join the static bench side

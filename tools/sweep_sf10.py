@@ -39,6 +39,31 @@ QUERY_TIMEOUT_S = int(os.environ.get("SWEEP_SF10_TIMEOUT_S", "900"))
 DISK_FLOOR_GB = 12
 
 
+def _root_cause(exc: Exception) -> str:
+    """First line of the exception PLUS the deepest Java ``Caused by:``
+    frame. The r9 artifact recorded bare ``An error occurred while
+    calling o144.save.`` for the sweep's only unexplained failure — the
+    py4j first line names the proxy object, never the cause, so the
+    artifact was undiagnosable (r9 verdict item 1). The full py4j text
+    carries the whole Java stack; keep the root."""
+    text = str(exc)
+    first = text.split("\n")[0][:200]
+    caused = [
+        ln.strip()
+        for ln in text.split("\n")
+        if ln.strip().startswith("Caused by:")
+    ]
+    if caused:
+        return f"{first} | root: {caused[-1][:300]}"
+    # No Caused-by chain: fall back to the first line that looks like a
+    # Java exception class with a message (the driver-side error).
+    for ln in text.split("\n")[1:]:
+        ln = ln.strip()
+        if ln and ("Exception" in ln or "Error" in ln) and ":" in ln:
+            return f"{first} | root: {ln[:300]}"
+    return first
+
+
 def _fresh_session(master: str):
     from node_gedcom_graph_spark.session import get_spark
 
@@ -151,19 +176,24 @@ def main() -> None:
             steal = round(
                 (_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1
             )
-            # max(0): if a pyspark.daemon died mid-query (streaming
-            # teardown), its accumulated children's CPU leaves the
-            # process tree and the delta can go NEGATIVE (observed
-            # -10528s on stream_dedup_substring_windows at sf100) —
-            # clamp; a clamped 0.0 reads as "attribution lost", never
-            # as real work.
-            cpu = round(max(0.0, _tree_cpu_s() - cpu0), 1)
-            out["queries"][name] = {
+            # If a pyspark.daemon died mid-query (streaming teardown),
+            # its accumulated children's CPU leaves the process tree
+            # and the delta can go NEGATIVE (observed -10528s on
+            # stream_dedup_substring_windows at sf100). Record null +
+            # an explicit flag, NOT a clamped 0.0 — downstream CPU
+            # comparisons must not read "attribution lost" as a real
+            # zero-CPU query (r9 ADVICE).
+            cpu_raw = _tree_cpu_s() - cpu0
+            entry = {
                 "rows": rows,
                 "wall_s": wall,
                 "steal_s": steal,
-                "cpu_s": cpu,
+                "cpu_s": round(cpu_raw, 1) if cpu_raw >= 0 else None,
             }
+            if cpu_raw < 0:
+                entry["cpu_attribution_lost"] = True
+            out["queries"][name] = entry
+            cpu = entry["cpu_s"]
             if wall > 60:
                 out["over_60s"].append(name)
             print(
@@ -173,7 +203,7 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001 — sweep must survive
             wall = round(time.monotonic() - t0, 1)
-            msg = str(exc).split("\n")[0][:200]
+            msg = _root_cause(exc)
             if timed_out.is_set():
                 out["queries"][name] = {"timeout": True, "wall_s": wall}
                 out["timeouts"].append(name)
