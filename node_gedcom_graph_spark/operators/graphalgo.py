@@ -619,27 +619,20 @@ def copurchase_jaccard_similar_parts(spark: SparkSession, sf_dir: str) -> DataFr
     join, here exact because co-occurrence itself is the candidate
     generator).
 
-    Scale: pair generation fans out per order (bounded by
-    lines-per-order choose 2), shuffling once on l_orderkey (distinct)
-    and once on the pair; per-part order counts reuse the same distinct
-    scan; the two count joins shuffle on partkey. The final top-50 is a
-    TakeOrderedAndProject. Jaccard is an exact integer ratio evaluated
-    in double — bit-identical on both engines — and the (pa, pb)
-    tiebreak pins the cut deterministically.
+    Scale: the candidate pairs ARE the weighted co-purchase edge list
+    (identical derivation: distinct (order, part), per-order pa < pb
+    pairing, COUNT >= 2), so they come from the graph family's shared
+    per-fixture materialization (r10 — this was the last graph query
+    rebuilding its own pair-count shuffle at sf100); per-part order
+    counts are the one remaining distinct + groupBy over the fact
+    table; the two count joins shuffle on partkey. The final top-50 is
+    a TakeOrderedAndProject. Jaccard is an exact integer ratio
+    evaluated in double — bit-identical on both engines — and the
+    (pa, pb) tiebreak pins the cut deterministically.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-    )
+    pairs = _copurchase_edges(spark, sf_dir, keep_weight=True)
     cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("na"))
     cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("nb"))

@@ -129,25 +129,26 @@ def copurchase_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation on EVERY iteration (measured: 9.1 s vs 5.8 s at sf0.1
     — the loop itself is 0.8 s once edges are materialized). DuckDB's
     oracle keeps the derivation inline; its optimizer materializes
-    CTEs reachable from recursion.
+    CTEs reachable from recursion. r10: the derivation comes from the
+    graph family's shared per-fixture edge materialization
+    (graphalgo._copurchase_edges — identical definition, identical
+    rows) instead of a private inline SQL rebuild; at sf100 this was
+    the one graph query still paying the full ~247 s pair-count build
+    after the rest of the family was cache-served.
     """
-    _view(spark, sf_dir, "lineitem")
-    edges = spark.sql(
-        """
-        WITH op AS (
-          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), und AS (
-          SELECT a.l_partkey AS pa, b.l_partkey AS pb
-          FROM op a
-          JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2
-          HAVING COUNT(*) >= 2
+    from node_gedcom_graph_spark.operators.graphalgo import (
+        _copurchase_edges,
+    )
+    from pyspark.sql import functions as F
+
+    und = _copurchase_edges(spark, sf_dir)
+    edges = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        SELECT pa AS src, pb AS dst FROM und
-        UNION ALL
-        SELECT pb AS src, pa AS dst FROM und
-        """
-    ).localCheckpoint()
+        .localCheckpoint()
+    )
     edges.createOrReplaceTempView("copurchase_bfs_edges")
     return spark.sql(
         """
