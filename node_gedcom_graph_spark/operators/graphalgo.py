@@ -136,9 +136,14 @@ def _cache_serve(spark, sf_dir, suffix, builder):
             tmp = f"{cache}.build.{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             # A handful of output files keeps the later scans
-            # splittable without dozens of 200 KB shards at gate scale
-            # (results are tiny relative to their builds).
-            builder().coalesce(4).write.mode("overwrite").parquet(tmp)
+            # splittable without dozens of 200 KB shards at gate
+            # scale (results are tiny relative to their builds).
+            # repartition, NOT coalesce: coalesce(4) propagates into
+            # the build's final reduce stage and serializes it to 4
+            # tasks (measured: the cnt build's 550M-row groupBy merge
+            # ran ~3x slower under coalesce); the extra exchange moves
+            # only the small result.
+            builder().repartition(4).write.mode("overwrite").parquet(tmp)
             os.makedirs(_EDGE_CACHE_ROOT, exist_ok=True)
             # Bounded scratch: evict oldest entries beyond 8 —
             # regenerated fixtures change fingerprint and would
