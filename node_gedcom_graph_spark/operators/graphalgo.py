@@ -83,23 +83,27 @@ _EDGE_CACHE_ROOT = os.environ.get(
 
 def _lineitem_fingerprint(sf_dir: str) -> str | None:
     """Stable fingerprint of the lineitem fixture (file OR directory of
-    part files): md5 over sorted (relpath, size, mtime_ns) triples."""
+    part files): md5 over sorted (relpath, size, mtime_ns) triples PLUS
+    a 4 KB content sample from the first part file. The content sample
+    catches the mtime-preserving rewrite (``cp -p`` / ``rsync -a`` /
+    tar-restore of a different same-size snapshot) that pure stat
+    triples cannot; an adversarially crafted fixture with identical
+    head, sizes, and nanosecond mtimes is outside the contract —
+    the same immutable-fixture assumption the GEDCOM datasource's
+    file watermark documents (sources/gedcom_datasource.py)."""
+    from node_gedcom_graph_spark.sources.tables import part_files
+
     path = os.path.join(sf_dir.rstrip("/"), "lineitem.parquet")
     try:
+        files = part_files(path)
         h = hashlib.md5(os.path.abspath(path).encode())
-        if os.path.isdir(path):
-            for root, _dirs, files in sorted(os.walk(path)):
-                for f in sorted(files):
-                    if f.startswith(("_", ".")):
-                        continue
-                    st = os.stat(os.path.join(root, f))
-                    rel = os.path.relpath(os.path.join(root, f), path)
-                    h.update(
-                        f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode()
-                    )
-        else:
-            st = os.stat(path)
-            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        for f in files:
+            st = os.stat(f)
+            rel = os.path.relpath(f, path) if f != path else "."
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+        if files:
+            with open(files[0], "rb") as fh:
+                h.update(fh.read(4096))
         return h.hexdigest()[:16]
     except OSError:
         return None
@@ -127,12 +131,14 @@ def _cache_serve(spark, sf_dir, suffix, builder):
         return None
     cache = os.path.join(_EDGE_CACHE_ROOT, fp + suffix)
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        built = None
         try:
             # Per-process build dir: two concurrent sessions (gate +
-            # sweep) may both miss; each builds into its own tmp and
-            # the atomic rename below makes last-writer-wins safe
-            # (identical content either way — builds are
-            # deterministic).
+            # sweep) may both miss and both build (identical content —
+            # builds are deterministic); the lock-guarded publish
+            # below lets exactly one WIN and the loser discard,
+            # so a completed live cache is never deleted out from
+            # under a reader.
             tmp = f"{cache}.build.{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             # A handful of output files keeps the later scans
@@ -143,29 +149,68 @@ def _cache_serve(spark, sf_dir, suffix, builder):
             # tasks (measured: the cnt build's 550M-row groupBy merge
             # ran ~3x slower under coalesce); the extra exchange moves
             # only the small result.
-            builder().repartition(4).write.mode("overwrite").parquet(tmp)
+            built = builder()
+            built.repartition(4).write.mode("overwrite").parquet(tmp)
             os.makedirs(_EDGE_CACHE_ROOT, exist_ok=True)
-            # Bounded scratch: evict oldest entries beyond 8 —
-            # regenerated fixtures change fingerprint and would
-            # otherwise accumulate dead materializations.
-            entries = sorted(
-                (os.path.getmtime(os.path.join(_EDGE_CACHE_ROOT, d)), d)
-                for d in os.listdir(_EDGE_CACHE_ROOT)
-                if ".build" not in d
-            )
-            for _mt, d in entries[:-7]:
-                shutil.rmtree(
-                    os.path.join(_EDGE_CACHE_ROOT, d), ignore_errors=True
-                )
-            shutil.rmtree(cache, ignore_errors=True)
-            os.rename(tmp, cache)
+            with open(os.path.join(_EDGE_CACHE_ROOT, ".lock"), "w") as lk:
+                import fcntl
+
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    _publish_and_evict(tmp, cache)
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
         except Exception:
             shutil.rmtree(
                 f"{cache}.build.{os.getpid()}", ignore_errors=True
             )
+        finally:
+            if built is not None:
+                # The build's internal persist bought nothing here
+                # (one action, the write) — drop it rather than hold
+                # a second copy of the result until the next query.
+                try:
+                    built.unpersist()
+                except Exception:
+                    pass
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        # Touch on hit: eviction is least-recently-USED, so an entry
+        # a running query is lazily reading stays newest.
+        os.utime(cache)
         return persist_tracked(spark.read.parquet(cache))
     return None
+
+
+def _publish_and_evict(tmp: str, cache: str) -> None:
+    """Publish a finished build under the cache lock: discard if a
+    concurrent builder already published (never delete a completed
+    cache a reader may hold), clear incomplete garbage, rename, then
+    evict — oldest-by-use beyond 16 entries, plus orphaned build dirs
+    older than an hour (a kill -9 mid-build skips its own cleanup)."""
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(cache, ignore_errors=True)  # incomplete garbage
+        os.rename(tmp, cache)
+    now = os.path.getmtime(cache)
+    entries, orphans = [], []
+    for d in os.listdir(_EDGE_CACHE_ROOT):
+        p = os.path.join(_EDGE_CACHE_ROOT, d)
+        if d == ".lock" or not os.path.isdir(p):
+            continue
+        try:
+            mt = os.path.getmtime(p)
+        except OSError:
+            continue
+        if ".build" in d:
+            if now - mt > 3600:
+                orphans.append(p)
+        else:
+            entries.append((mt, p))
+    for _mt, p in sorted(entries)[:-16]:
+        shutil.rmtree(p, ignore_errors=True)
+    for p in orphans:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _copurchase_edges(
@@ -1634,13 +1679,15 @@ def bipartite_hits_parts2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gate the broadcast on the customer fixture's on-disk bytes (a
     # cluster would hold ~512 MB; stay well under the 32 GB single-JVM
     # heap here) so a 100 TB-shaped run degrades to the sequential
-    # shuffle join instead of an executor OOM.
-    from node_gedcom_graph_spark.operators.llmprep3 import _dir_bytes
+    # shuffle join instead of an executor OOM. dir_bytes returns 0
+    # when the path cannot be statted — UNKNOWN must take the safe
+    # (shuffle) branch, not the broadcast it exists to gate.
+    from node_gedcom_graph_spark.sources.tables import dir_bytes
 
-    cust_bytes = _dir_bytes(
+    cust_bytes = dir_bytes(
         os.path.join(sf_dir.rstrip("/"), "customer.parquet")
     )
-    if cust_bytes < (256 << 20):
+    if 0 < cust_bytes < (256 << 20):
         h1 = F.broadcast(h1)
     a2 = e.join(h1, "c").groupBy("p").agg(F.sum("h").alias("a"))
     mx = a2.agg(F.max("a").alias("mxa"))

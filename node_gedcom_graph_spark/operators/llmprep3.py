@@ -403,20 +403,11 @@ WEIGHTED_SAMPLE_K = 20
 
 
 def _dir_bytes(path: str) -> int:
-    """On-disk bytes of a parquet file or directory of part files —
-    the plan-construction-time input-size proxy used to size explode
-    fan-outs (no Spark job, unlike DataFrame.rdd introspection)."""
-    try:
-        if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _d, files in os.walk(path)
-                for f in files
-                if not f.startswith(("_", "."))
-            )
-        return os.path.getsize(path)
-    except OSError:
-        return 0
+    """Back-compat alias — the shared helper lives with the path
+    convention it encodes (sources/tables.py)."""
+    from node_gedcom_graph_spark.sources.tables import dir_bytes
+
+    return dir_bytes(path)
 
 
 @register(

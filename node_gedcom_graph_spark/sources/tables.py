@@ -36,6 +36,38 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def part_files(path: str) -> list[str]:
+    """Data files of a parquet table path (single file OR directory of
+    part files), skipping metadata (``_*``/``.*``) — THE path-layout
+    convention for the test tables, shared by every helper that stats
+    fixtures (size proxies, fingerprints)."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(root, f)
+            for root, _d, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return [path]
+
+
+def dir_bytes(path: str) -> int:
+    """On-disk bytes of a parquet file/directory — the
+    plan-construction-time input-size proxy used to size explode
+    fan-outs and gate broadcasts (no Spark job, unlike DataFrame.rdd
+    introspection). Returns 0 when the path cannot be statted — treat
+    0 as UNKNOWN at call sites (fail toward the safe branch), not as
+    'small'."""
+    import os
+
+    try:
+        return sum(os.path.getsize(f) for f in part_files(path))
+    except OSError:
+        return 0
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:

@@ -37,7 +37,12 @@ def test_edge_cache_matches_in_session_build(spark, edge_cache_dir, monkeypatch)
     monkeypatch.delenv("NGG_EDGE_CACHE", raising=False)
     cached = _rows(graphalgo._copurchase_edges(spark, SF_DIR, keep_weight=True))
     # A materialization must exist after the first call...
-    entries = [e for e in os.listdir(edge_cache_dir) if ".build" not in e]
+    entries = [
+        e
+        for e in os.listdir(edge_cache_dir)
+        if ".build" not in e
+        and os.path.isdir(os.path.join(edge_cache_dir, e))
+    ]
     assert len(entries) == 1
     # ...and byte-equal the uncached build (same deterministic integers).
     monkeypatch.setenv("NGG_EDGE_CACHE", "0")
