@@ -101,3 +101,82 @@ def test_root_cause_extracts_deepest_caused_by():
     assert "No space left on device" in msg
     # Single-line exceptions pass through unchanged.
     assert _root_cause(Exception("plain failure")) == "plain failure"
+
+
+# ------------------------- publish/evict semantics (pure filesystem)
+
+
+def _mk_entry(root, name, mtime=None, success=True):
+    p = os.path.join(root, name)
+    os.makedirs(p, exist_ok=True)
+    if success:
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+    if mtime is not None:
+        os.utime(p, (mtime, mtime))
+    return p
+
+
+def test_publish_loser_discards_never_deletes_live_cache(tmp_path, monkeypatch):
+    root = str(tmp_path)
+    monkeypatch.setattr(graphalgo, "_EDGE_CACHE_ROOT", root)
+    cache = _mk_entry(root, "aaaa", success=True)  # winner already live
+    marker = os.path.join(cache, "winner_marker")
+    open(marker, "w").close()
+    tmp = _mk_entry(root, "aaaa.build.999", success=True)
+    graphalgo._publish_and_evict(tmp, cache)
+    # Loser's build discarded; the live cache untouched.
+    assert not os.path.exists(tmp)
+    assert os.path.exists(marker)
+
+
+def test_publish_replaces_incomplete_garbage(tmp_path, monkeypatch):
+    root = str(tmp_path)
+    monkeypatch.setattr(graphalgo, "_EDGE_CACHE_ROOT", root)
+    cache = _mk_entry(root, "bbbb", success=False)  # crashed earlier build
+    tmp = _mk_entry(root, "bbbb.build.999", success=True)
+    graphalgo._publish_and_evict(tmp, cache)
+    assert os.path.exists(os.path.join(cache, "_SUCCESS"))
+    assert not os.path.exists(tmp)
+
+
+def test_evict_oldest_by_use_and_orphans(tmp_path, monkeypatch):
+    root = str(tmp_path)
+    monkeypatch.setattr(graphalgo, "_EDGE_CACHE_ROOT", root)
+    now = time.time()
+    for i in range(18):  # 18 old entries + the new one > cap of 16
+        _mk_entry(root, f"e{i:02d}", mtime=now - 10_000 + i)
+    _mk_entry(root, "stale.build.123", mtime=now - 7200)   # orphan, old
+    _mk_entry(root, "fresh.build.456", mtime=now)          # in-flight
+    tmp = _mk_entry(root, "new.build.999", success=True)
+    cache = os.path.join(root, "new")
+    graphalgo._publish_and_evict(tmp, cache)
+    kept = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    )
+    # Oldest-by-use evicted down to 16 entries; hour-old orphan swept,
+    # in-flight build preserved.
+    assert "new" in kept and "e17" in kept and "e00" not in kept
+    assert "stale.build.123" not in kept and "fresh.build.456" in kept
+    n_entries = sum(1 for d in kept if ".build" not in d)
+    assert n_entries == 16
+
+
+# ------------------------- incremental maintenance: split invariance
+
+
+def test_incremental_split_invariance(spark, monkeypatch):
+    """increment-then-merge must equal rebuild for ANY append split —
+    pair counts are additive over disjoint order sets, so the output
+    cannot depend on where the base/delta boundary falls."""
+    from node_gedcom_graph_spark.operators.graphalgo import (
+        copurchase_edges_incremental,
+    )
+
+    results = []
+    for mod in (2, 5, 10):
+        monkeypatch.setattr(graphalgo, "INCR_DELTA_MOD", mod)
+        results.append(
+            _rows(copurchase_edges_incremental(spark, SF_DIR))
+        )
+    assert results[0] == results[1] == results[2] and len(results[0]) > 0
