@@ -73,12 +73,68 @@ def _persist_keyed(df: DataFrame, key: str) -> DataFrame:
 # ONCE per fixture as parquet on scratch disk, keyed by the lineitem
 # fixture's (abspath, size, mtime_ns) fingerprint exactly like the
 # duplication-probe cache (dedup.py:_DUP_PROBE_CACHE): a rewritten
-# fixture changes the fingerprint and misses. This is also the
-# production shape — a derived edge table is a materialized view you
-# build once per fact-table snapshot, not per analytic query.
-_EDGE_CACHE_ROOT = os.environ.get(
-    "NGG_EDGE_CACHE_DIR", "/tmp/ngg_copurchase_edges"
+# fixture changes the fingerprint and misses.
+#
+# SCOPE (r10 optimization-round contract): the DEFAULT root is
+# per-process and removed at interpreter exit, so every bench/oracle
+# invocation rebuilds the derived tables from the parquet inputs and
+# the amortization applies only ACROSS QUERIES WITHIN ONE INVOCATION —
+# nothing precomputed survives into the next run. The cross-run
+# materialized-view shape (build once per fact-table snapshot — the
+# production deployment of a derived edge table, and how a long
+# multi-query sweep session would run it) is an explicit opt-in via
+# NGG_EDGE_CACHE_DIR pointing at a shared directory; the fingerprint
+# keying, lock-guarded publish, and LRU eviction below exist for that
+# mode and are exercised by tests either way.
+_EDGE_CACHE_DIR_ENV = os.environ.get("NGG_EDGE_CACHE_DIR")
+
+
+def _proc_starttime(pid: int) -> str | None:
+    """Kernel start-time (jiffies since boot, /proc/<pid>/stat field
+    22) — distinguishes a live process from a recycled pid, so a new
+    run can never ADOPT a dead run's cache root."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            raw = fh.read()
+        return raw[raw.rindex(")") + 2 :].split()[19]
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+_EDGE_CACHE_ROOT = _EDGE_CACHE_DIR_ENV or (
+    "/tmp/ngg_copurchase_edges."
+    f"pid{os.getpid()}-{_proc_starttime(os.getpid()) or '0'}"
 )
+if _EDGE_CACHE_DIR_ENV is None:
+    import atexit
+
+    atexit.register(shutil.rmtree, _EDGE_CACHE_ROOT, ignore_errors=True)
+
+
+def _sweep_stale_process_roots() -> None:
+    """Remove per-process cache roots left by a killed interpreter
+    (atexit never ran): any sibling ``ngg_copurchase_edges.pid<N>-<T>``
+    whose process is gone or whose pid was recycled (start time
+    mismatch)."""
+    base = os.path.dirname(_EDGE_CACHE_ROOT) or "/tmp"
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for n in names:
+        if not n.startswith("ngg_copurchase_edges.pid"):
+            continue
+        tail = n.rsplit("pid", 1)[1]
+        pid_s, _, start_s = tail.partition("-")
+        try:
+            pid = int(pid_s)
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        if start_s and _proc_starttime(pid) == start_s:
+            continue  # genuinely live owner
+        shutil.rmtree(os.path.join(base, n), ignore_errors=True)
 
 
 def _lineitem_fingerprint(sf_dir: str) -> str | None:
@@ -151,6 +207,7 @@ def _cache_serve(spark, sf_dir, suffix, builder):
             # only the small result.
             built = builder()
             built.repartition(4).write.mode("overwrite").parquet(tmp)
+            _sweep_stale_process_roots()
             os.makedirs(_EDGE_CACHE_ROOT, exist_ok=True)
             with open(os.path.join(_EDGE_CACHE_ROOT, ".lock"), "w") as lk:
                 import fcntl

@@ -180,3 +180,31 @@ def test_incremental_split_invariance(spark, monkeypatch):
             _rows(copurchase_edges_incremental(spark, SF_DIR))
         )
     assert results[0] == results[1] == results[2] and len(results[0]) > 0
+
+
+# --- r10 optimization-round scoping: nothing precomputed survives a run ---
+
+
+def test_default_cache_root_is_process_scoped():
+    """Optimization-round contract: without the explicit
+    NGG_EDGE_CACHE_DIR opt-in, the materialization root is keyed to
+    THIS interpreter (and atexit-removed), so a fresh bench/oracle
+    invocation can never be served intermediates persisted by a
+    previous run."""
+    if os.environ.get("NGG_EDGE_CACHE_DIR"):
+        pytest.skip("persistent cache dir explicitly opted in")
+    assert f".pid{os.getpid()}" in graphalgo._EDGE_CACHE_ROOT
+
+
+def test_sweep_removes_dead_pid_roots_keeps_live(tmp_path, monkeypatch):
+    base = str(tmp_path)
+    live = os.path.join(base, f"ngg_copurchase_edges.pid{os.getpid()}")
+    dead = os.path.join(base, "ngg_copurchase_edges.pid999999999")
+    junk = os.path.join(base, "ngg_copurchase_edges.pidXYZ")
+    for d in (live, dead, junk):
+        os.makedirs(d)
+    monkeypatch.setattr(graphalgo, "_EDGE_CACHE_ROOT", live)
+    graphalgo._sweep_stale_process_roots()
+    assert os.path.exists(live)            # own root untouched
+    assert not os.path.exists(dead)        # dead pid swept
+    assert os.path.exists(junk)            # unparseable name left alone
