@@ -208,3 +208,18 @@ def test_sweep_removes_dead_pid_roots_keeps_live(tmp_path, monkeypatch):
     assert os.path.exists(live)            # own root untouched
     assert not os.path.exists(dead)        # dead pid swept
     assert os.path.exists(junk)            # unparseable name left alone
+
+
+def test_association_rules_served_equals_unserved(spark, edge_cache_dir, monkeypatch):
+    """r10 rewrite pin: association_rules_copurchase served from the
+    two materializations (edge list w>=3 subset + part order counts)
+    is row- and bit-identical to the self-contained build path."""
+    from node_gedcom_graph_spark.operators.relational_ext import (
+        association_rules_copurchase,
+    )
+
+    monkeypatch.delenv("NGG_EDGE_CACHE", raising=False)
+    served = _rows(association_rules_copurchase(spark, SF_DIR))
+    monkeypatch.setenv("NGG_EDGE_CACHE", "0")
+    unserved = _rows(association_rules_copurchase(spark, SF_DIR))
+    assert served == unserved and len(served) > 0
