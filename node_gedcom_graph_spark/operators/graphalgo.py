@@ -1841,13 +1841,19 @@ def copurchase_hash_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#"),
         F.col("d").cast("string"),
     )
-    trans = (
+    # r10: keyed persist (repartition + sort on cur) instead of a bare
+    # persist — the 4 unrolled step joins below all key on cur, so the
+    # cached table satisfies each SMJ's distribution/order and the
+    # trans side joins with NO per-step Exchange or Sort (the
+    # _persist_keyed idiom; the stp filter is narrow and preserves
+    # the partitioning).
+    trans = _persist_keyed(
         sym.select("s", "d", stps)
         .groupBy(F.col("s").alias("cur"), "stp")
         .agg(
             F.substring(F.min(key), 34, 32).cast("bigint").alias("nxt")
-        )
-        .transform(persist_tracked)
+        ),
+        "cur",
     )
     cur = sym.select("s").distinct().select(F.col("s").alias("wid"))
     out = cur.select(
