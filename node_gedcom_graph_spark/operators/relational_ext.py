@@ -772,31 +772,46 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so row_number ties among equal values don't matter), unlike
     interpolating percentile_cont whose float blend differs per engine.
 
-    Scale: the exact-percentile pass is one window sort per group —
-    inherently a per-group global sort; that IS the cost of exactness
-    (the at-scale screening variant is approx_percentile_prices'
-    mergeable KLL-style sketch, registered separately). The clip pass
-    re-reads the fact and joins the 3-row cutoff table as a broadcast;
-    both aggregations are map-side-partial hash aggs, and the winsor
-    mean goes through exact DECIMAL so any shuffle order yields the
-    oracle's bits.
+    Scale (r10 optimization, guide §2.5): the naive exact-percentile
+    pass is a row_number window partitioned by l_returnflag — THREE
+    distinct flags, so at sf100 it degenerates to 3 single-threaded
+    ~200M-row sort tasks (measured 443.4 s wall at only 2983 cpu_s —
+    6.7 of 32 cores busy). The value at rank ceil(q*n) depends only on
+    the VALUE MULTISET, so the rank pass now runs on the per-(flag,
+    price) count distribution instead of the raw rows: a map-side-
+    combinable groupBy collapses the fact table ~400x (replicated
+    fixtures repeat prices), then one cumulative-count window over the
+    small distribution finds the least price whose running count
+    reaches the rank — identical value, the per-group sort is now
+    ~0.5M rows instead of ~200M. The clip pass re-reads the fact and
+    joins the 3-row cutoff table as a broadcast; both aggregations are
+    map-side-partial hash aggs, and the winsor mean goes through exact
+    DECIMAL so any shuffle order yields the oracle's bits.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wc = W.partitionBy("l_returnflag")
-    ranked = lineitem.select(
+    dist = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = dist.select(
         "l_returnflag",
         "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
-    cut_at = lambda q: F.max(  # noqa: E731
+    # value at rank r = least price whose running count reaches r
+    cut_at = lambda q: F.min(  # noqa: E731
         F.when(
-            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
             F.col("l_extendedprice"),
         )
     )
-    cuts = ranked.groupBy("l_returnflag").agg(
+    cuts = cum.groupBy("l_returnflag").agg(
         cut_at(0.01).alias("p01"), cut_at(0.99).alias("p99")
     )
     clipped = F.least(

@@ -223,3 +223,44 @@ def test_association_rules_served_equals_unserved(spark, edge_cache_dir, monkeyp
     monkeypatch.setenv("NGG_EDGE_CACHE", "0")
     unserved = _rows(association_rules_copurchase(spark, SF_DIR))
     assert served == unserved and len(served) > 0
+
+
+def test_winsorized_cuts_equal_naive_window(spark):
+    """r10 rewrite pin: the distribution-based rank-position cutoffs
+    equal the naive row_number-window formula on the same fixture."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from node_gedcom_graph_spark.operators.relational_ext import (
+        winsorized_price_stats,
+    )
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    got = {
+        r["l_returnflag"]: (r["p01"], r["p99"])
+        for r in winsorized_price_stats(spark, SF_DIR)
+        .select("l_returnflag", "p01", "p99")
+        .collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    cut = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            F.col("l_extendedprice"),
+        )
+    )
+    want = {
+        r["l_returnflag"]: (r["p01"], r["p99"])
+        for r in ranked.groupBy("l_returnflag")
+        .agg(cut(0.01).alias("p01"), cut(0.99).alias("p99"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
