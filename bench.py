@@ -121,8 +121,14 @@ def _timed_best(run, max_iters: int = 10, agree: float = 1.08) -> tuple[float, f
         t0 = time.monotonic()
         run()
         times.append(time.monotonic() - t0)
-    cpu_per_iter = max(0.0, (_tree_cpu_s() - cpu0) / len(times))
-    return min(times), cpu_per_iter
+    # A negative process-tree CPU delta means attribution was lost (a
+    # worker died between snapshots and its time folded elsewhere), not
+    # that the query cost nothing. Record -1.0 as the lost marker so the
+    # min-of-passes estimator can skip it — clamping to 0.0 made one r10
+    # pass publish gedcom_pipeline cpu_min = 0.0 (the sweep's
+    # cpu_attribution_lost ADVICE fix, applied to the bench).
+    cpu_delta = (_tree_cpu_s() - cpu0) / len(times)
+    return min(times), (cpu_delta if cpu_delta > 0 else -1.0)
 
 # Headline set: the reference-pipeline shape, core relational ops, and
 # the scale-path LLM-pipeline operators.
@@ -210,6 +216,9 @@ def _measure(spark, qs) -> dict:
         def run(name=name):
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+        # Label the jobs (guide §1.5) so a UI/event-log-attached run can
+        # attribute stages to queries; costs nothing when the UI is off.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         run()  # warm
         timings[name], cpu_s[name] = _timed_best(run)
         timings[name] = round(timings[name], 3)
@@ -237,6 +246,7 @@ def _measure(spark, qs) -> dict:
             "noop"
         ).mode("overwrite").save()
 
+    spark.sparkContext.setJobDescription("bench:copurchase_edges_build_cold")
     run_edge_build()  # warm (JIT/codegen; the build itself stays cold)
     name = "copurchase_edges_build_cold"
     timings[name], cpu_s[name] = _timed_best(run_edge_build)
@@ -252,6 +262,7 @@ def _measure(spark, qs) -> dict:
     # as its own field so both numbers are visible in the artifact
     # (steady state is what a sustained deployment pays; cold is what a
     # one-shot run pays).
+    spark.sparkContext.setJobDescription("bench:gedcom_pipeline_synth50k")
     t0 = time.monotonic()
     bench_gedcom_pipeline(spark)
     cold = round(time.monotonic() - t0, 3)
@@ -265,7 +276,9 @@ def _measure(spark, qs) -> dict:
         "value": round(total, 3),
         "queries": timings,
         "queries_cpu_s": cpu_s,
-        "cpu_total_s": round(sum(cpu_s.values()), 3),
+        # -1.0 entries mark lost CPU attribution, not zero cost: keep
+        # them visible per-query but out of the totals.
+        "cpu_total_s": round(sum(v for v in cpu_s.values() if v > 0), 3),
         "gedcom_pipeline_synth50k_cold": cold,
         "host_steal_s": steal_s,
     }
@@ -314,9 +327,9 @@ def main() -> None:
             sum(
                 best["queries_cpu_s"][n]
                 for n in R8_COMPARABLE
-                if n in best["queries_cpu_s"]
+                if n in best["queries_cpu_s"] and best["queries_cpu_s"][n] > 0
             )
-            + best["queries_cpu_s"].get("gedcom_pipeline_synth50k", 0.0),
+            + max(best["queries_cpu_s"].get("gedcom_pipeline_synth50k", 0.0), 0.0),
             3,
         ),
     }
@@ -328,7 +341,13 @@ def main() -> None:
     # uncontended-CPU estimator, exactly as min-of-iterations is for
     # wall; with a single pass it degenerates to that pass's values.
     cpu_min = {
-        n: round(min(r["queries_cpu_s"][n] for r in runs), 3)
+        n: round(
+            min(
+                (r["queries_cpu_s"][n] for r in runs if r["queries_cpu_s"][n] > 0),
+                default=-1.0,  # every pass lost attribution for n
+            ),
+            3,
+        )
         for n in best["queries_cpu_s"]
     }
     out = {
@@ -339,7 +358,7 @@ def main() -> None:
         "queries_cpu_s": best["queries_cpu_s"],
         "queries_cpu_s_min": cpu_min,
         "cpu_total_s": best["cpu_total_s"],
-        "cpu_total_s_min": round(sum(cpu_min.values()), 3),
+        "cpu_total_s_min": round(sum(v for v in cpu_min.values() if v > 0), 3),
         "gedcom_pipeline_synth50k_cold": best["gedcom_pipeline_synth50k_cold"],
         "host_steal_s": best["host_steal_s"],
         "sf": sf,
@@ -388,7 +407,8 @@ def main() -> None:
         delta = {}
         for name, now in cpu_min.items():
             then = prior_cpu.get(name)
-            if then is None:
+            if then is None or now <= 0 or then <= 0:
+                # missing prior, or attribution lost on either side
                 continue
             delta[name] = {
                 "prior_cpu_s": then,

@@ -1277,7 +1277,56 @@ _LATE_FIXTURE_ROOT = os.path.join(
 )
 
 
-def _write_late_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _arrival_files_per_batch(spark: SparkSession, *slice_counts: int) -> int:
+    """File count P written for EVERY arrival slice of a replay fixture.
+
+    The arrival fixtures force micro-batch composition through
+    FileStreamSource's modification-time ordering plus
+    ``maxFilesPerTrigger``. With one file per slice (the r3-r9 shape)
+    the slice's entire scan/window/encode collapses into a single task
+    (``coalesce(1)`` pulls the whole upstream into it) — measured at
+    sf100 this left ``stream_dedup_within_watermark`` at 0.6 of 32
+    cores for 292 s. Writing each slice as exactly P files and draining
+    with ``maxFilesPerTrigger=P`` keeps batch i == slice i (identical
+    watermark/state semantics, identical results) while the build AND
+    the per-batch reads parallelize.
+
+    P must be the SAME for every slice (the trigger option is one
+    number), and ``repartition(P)`` emits one file per partition with
+    rows distributed evenly — so P non-empty partitions (hence exactly
+    P files) are guaranteed only when every slice has >= P rows. Cap P
+    at the smallest slice: scale-adaptive (guide §2) — P rides
+    defaultParallelism at the scaled tiers and degrades to the old
+    single-file-per-slice fixture on tiny gate fixtures.
+    """
+    return max(1, min(spark.sparkContext.defaultParallelism, *slice_counts))
+
+
+def _write_arrival_slice(
+    df: DataFrame, n_files: int, tmp: str, data_dir: str, slice_idx: int
+) -> None:
+    """Write one arrival slice as exactly ``n_files`` parquet files with
+    forced slice-major, strictly-increasing mtimes (FileStreamSource
+    replays oldest-first; DISTINCT mtimes make the order total, so the
+    P-file groups land in the same micro-batches as the old one-file
+    slices)."""
+    import glob as _glob
+
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    parts = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    if len(parts) != n_files:
+        raise RuntimeError(
+            f"arrival slice {slice_idx}: expected {n_files} part files, "
+            f"got {len(parts)} — batch composition would change"
+        )
+    for j, part in enumerate(parts):
+        dst = os.path.join(data_dir, f"f{slice_idx}_{j:05d}.parquet")
+        shutil.copy(part, dst)
+        t = 1_000_000_000 + slice_idx * 100_000 + j
+        os.utime(dst, (t, t))
+
+
+def _write_late_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Deterministic 4-file arrival-order fixture derived from the
     events table. With ``gm`` = max event time, files arrive (by
     forced mtime) as:
@@ -1297,9 +1346,13 @@ def _write_late_fixture(spark: SparkSession, sf_dir: str) -> str:
                     windows flush out of append-mode state
 
     Rewritten (overwrite) on every call: content is a pure function of
-    the events table, so repeat runs are idempotent.
+    the events table, so repeat runs are idempotent. Returns
+    (data_dir, files_per_batch) — each slice is ``files_per_batch``
+    parquet files (see _arrival_files_per_batch) so the whole build and
+    the drain's batch reads parallelize; the old ``coalesce(1)``
+    single-file writes dragged the full events scan into one task per
+    slice.
     """
-    import glob as _glob
     import shutil as _shutil
 
     from node_gedcom_graph_spark.sources.tables import load_table
@@ -1319,21 +1372,26 @@ def _write_late_fixture(spark: SparkSession, sf_dir: str) -> str:
     def before(h: int):
         return F.lit(mx) - F.expr(f"INTERVAL {h} HOURS")
 
-    slices = {
-        1: ev.filter((F.col("ts") > before(18)) & (F.col("ts") <= before(12))),
-        2: ev.filter((F.col("ts") > before(12)) & (F.col("ts") <= before(6))),
-        3: ev.filter(F.col("ts") <= before(18)),
-        4: ev.filter(F.col("ts") > before(6)),
+    conds = {
+        1: (F.col("ts") > before(18)) & (F.col("ts") <= before(12)),
+        2: (F.col("ts") > before(12)) & (F.col("ts") <= before(6)),
+        3: F.col("ts") <= before(18),
+        4: F.col("ts") > before(6),
     }
-    for i, df in slices.items():
-        tmp = os.path.join(base, f"t{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(data_dir, f"f{i}.parquet")
-        _shutil.copy(part, dst)
-        # FileStreamSource orders by modification time: force arrival order.
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-    return data_dir
+    # One parallel pass for all four slice counts (bounded 4-value
+    # collect), to size files_per_batch.
+    cnt_row = ev.agg(
+        *[F.sum(c.cast("long")).alias(f"n{i}") for i, c in conds.items()]
+    ).collect()[0]
+    per_batch = _arrival_files_per_batch(
+        spark, *[int(cnt_row[f"n{i}"] or 0) for i in conds]
+    )
+    for i, cond in conds.items():
+        _write_arrival_slice(
+            ev.filter(cond), per_batch, os.path.join(base, f"t{i}"),
+            data_dir, i,
+        )
+    return data_dir, per_batch
 
 
 def _drain_late_stream(
@@ -1342,11 +1400,11 @@ def _drain_late_stream(
     """Run the late-data drain; returns (emitted table, total rows the
     engine reported dropped by the watermark)."""
     apply_engine_confs(spark)
-    data_dir = _write_late_fixture(spark, sf_dir)
+    data_dir, per_batch = _write_late_fixture(spark, sf_dir)
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(per_batch))
         .parquet(data_dir)
     )
     agg = (
@@ -1443,17 +1501,27 @@ DEDUPWM_DELAY_H = 24
 DEDUPWM_RANKS = 4
 
 
-def _write_dedupwm_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Per-(user_id, event_type) ranked-arrival fixture: file k holds
+def _write_dedupwm_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Per-(user_id, event_type) ranked-arrival fixture: batch k holds
     each key's k-th earliest event (k = 1..4, ROW_NUMBER over
-    (ts, event_id)), files arriving in rank order by forced mtime. One
-    row per key per file, so every dedup decision is cross-batch state
-    — never an order-dependent within-batch race — and the whole
+    (ts, event_id)), batches arriving in rank order by forced mtime.
+    One row per key per batch, so every dedup decision is cross-batch
+    state — never an order-dependent within-batch race — and the whole
     fixture is a pure function of the events table (idempotent
-    rewrite, same as the late-data fixture)."""
-    import glob as _glob
+    rewrite, same as the late-data fixture).
+
+    Returns (data_dir, files_per_batch): each rank is written as
+    ``files_per_batch`` parquet files (see _arrival_files_per_batch).
+    The old shape — ``coalesce(1)`` per rank over the un-persisted
+    window — recomputed the full ROW_NUMBER window four times AND ran
+    each of those windows in a single task (coalesce pulls the whole
+    post-shuffle sort+window into it): 292 s at 0.6 of 32 cores at
+    sf100. The window now computes once into a persisted cache and
+    each rank writes in parallel.
+    """
     import shutil as _shutil
 
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     from node_gedcom_graph_spark.sources.tables import load_table
@@ -1474,22 +1542,29 @@ def _write_dedupwm_fixture(spark: SparkSession, sf_dir: str) -> str:
     ranked = (
         ev.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= DEDUPWM_RANKS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for k in range(1, DEDUPWM_RANKS + 1):
-        tmp = os.path.join(base, f"t{k}")
-        (
-            ranked.filter(F.col("rk") == k)
-            .drop("rk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
+    try:
+        # Bounded collect: DEDUPWM_RANKS rows, to size files_per_batch.
+        cnts = {
+            r["rk"]: r["n"]
+            for r in ranked.groupBy("rk").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        per_batch = _arrival_files_per_batch(
+            spark,
+            *[int(cnts.get(k, 0)) for k in range(1, DEDUPWM_RANKS + 1)],
         )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(data_dir, f"f{k}.parquet")
-        _shutil.copy(part, dst)
-        # FileStreamSource orders by modification time: force arrival order.
-        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
-    return data_dir
+        for k in range(1, DEDUPWM_RANKS + 1):
+            _write_arrival_slice(
+                ranked.filter(F.col("rk") == k).drop("rk"),
+                per_batch,
+                os.path.join(base, f"t{k}"),
+                data_dir,
+                k,
+            )
+    finally:
+        ranked.unpersist()
+    return data_dir, per_batch
 
 
 @_register(
@@ -1573,29 +1648,37 @@ def stream_dedup_within_watermark(
     window regardless of stream length — the entire point of the
     within-watermark variant vs unbounded dropDuplicates
     (stream_dedup_exact). The drain is one stateful operator, no
-    shuffle beyond the key partitioning.
+    shuffle beyond the key partitioning; the emitted table (~one row
+    per key per surviving rank — 7.5 M rows at sf100) spills to a
+    distributed parquet sink and is read back lazily, instead of the
+    in-driver memory sink's collect (the stream_view_purchase precedent).
     """
     apply_engine_confs(spark)
-    data_dir = _write_dedupwm_fixture(spark, sf_dir)
+    data_dir, per_batch = _write_dedupwm_fixture(spark, sf_dir)
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(per_batch))
         .parquet(data_dir)
     )
     dedup = stream.withWatermark(
         "ts", f"{DEDUPWM_DELAY_H} hours"
     ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
-    sink = "stream_dedupwm_gate"
+    spill = tempfile.mkdtemp(prefix="stream_dedupwm_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     q = (
-        dedup.writeStream.format("memory")
-        .queryName(sink)
+        dedup.writeStream.format("parquet")
+        .option("path", f"{spill}/data")
+        .option("checkpointLocation", f"{spill}/ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # Explicit schema: a zero-commit run leaves only _spark_metadata and
+    # schema inference would raise where the memory sink returned an
+    # empty table (r9 ADVICE precedent on the left-outer drain).
+    return spark.read.schema(dedup.schema).parquet(f"{spill}/data")
 
 
 # ---------------------------------------------------------------------------
@@ -1606,13 +1689,16 @@ def stream_dedup_within_watermark(
 LOJ_WM_HOURS = 2
 
 
-def _write_two_batch_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Two-file arrival fixture (cut at max ts - 6h) so the left-outer
+def _write_two_batch_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Two-batch arrival fixture (cut at max ts - 6h) so the left-outer
     join buffers cross-batch state: batch 1's purchases must wait in
     state while batch 2's views arrive, and the null-side rows only
     flush in the final no-data batch. Overwritten each call
-    (idempotent pure function of the events table)."""
-    import glob as _glob
+    (idempotent pure function of the events table). Returns
+    (data_dir, files_per_batch); each slice is files_per_batch parquet
+    files (see _arrival_files_per_batch) so the build's scan+encode and
+    the drain's batch reads parallelize instead of the old coalesce(1)
+    single task per slice."""
     import shutil as _shutil
 
     from node_gedcom_graph_spark.sources.tables import load_table
@@ -1629,15 +1715,19 @@ def _write_two_batch_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
     mx = ev.agg(F.max("ts")).collect()[0][0]
     cut = F.lit(mx) - F.expr("INTERVAL 6 HOURS")
-    slices = {1: ev.filter(F.col("ts") <= cut), 2: ev.filter(F.col("ts") > cut)}
-    for i, df in slices.items():
-        tmp = os.path.join(base, f"t{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(data_dir, f"f{i}.parquet")
-        _shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-    return data_dir
+    conds = {1: F.col("ts") <= cut, 2: F.col("ts") > cut}
+    cnt_row = ev.agg(
+        *[F.sum(c.cast("long")).alias(f"n{i}") for i, c in conds.items()]
+    ).collect()[0]
+    per_batch = _arrival_files_per_batch(
+        spark, *[int(cnt_row[f"n{i}"] or 0) for i in conds]
+    )
+    for i, cond in conds.items():
+        _write_arrival_slice(
+            ev.filter(cond), per_batch, os.path.join(base, f"t{i}"),
+            data_dir, i,
+        )
+    return data_dir, per_batch
 
 
 @_register(
@@ -1701,11 +1791,11 @@ def stream_view_purchase_left_outer(
     inner join — eviction just also emits the null row.
     """
     apply_engine_confs(spark)
-    data_dir = _write_two_batch_fixture(spark, sf_dir)
+    data_dir, per_batch = _write_two_batch_fixture(spark, sf_dir)
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(per_batch))
         .parquet(data_dir)
     )
     views = (

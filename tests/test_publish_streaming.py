@@ -784,20 +784,20 @@ def test_dedup_within_watermark_accounting(spark):
     sf_dir = "/root/testdata/sf0.01"
     table = stream_dedup_within_watermark(spark, sf_dir)
     emitted = table.count()
-    fixture_rows = spark.read.parquet(
-        _write_dedupwm_fixture(spark, sf_dir)
-    ).count()
+    fixture_dir, per_batch = _write_dedupwm_fixture(spark, sf_dir)
+    fixture_rows = spark.read.parquet(fixture_dir).count()
     # batch-1 keys all emit; later ranks re-emit only after expiry
     n_keys = table.select("user_id", "event_type").distinct().count()
     assert emitted > n_keys, "no post-expiry re-emission happened"
     assert emitted < fixture_rows, "nothing was ever dropped"
     # progress metrics: the drain already terminated, so re-run the
-    # same stream to capture per-batch accounting
-    data_dir = _write_dedupwm_fixture(spark, sf_dir)
+    # same stream to capture per-batch accounting (same batch grouping:
+    # per_batch files per trigger == one rank slice per micro-batch)
+    data_dir, per_batch = _write_dedupwm_fixture(spark, sf_dir)
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(per_batch))
         .parquet(data_dir)
     )
     dedup = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
@@ -846,17 +846,28 @@ def test_dedup_within_watermark_restart_recovery(spark, tmp_path):
     )
 
     sf = "/root/testdata/sf0.01"
-    src = _write_dedupwm_fixture(spark, sf)
+    src, per_batch = _write_dedupwm_fixture(spark, sf)
     stage = str(tmp_path / "stage")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
     os.makedirs(stage)
     schema = spark.read.parquet(src).schema
 
+    def stage_rank(k):
+        """Copy rank k's file group into the stage dir, preserving the
+        fixture's slice-major mtime order."""
+        import glob
+
+        for part in sorted(glob.glob(os.path.join(src, f"f{k}_*.parquet"))):
+            dst = os.path.join(stage, os.path.basename(part))
+            shutil.copy(part, dst)
+            st = os.stat(part)
+            os.utime(dst, (st.st_mtime, st.st_mtime))
+
     def drain():
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(per_batch))
             .parquet(stage)
         )
         q = (
@@ -872,18 +883,18 @@ def test_dedup_within_watermark_restart_recovery(spark, tmp_path):
         q.awaitTermination()
         return q.recentProgress
 
-    dst = os.path.join(stage, "f1.parquet")
-    shutil.copy(os.path.join(src, "f1.parquet"), dst)
-    os.utime(dst, (1_000_000_001, 1_000_000_001))
+    stage_rank(1)
     drain()  # first batch, then the query stops
     run1 = {r.event_id for r in spark.read.parquet(out).collect()}
-    n_keys = spark.read.parquet(os.path.join(src, "f1.parquet")).count()
+    import glob as _glob
+
+    n_keys = spark.read.parquet(
+        *_glob.glob(os.path.join(src, "f1_*.parquet"))
+    ).count()
     assert len(run1) == n_keys  # batch 1 emits one row per key
 
     for k in (2, 3, 4):
-        dst = os.path.join(stage, f"f{k}.parquet")
-        shutil.copy(os.path.join(src, f"f{k}.parquet"), dst)
-        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        stage_rank(k)
     progress = drain()  # restart from checkpoint
 
     rows = spark.read.parquet(out).collect()
