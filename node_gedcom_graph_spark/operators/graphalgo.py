@@ -1029,16 +1029,17 @@ def copurchase_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round shape (r10): the seed round is ONE aggregate over the
     symmetric edges — with component(v)=v initially, the HashMin step
     is exactly ``least(a, min(b))`` per node, so no label table exists
-    yet and nothing is joined or checkpointed before the loop. Later
-    rounds fuse the old join→agg→left-join+least pipeline into
-    join→union-with-self→one min-aggregate (the self row replaces the
-    least(); every node has >=1 neighbor by construction, so the
-    left-join null case never fired): identical min per node, one
-    fewer stage wave per round. Measured at sf0.1 (round-overhead
-    dominated: 7k sym rows, ~0.55 s/round): 5.09 -> 4.00 s (-21%),
-    rows bit-identical. A third pointer jump was tried and REJECTED
-    (7.04 s: the extra per-round join outweighs any round it saves at
-    these diameters).
+    yet and nothing is joined or checkpointed before the loop:
+    strictly less work than the old init (distinct + checkpoint + a
+    full join round) at every scale, same labels out. Two further
+    variants were measured and REJECTED as small-scale-only or worse:
+    fusing later rounds into join→union-with-self→one min-aggregate
+    won at sf0.1 (stage-wave bound) but cost ~20% more CPU at sf10
+    (min-of-reps process-tree CPU 237.5 vs 192.9 s — the union ships
+    the full label table into the aggregate exchange each round,
+    where the left-join form lets AQE broadcast the aggregated
+    nbr_min side instead); a third pointer jump lost outright
+    (7.04 vs 4.00 s at sf0.1).
 
     Oracle: DuckDB WITH RECURSIVE min-reachability closure (node,
     seed) pairs, then MIN per node — exact, order-independent, but
@@ -1083,16 +1084,16 @@ def copurchase_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         else:
-            # Fused HashMin: min over neighbor labels AND the node's
-            # own label via union, one aggregate (the self row makes
-            # the old left-join + least() redundant).
-            contrib = sym.join(labels, sym["b"] == labels["id"]).select(
-                F.col("a").alias("id"), "component"
+            nbr_min = (
+                sym.join(labels, sym["b"] == labels["id"])
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            m = (
-                contrib.unionByName(labels.select("id", "component"))
-                .groupBy("id")
-                .agg(F.min("component").alias("component"))
+            m = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
             )
         for _ in range(2):  # pointer jumps: component <- label(component)
             lk = m.select(F.col("id").alias("cid"), F.col("component").alias("cc"))
