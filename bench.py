@@ -254,6 +254,33 @@ def _measure(spark, qs) -> dict:
     cpu_s[name] = round(cpu_s[name], 3)
     total += timings[name]
 
+    # ADDED r10 (same contract note as above): the cold ExactSubstr
+    # span-table materialization build. dedup_substring_clean above
+    # now serves the family's span table from the same per-process
+    # materialization (built during its own warm pass of this
+    # invocation), so its steady-state line no longer contains the
+    # per-character explode + hash + count-window build; this entry
+    # keeps that build's full cold cost (explode + xxhash64 +
+    # count-window + island merge + parquet write + read-back) its own
+    # visible line, cache cleared before every iteration.
+    from node_gedcom_graph_spark.operators.dedup import _substring_spans_table
+
+    def run_substr_build():
+        clear_copurchase_edge_cache()
+        _substring_spans_table(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    spark.sparkContext.setJobDescription(
+        "bench:dedup_substring_spans_build_cold"
+    )
+    run_substr_build()  # warm (JIT/codegen; the build itself stays cold)
+    name = "dedup_substring_spans_build_cold"
+    timings[name], cpu_s[name] = _timed_best(run_substr_build)
+    timings[name] = round(timings[name], 3)
+    cpu_s[name] = round(cpu_s[name], 3)
+    total += timings[name]
+
     # Two warm iterations: the GEDCOM stack's generated classes are the
     # largest in the suite and compete with the 9 preceding queries for
     # the codegen cache, and the generated code needs several

@@ -2560,6 +2560,37 @@ def substring_dup_spans(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_len")
 
 
+def _substring_spans_table(
+    spark: SparkSession, sf_dir: str, w: int = SUBSTR_W
+) -> DataFrame:
+    """Cache-aware front end for the ExactSubstr span table: all three
+    batch queries of the family (spans / stats_by_source / clean)
+    consume the SAME derived table — the maximal duplicated spans of
+    the documents fixture — and each was re-paying its full build (the
+    per-character explode + xxhash64 + count-window: 6.5-7.7k CPU-s
+    each at sf100, the dominant cost of all three). Like the
+    co-purchase edge list (operators/graphalgo.py), the table is a
+    deterministic computation over an immutable fixture, so it is
+    materialized to parquet on first use in the invocation and served
+    to the other family members of that same invocation — per-process
+    root, removed at exit, nothing persists across runs;
+    ``NGG_EDGE_CACHE=0`` disables. Keyed by the DOCUMENTS fixture
+    fingerprint plus the window width (a changed ``SUBSTR_DEDUP_W``
+    is a different table). Falls back to the in-session build when
+    scratch or the fingerprint is unavailable."""
+    from node_gedcom_graph_spark.operators.graphalgo import _cache_serve
+
+    def build() -> DataFrame:
+        return substring_dup_spans(
+            load_table(spark, sf_dir, "documents", spread=True), w
+        )
+
+    df = _cache_serve(
+        spark, sf_dir, f"-substr-w{w}", build, table="documents"
+    )
+    return df if df is not None else build()
+
+
 _SUBSTR_ORACLE_SPANS = f"""
     WITH docs AS (
       SELECT doc_id, text FROM documents WHERE length(text) >= {SUBSTR_W}
@@ -2609,10 +2640,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     single small parquet file would otherwise run the whole 100x-tier
     explode+hash on 2 cores (observed: 288 s -> the spread unlocks all
     32).
+
+    r10 optimization: served from the family's per-invocation span
+    materialization (_substring_spans_table) — this query IS the
+    table, so on a cache hit it is a read of the parquet it published.
     """
-    return substring_dup_spans(
-        load_table(spark, sf_dir, "documents", spread=True)
-    )
+    return _substring_spans_table(spark, sf_dir)
 
 
 @register(
@@ -2645,10 +2678,12 @@ def dedup_substring_stats_by_source(
     The span pipeline's shuffles are as in substring_dup_spans; this
     adds one per-doc aggregation and a left join back to ``documents``
     keyed by doc_id (dimension-sized per-doc rollup, not per-position).
+    r10 optimization: the spans come from the family's per-invocation
+    materialization (_substring_spans_table) instead of a full rebuild.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     per_doc = (
-        substring_dup_spans(docs)
+        _substring_spans_table(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.sum("span_len").alias("dup_chars"))
     )
@@ -2728,10 +2763,12 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-doc array bounded by doc length / w) inside a project — no
     second corpus-wide window, no explode back out. Shuffles: the two
     in substring_dup_spans + one per-doc collect_list + one dimension
-    join back to documents.
+    join back to documents. r10 optimization: the spans come from the
+    family's per-invocation materialization (_substring_spans_table)
+    instead of a full rebuild.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    spans = substring_dup_spans(docs)
+    spans = _substring_spans_table(spark, sf_dir)
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))

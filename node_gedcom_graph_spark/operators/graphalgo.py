@@ -137,8 +137,8 @@ def _sweep_stale_process_roots() -> None:
         shutil.rmtree(os.path.join(base, n), ignore_errors=True)
 
 
-def _lineitem_fingerprint(sf_dir: str) -> str | None:
-    """Stable fingerprint of the lineitem fixture (file OR directory of
+def _fixture_fingerprint(sf_dir: str, table: str = "lineitem") -> str | None:
+    """Stable fingerprint of one fixture table (file OR directory of
     part files): md5 over sorted (relpath, size, mtime_ns) triples PLUS
     a 4 KB content sample from the first part file. The content sample
     catches the mtime-preserving rewrite (``cp -p`` / ``rsync -a`` /
@@ -149,7 +149,7 @@ def _lineitem_fingerprint(sf_dir: str) -> str | None:
     file watermark documents (sources/gedcom_datasource.py)."""
     from node_gedcom_graph_spark.sources.tables import part_files
 
-    path = os.path.join(sf_dir.rstrip("/"), "lineitem.parquet")
+    path = os.path.join(sf_dir.rstrip("/"), f"{table}.parquet")
     try:
         files = part_files(path)
         h = hashlib.md5(os.path.abspath(path).encode())
@@ -165,11 +165,15 @@ def _lineitem_fingerprint(sf_dir: str) -> str | None:
         return None
 
 
+def _lineitem_fingerprint(sf_dir: str) -> str | None:
+    return _fixture_fingerprint(sf_dir, "lineitem")
+
+
 def clear_copurchase_edge_cache() -> None:
     shutil.rmtree(_EDGE_CACHE_ROOT, ignore_errors=True)
 
 
-def _cache_serve(spark, sf_dir, suffix, builder):
+def _cache_serve(spark, sf_dir, suffix, builder, table: str = "lineitem"):
     """Serve a DERIVED-TABLE materialization from the per-fixture
     scratch cache, building it on first use; return None (caller
     falls back to the in-session build) when scratch or the fixture
@@ -179,10 +183,11 @@ def _cache_serve(spark, sf_dir, suffix, builder):
     computation over an immutable fixture, so serving it is
     output-bit-equal to rebuilding. Entry key = fixture fingerprint +
     ``suffix`` (one fixture can hold several derived tables: the edge
-    list, the per-part order counts)."""
+    list, the per-part order counts, the ExactSubstr span table —
+    ``table`` names the source fixture the fingerprint covers)."""
     if os.environ.get("NGG_EDGE_CACHE", "1") == "0":
         return None
-    fp = _lineitem_fingerprint(sf_dir)
+    fp = _fixture_fingerprint(sf_dir, table)
     if fp is None:
         return None
     cache = os.path.join(_EDGE_CACHE_ROOT, fp + suffix)

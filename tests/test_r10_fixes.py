@@ -225,6 +225,48 @@ def test_association_rules_served_equals_unserved(spark, edge_cache_dir, monkeyp
     assert served == unserved and len(served) > 0
 
 
+def test_substring_family_served_equals_unserved(
+    spark, edge_cache_dir, monkeypatch
+):
+    """r10 pin: the ExactSubstr family served from the per-invocation
+    span materialization is row- and bit-identical to the
+    self-contained build path, for all three batch members; the
+    materialization is keyed on the DOCUMENTS fixture (not lineitem)
+    and appears after the first call."""
+    from node_gedcom_graph_spark.operators.dedup import (
+        SUBSTR_W,
+        dedup_substring_clean,
+        dedup_substring_spans,
+        dedup_substring_stats_by_source,
+    )
+
+    monkeypatch.delenv("NGG_EDGE_CACHE", raising=False)
+    served = {
+        q.__name__: _rows(q(spark, SF_DIR))
+        for q in (
+            dedup_substring_spans,
+            dedup_substring_stats_by_source,
+            dedup_substring_clean,
+        )
+    }
+    entries = [
+        e
+        for e in os.listdir(edge_cache_dir)
+        if ".build" not in e
+        and os.path.isdir(os.path.join(edge_cache_dir, e))
+    ]
+    docs_fp = graphalgo._fixture_fingerprint(SF_DIR, "documents")
+    assert entries == [f"{docs_fp}-substr-w{SUBSTR_W}"]
+    monkeypatch.setenv("NGG_EDGE_CACHE", "0")
+    for q in (
+        dedup_substring_spans,
+        dedup_substring_stats_by_source,
+        dedup_substring_clean,
+    ):
+        assert _rows(q(spark, SF_DIR)) == served[q.__name__]
+        assert len(served[q.__name__]) > 0
+
+
 def test_winsorized_cuts_equal_naive_window(spark):
     """r10 rewrite pin: the distribution-based rank-position cutoffs
     equal the naive row_number-window formula on the same fixture."""
