@@ -17,7 +17,7 @@ apply the identical IEEE expression on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_gedcom_graph_spark.operators import register
@@ -131,16 +131,27 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship query. Its shuffle key (l_orderkey) is the orders join key,
     so the exchange is reused; the surviving rows are small enough that
     AQE converts the orders/customer joins to broadcasts at runtime.
-    Quantities sum in DECIMAL for order-independence.
+    Quantities sum as exact integer cents for order-independence (r10,
+    guide §2.3: SUM(decimal(18,2)) plans a decimal(28,2) accumulator —
+    a 16-byte Int128 slot with BigDecimal adds once precision exceeds
+    18 — where the same exact arithmetic fits a long: qty <= 50.00 so
+    an order's cent total is < 2^15. cents > 25000 <=> decimal > 250,
+    and cents/100.0 is the identical correctly-rounded double the
+    decimal cast produced; oracle-hash-gated on top).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > 250)
-        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+        .agg(
+            F.sum((_dec("l_quantity") * 100).cast("long")).alias("qty_c")
+        )
+        .filter(F.col("qty_c") > 25000)
+        .select(
+            "l_orderkey",
+            (F.col("qty_c").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -181,46 +192,73 @@ def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
     multi-supplier order. "Late" is re-expressed as shipped >365 days
     after the order date (this schema has no receipt/commit dates); the
-    operator shape — correlated EXISTS (semi join) plus correlated
-    NOT EXISTS (anti join) against the same fact — is Q21's exactly.
+    oracle keeps Q21's literal operator shape — correlated EXISTS (semi
+    join) plus correlated NOT EXISTS (anti join) against the same fact.
 
-    Scale: the late set is distinct-reduced to (order, supplier) before
-    probing. Both probes and the reduction shuffle on l_orderkey — one
-    key, so the exchanges line up and AQE reuses them; the anti probe
-    runs against the already-small late set, not the full fact. The
-    `l2.l_suppkey <> l1.l_suppkey` disqualifier rides inside the join
-    condition (Catalyst keeps it in the semi/anti join's on-clause —
-    no post-filter materialization). Supplier dim broadcasts.
+    r10 rewrite (guide §2.4): both correlated probes depend only on
+    per-order counts over the distinct (order, supplier) pair set —
+    EXISTS another supplier on the order  <=>  n_supp >= 2, and
+    NOT EXISTS another LATE supplier      <=>  n_late == 1 (the probed
+    pair is itself late, so it is the one). The old plan re-shuffled
+    the full fact table a second time for the semi probe and the late
+    set twice more for the distinct + anti probe; now the fact crosses
+    the network ONCE (the unavoidable lineitem<->orders date join),
+    and every later step — the (order, supplier) late-flag collapse
+    and the per-order count window — reuses that join's l_orderkey
+    hash partitioning exchange-free (HashPartitioning on a subset of
+    the grouping/window keys satisfies ClusteredDistribution).
+    Equivalence: l1 = distinct late pairs = pairs with max(late)=true;
+    the EXISTS probe admits an order iff it has a second distinct
+    supplier (n_supp >= 2, counted over ALL lineitems, late or not);
+    the NOT EXISTS probe rejects any order whose late-supplier set has
+    another member (n_late == 1 keeps exactly the singleton case).
+    Supplier dim broadcasts; numwait counts the same surviving pairs.
     """
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    late = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+            ).alias("late"),
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
-    l1 = late.alias("l1")
-    l2 = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    other_supplier_exists = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
+    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("is_late")
     )
-    only_late = other_supplier_exists.join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    # Per-order counts as window aggregates over the pair table — NOT a
+    # pairs<->counts self-join: two consumers of `pairs` would re-run
+    # the whole fact join per branch (the supplier join pushes an extra
+    # isnotnull(l_suppkey) into one branch's scan, so the two subtrees
+    # canonicalize differently and ReuseExchange cannot merge them —
+    # measured as a doubled lineitem scan+shuffle in the join form).
+    # The window needs only ClusteredDistribution(l_orderkey), which
+    # the pair aggregate's output already provides, so it adds ZERO
+    # exchanges; order groups are bounded (~7 suppliers), so window
+    # buffering is O(group), not O(partition).
+    w = Window.partitionBy("l_orderkey")
+    only_late = (
+        pairs.select(
+            "l_orderkey",
+            "l_suppkey",
+            "is_late",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum(F.col("is_late").cast("int")).over(w).alias("n_late"),
+        )
+        .filter(
+            F.col("is_late") & (F.col("n_late") == 1) & (F.col("n_supp") >= 2)
+        )
     )
     return (
         only_late.join(
-            F.broadcast(supplier), F.col("l1.l_suppkey") == supplier.s_suppkey
+            F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -64,10 +64,22 @@ def test_tpch_deep_scans_prune_and_push(spark):
     plan = _plan(waiting_supplier_orders(spark, SF_DIR))
     # Supplier dim is broadcast, never shuffled.
     assert "BroadcastHashJoin" in plan
-    # The EXISTS/NOT EXISTS probes plan as semi/anti joins, not
-    # materialized subqueries.
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    # r10: the correlated EXISTS/NOT EXISTS probes are computed as
+    # per-order counts over the (order, supplier) pair set, so the
+    # fact table crosses the network ONCE: the lineitem<->orders date
+    # join's l_orderkey exchanges are the only big shuffles, and the
+    # pair collapse, the per-order counts, and the pair<->count join
+    # all reuse that partitioning. No semi/anti re-shuffle of the
+    # fact, and <= 3 hash exchanges in total (lineitem, orders, the
+    # final s_name rollup).
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # The fact scan stays pruned to the three consumed columns.
+    assert (
+        "struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>"
+        in plan
+    )
 
 
 def test_repetition_stats_single_gram_shuffle(spark):

@@ -344,3 +344,85 @@ def test_arrival_fixture_file_groups_preserve_batches(spark):
         if prev_keys is not None:
             assert keys <= prev_keys
         prev_keys = keys
+
+
+def test_waiting_suppliers_counts_equal_semi_anti(spark):
+    """r10 rewrite pin: the per-order count formulation (n_supp >= 2,
+    n_late == 1) equals the correlated EXISTS/NOT EXISTS semi+anti
+    join plan it replaced."""
+    from pyspark.sql import functions as F
+
+    from node_gedcom_graph_spark.operators.relational_tpch import (
+        waiting_supplier_orders,
+    )
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    got = _rows(waiting_supplier_orders(spark, SF_DIR))
+
+    orders = load_table(spark, SF_DIR, "orders")
+    supplier = load_table(spark, SF_DIR, "supplier")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    late = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    want = _rows(
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("l1.l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    assert got == want and len(got) > 0
+
+
+def test_large_volume_cents_equal_decimal_sum(spark):
+    """r10 rewrite pin: the long-cents quantity rollup equals the
+    decimal(28,2) accumulator it replaced, threshold included."""
+    from pyspark.sql import functions as F
+
+    from node_gedcom_graph_spark.operators.relational_tpch import (
+        _dec,
+        large_volume_orders,
+    )
+    from node_gedcom_graph_spark.sources.tables import load_table
+
+    got = _rows(large_volume_orders(spark, SF_DIR))
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select(
+            "l_orderkey", F.col("qty_dec").cast("double").alias("total_qty")
+        )
+    )
+    want = _rows(
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+    )
+    assert got == want and len(got) > 0
