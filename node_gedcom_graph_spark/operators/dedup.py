@@ -2311,7 +2311,15 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tok = (
+    # r10 (guide §2.4/§5): tok feeds TWO consumers (dfv, post), post
+    # feeds two (nrm, unit), and unit feeds BOTH join sides — without
+    # materialization points every reference re-derives its whole
+    # subtree, and the slightly different pushed filters per branch
+    # keep the subtrees from canonicalizing to reusable exchanges
+    # (measured: 8 parquet scans of `documents` and 23 Exchanges in
+    # the uncached plan; 1 scan / 6 Exchanges cached). persist_tracked
+    # scopes both caches to this query build.
+    tok = persist_tracked(
         docs.select("doc_id", F.explode(grams).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -2334,8 +2342,10 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nm")
     )
-    unit = post.join(nrm, "doc_id").select(
-        "doc_id", "term", (F.col("w") / F.col("nm")).alias("u")
+    unit = persist_tracked(
+        post.join(nrm, "doc_id").select(
+            "doc_id", "term", (F.col("w") / F.col("nm")).alias("u")
+        )
     )
     a = unit.select(
         F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua")
