@@ -1067,11 +1067,13 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     product — so the intermediate is |queries| x corpus/B rows. B is
     fixed at 64 for oracle parity; production sets B ~ corpus/c,
     making the per-slot candidate set a CONSTANT c rows at any corpus
-    size. The per-slot pick is a two-pass hash-aggregated argmin (see
-    the inline note: min of the md5's high 64 bits, then exact
-    resolution of the survivors — no per-query window sort, no
-    sort-based aggregate over the fan-out; the oracle's ROW_NUMBER is
-    the SQL spelling of the same argmin).
+    size. The per-slot pick is a MIN-struct agg (no per-query window
+    sort; the oracle's ROW_NUMBER is the SQL spelling of the same
+    argmin). It plans as SortAggregate (struct buffers are not
+    hash-aggregable) — a two-pass all-HashAggregate argmin was built,
+    gated and measured in r10 and REJECTED: the hex→long key parsing
+    plus the second fan-out probe cost 4.4× the CPU of the sort it
+    removed at sf100 (see OPTIMIZATION_r10.md §11).
     """
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = _cap_queries(emb.filter(F.col("vec_id") % 4 == 0)).select(
@@ -1094,40 +1096,7 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # r10 (guide §2.5, §5): the per-slot pick used to be min over a
-    # STRUCT — and no string/struct-buffered aggregate is hash-
-    # aggregable (HashAggregate requires mutable fixed-width buffer
-    # types), so it planned as Sort + SortAggregate: the whole
-    # |queries| x corpus/B candidate fan-out (~1B rows at sf100) was
-    # SORTED — and spilled — before any reduction. Rewritten as a
-    # two-pass exact argmin refinement in which EVERY aggregate buffer
-    # is a long, so both passes are HashAggregates whose map-side
-    # partial collapses each task's fan-out to |query x slot| rows
-    # before a tiny exchange — no big sort, no spill, at any scale:
-    #   pass 1: per (query, slot), min of the md5's HIGH 64 bits
-    #           (hex chars are parsed 8-at-a-time — conv() is unsigned
-    #           in 64-bit, so each half stays < 2^32 — packed into a
-    #           sign-flipped long whose signed order equals the hex
-    #           string order of the first 16 chars);
-    #   pass 2: re-probe the bucket join (the fan-out is cheaper to
-    #           recompute than to sort or cache), keep only rows whose
-    #           high-64 key equals their group's pass-1 min (the 32k
-    #           minima broadcast), and resolve the exact winner among
-    #           those few survivors by the full (low-64, vec_id)
-    #           remainder — a sort-aggregate over ~|query x slot| rows.
-    # The composite (hi64, lo64, vec_id) order IS the oracle's
-    # ORDER BY md5(...), vec_id (fixed-width hex halves compare
-    # exactly like the concatenated string), so the winner is
-    # identical bit-for-bit — including under md5 hi-64 ties, which
-    # pass 2 resolves exactly rather than probabilistically.
-    def _hex_long(col, start: int) -> Column:
-        hi = F.conv(F.substring(col, start, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(col, start + 8, 8), 16, 10).cast("long")
-        return (
-            F.shiftleft(hi, 32) + lo
-        ).bitwiseXOR(F.lit(-9223372036854775808))
-
-    fan = (
+    return (
         wanted.join(corpus, "bucket")
         .filter(
             (F.col("label") != F.col("q_label"))
@@ -1136,21 +1105,8 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("j").cast("bigint").alias("slot"),
-            _hex_long(rank_key, 1).alias("khi"),
-            _hex_long(rank_key, 17).alias("klo"),
-            "vec_id",
-            "label",
-        )
-    )
-    mhi = fan.groupBy("query_id", "slot").agg(F.min("khi").alias("mhi"))
-    return (
-        fan.join(F.broadcast(mhi), ["query_id", "slot"])
-        .filter(F.col("khi") == F.col("mhi"))
-        .select(
-            "query_id",
-            "slot",
             F.struct(
-                F.col("klo").alias("klo"),
+                rank_key.alias("rk"),
                 F.col("vec_id").alias("neg_id"),
                 F.col("label").alias("neg_label"),
             ).alias("s"),
