@@ -333,6 +333,131 @@ EWMA_ALPHA = 0.3
 EWMA_TAPS = 8
 EWMA_SPIKE_TH = 100.0  # |residual| gate; events.value spans 0.01..490
 
+# r11 (guide §2.5): time-bucket width for parallelizing per-event_type
+# lag windows. event_type has ~5 distinct values, so PARTITION BY
+# event_type degenerates to 5 single-threaded whole-partition sorts
+# (measured at sf100: events_ewma_fir 71.2 s at 3.3/32 cores,
+# burstiness 63.3 s at 3.5/32 — the same low-cardinality
+# window-partition skew winsorized had in r10). Minute buckets over
+# the fixtures' 30-day span give ~43k buckets per type — tiny in-task
+# sorts at every tier, and the per-bucket fix-up tables stay small.
+LAG_BUCKET_MICROS = 60_000_000
+
+
+def _bucketed_lag_values(
+    df: DataFrame, n_lags: int, bucket_micros: int = LAG_BUCKET_MICROS
+) -> DataFrame:
+    """``lag(value, j<=n_lags) OVER (PARTITION BY event_type ORDER BY
+    m, eid)`` computed with PARALLEL per-(type, time-bucket) windows
+    plus a small fix-up branch — provably row-equal to the
+    single-partition-per-type global window (pinned by
+    tests/test_r11_fixes.py::test_bucketed_lags_equal_global_window).
+
+    ``df`` must carry ``event_type``, ``m`` (bigint event-time micros,
+    the order key — buckets derive from its value, so bucket boundaries
+    respect the order), ``eid`` (tiebreak, unique within event_type)
+    and ``value``. Output: (event_type, m, eid, value, x0..x{n_lags}).
+
+    Why it is exact: a row with in-bucket rank > n_lags has all
+    ``n_lags`` predecessors inside its own bucket, so the per-bucket
+    window computes its lags verbatim. The remaining HEAD rows (rank
+    <= n_lags) take their lags from a window over the head+tail subset
+    (rank <= n_lags or rank > count - n_lags), which is CLOSED under
+    j-step predecession for j <= n_lags: a predecessor in the same
+    bucket is itself a head row, and one in an earlier bucket is
+    within the last n_lags rows of that bucket (at most j-1 < n_lags
+    rows sit between it and the head row), i.e. a tail row. With all
+    true predecessors present, the j rows immediately before a head
+    row IN THE SUBSET are exactly its j global predecessors, so the
+    subset window's lag values equal the global window's.
+
+    Scale shape: ONE full-data exchange on (type, bucket) feeding one
+    Window (lags + rank + count in a single operator); the two
+    consumers of that windowed frame (emit rank > n_lags / route
+    head+tail to the fix-up) share the exchange via ReusedExchange;
+    the fix-up window touches <= 2*n_lags rows per bucket. At the tiny
+    gate SFs most buckets hold < n_lags rows and nearly everything
+    flows through the fix-up branch — degenerating to the old global
+    window exactly where it was never a problem.
+    """
+    tb = (F.col("m") / F.lit(bucket_micros)).cast("bigint")
+    base = df.select("event_type", "m", "eid", "value", tb.alias("__tb"))
+    w = W.partitionBy("event_type", "__tb").orderBy("m", "eid")
+    wcnt = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    lag_cols = [
+        F.lag("value", j).over(w).alias(f"x{j}") for j in range(n_lags + 1)
+    ]
+    lagged = base.select(
+        "event_type",
+        "m",
+        "eid",
+        "value",
+        *lag_cols,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wcnt).alias("__cnt"),
+    )
+    out_cols = ["event_type", "m", "eid", "value"] + [
+        f"x{j}" for j in range(n_lags + 1)
+    ]
+    main = lagged.filter(F.col("__rn") > n_lags).select(*out_cols)
+    subset = lagged.filter(
+        (F.col("__rn") <= n_lags)
+        | (F.col("__rn") > F.col("__cnt") - n_lags)
+    )
+    wg = W.partitionBy("event_type").orderBy("m", "eid")
+    fixed = subset.select(
+        "event_type",
+        "m",
+        "eid",
+        "value",
+        "__rn",
+        *[
+            F.lag("value", j).over(wg).alias(f"x{j}")
+            for j in range(n_lags + 1)
+        ],
+    )
+    head = fixed.filter(F.col("__rn") <= n_lags).select(*out_cols)
+    return main.unionByName(head)
+
+
+def _bucketed_gap_values(
+    df: DataFrame, bucket_micros: int = LAG_BUCKET_MICROS
+) -> DataFrame:
+    """``(m - lag(m)) OVER (PARTITION BY event_type ORDER BY m)`` in
+    seconds, computed with PARALLEL per-(type, time-bucket) windows:
+    within-bucket gaps come from a window over (event_type, bucket);
+    each bucket-BOUNDARY gap (first m of a bucket minus last m of the
+    previous non-empty bucket) comes from a window over the tiny
+    per-bucket min/max summary. Exact because per type the sorted-m
+    successive differences split precisely into within-bucket
+    differences plus boundary differences when buckets are value
+    ranges of m; ties in m only ever produce zero gaps, and successive
+    differences of a sorted multiset do not depend on tie order
+    (pinned by test_bucketed_gaps_equal_global_window).
+
+    ``df`` must carry ``event_type`` and ``m`` (non-negative bigint
+    micros). Output: (event_type, gap_s double), null gaps dropped.
+    """
+    base = df.withColumn(
+        "__tb", (F.col("m") / F.lit(bucket_micros)).cast("bigint")
+    )
+    win = W.partitionBy("event_type", "__tb").orderBy("m")
+    inner = base.select(
+        "event_type",
+        ((F.col("m") - F.lag("m").over(win)) / F.lit(1e6)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    summary = base.groupBy("event_type", "__tb").agg(
+        F.min("m").alias("__mn"), F.max("m").alias("__mx")
+    )
+    ws = W.partitionBy("event_type").orderBy("__tb")
+    boundary = summary.select(
+        "event_type",
+        ((F.col("__mn") - F.lag("__mx").over(ws)) / F.lit(1e6)).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return inner.unionByName(boundary)
+
 
 @register(
     "events_ewma_fir",
@@ -381,18 +506,29 @@ def events_ewma_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_anomaly_zscore precedent) so a boundary row cannot flip the
     set.
 
-    Scale: one shuffle on event_type, one window sort per type, all
-    eight lags fold into a single Window physical operator
-    (CollapseWindow); the FIR arithmetic is whole-stage-codegen column
-    math. Per-type data volume is the skew bound, as with any
-    per-entity time series.
+    Scale (r11 rewrite, guide §2.5): a PARTITION BY event_type window
+    over ~5 distinct types degenerates to 5 single-threaded whole-type
+    sorts (measured 3.3/32 cores / 71.2 s at sf100), so the lags are
+    computed by parallel per-(type, minute-bucket) windows with a
+    small head/tail fix-up branch (_bucketed_lag_values; row-equality
+    with the global window is pinned on a ties-and-tiny-buckets
+    fixture plus the gate fixture). The FIR arithmetic is unchanged
+    whole-stage-codegen column math reading IDENTICAL x0..x7 values,
+    so every residual is bit-identical to the global-window form.
+    Order tiebreak: (ts, event_id) — (event_type, ts) is unique at
+    every oracle-gated SF, so the declared result is unchanged; at the
+    replicated sweep tiers (where ts carries K-way ties and the global
+    window's lag order among ties is unspecified) the tiebreak pins
+    ONE of the orders the old form was free to pick.
     """
     events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts")
-    lag_cols = [
-        F.lag("value", j).over(w).alias(f"x{j}") for j in range(EWMA_TAPS)
-    ]
-    lagged = events.select("event_type", "value", *lag_cols).filter(
+    sel = events.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("m"),
+        F.col("event_id").alias("eid"),
+        "value",
+    )
+    lagged = _bucketed_lag_values(sel, EWMA_TAPS - 1).filter(
         F.col(f"x{EWMA_TAPS - 1}").isNotNull()
     )
     weights = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** j for j in range(EWMA_TAPS)]
@@ -1720,16 +1856,24 @@ def event_interarrival_burstiness(
     engines); the moment aggregates then drift ~1e-12 across
     summation orders, inside the 6-dp round.
 
-    Scale: one shuffle on event_type, one per-type window sort, one
-    moment aggregate — nothing touches more than the gap column.
+    Scale (r11 rewrite, guide §2.5): PARTITION BY event_type over ~5
+    types ran 5 single-threaded whole-type sorts (3.5/32 cores /
+    63.3 s at sf100); the gaps are now computed by parallel
+    per-(type, minute-bucket) windows, with each bucket-BOUNDARY gap
+    (first ts of a bucket minus last ts of the previous non-empty
+    bucket) contributed by a window over the tiny per-bucket min/max
+    summary. Exact because per type the sorted-ts successive
+    differences split precisely into within-bucket differences plus
+    boundary differences when buckets are value ranges of ts; each
+    gap stays the SAME integer-micros difference divided by the same
+    constant, so the per-type gap multiset is bit-identical to the
+    global-window form (ties in ts only ever produce zero gaps, and
+    successive differences of a sorted multiset do not depend on tie
+    order — pinned by test_bucketed_gaps_equal_global_window).
     """
     events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts")
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
-    gaps = events.select(
-        "event_type",
-        ((micros - F.lag(micros).over(w)) / F.lit(1e6)).alias("gap_s"),
-    ).filter(F.col("gap_s").isNotNull())
+    gaps = _bucketed_gap_values(events.select("event_type", micros.alias("m")))
     mu = F.avg("gap_s")
     sd = F.stddev_pop("gap_s")
     return gaps.groupBy("event_type").agg(

@@ -2016,6 +2016,69 @@ def copurchase_ppr_seeds3(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_DELTA_MOD = 10  # orders with l_orderkey % 10 == 7 are "appended"
 
 
+def _incr_pair_counts(li: DataFrame) -> DataFrame:
+    """Packed-key pair counts (pk, w) with w >= 1 over one order set —
+    the unthresholded form both the base snapshot state and the
+    appended batch share (thresholding to w >= 2 must happen AFTER the
+    merge or increments on w = 1 pairs are lost)."""
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            # Same 31-bit key-pack guard as the main edge build:
+            # raise, never corrupt, if a partkey outgrows the pack.
+            F.when(
+                (F.col("a.l_partkey") < 0)
+                | (F.col("b.l_partkey") < 0)
+                | (F.col("a.l_partkey") >= F.lit(1 << 31))
+                | (F.col("b.l_partkey") >= F.lit(1 << 31)),
+                F.raise_error(
+                    F.lit(
+                        "incremental pair key exceeds 31 bits; "
+                        "unpack copurchase_edges_incremental"
+                    )
+                ),
+            )
+            .otherwise(
+                F.shiftleft(F.col("a.l_partkey"), 32)
+                + F.col("b.l_partkey")
+            )
+            .alias("pk")
+        )
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _incr_base_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base snapshot's pair-count state (pk, w >= 1 over non-delta
+    orders) — the state a production refresh KEEPS between batches,
+    served from the per-fixture materialization cache (r11, guide
+    §2.4/§6). Deriving it from the fact table inside every merge made
+    the r10 "incremental" path cost the same as a full rebuild
+    (242.5 s sf100 ≈ one rebuild); with the state materialized, the
+    per-refresh work is O(pairs(delta) + |state|). Cache key carries
+    the split mod so a different base/delta boundary can never be
+    served a stale state table."""
+
+    def build():
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        is_delta = (F.col("l_orderkey") % INCR_DELTA_MOD) == 7
+        return _incr_pair_counts(lineitem.filter(~is_delta))
+
+    df = _cache_serve(spark, sf_dir, f"-incrbase{INCR_DELTA_MOD}", build)
+    return df if df is not None else build()
+
+
 @register(
     "copurchase_edges_incremental",
     oracle="""
@@ -2051,61 +2114,32 @@ def copurchase_edges_incremental(
     equivalent to rebuild. The deterministic "append" split is
     l_orderkey % 10 == 7 (~10% of orders).
 
-    Scale: production cost is O(|state| + pairs(delta)) — the
-    expensive per-order pair generation runs ONLY on the appended
-    batch, and the merge is one co-partitioned full-outer join keyed
-    by the packed pair bigint; the base-state derivation here stands
-    in for reading the stored state table (the
-    dedup_incremental_snapshot precedent). This is the refresh that
-    keeps the per-fixture edge materialization warm under appends
-    instead of the full ~200 s sf100 rebuild.
+    Scale (r11 rewrite, guide §2.4/§6): production cost is
+    O(|state| + pairs(delta)) — the expensive per-order pair
+    generation runs ONLY on the appended batch. The base state is a
+    served derived table (_incr_base_state, the same per-fixture
+    materialization idiom as the edge list; in r10 it was re-derived
+    from the fact table inside every merge, which made the
+    "incremental" path cost a full rebuild — 242.5 s sf100). The
+    merge's base side is now a scan of the small state table plus one
+    |state|-sized exchange on the packed pair key (tens of MB at
+    sf100 — versus the fact-table distinct + self-join + pair-count
+    shuffle it replaced; a keyed persist cannot remove that last
+    exchange inside a single action because the AQE-wrapped cached
+    plan's partitioning is opaque to the consumer at planning time);
+    only the batch's pairs shuffle. This is the refresh that keeps
+    the per-fixture edge materialization warm under appends instead
+    of the full rebuild.
     """
 
-    def pair_counts(li: DataFrame) -> DataFrame:
-        op = (
-            li.select("l_orderkey", "l_partkey")
-            .repartition(F.col("l_orderkey"))
-            .distinct()
-        )
-        a, b = op.alias("a"), op.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .select(
-                # Same 31-bit key-pack guard as the main edge build:
-                # raise, never corrupt, if a partkey outgrows the pack.
-                F.when(
-                    (F.col("a.l_partkey") < 0)
-                    | (F.col("b.l_partkey") < 0)
-                    | (F.col("a.l_partkey") >= F.lit(1 << 31))
-                    | (F.col("b.l_partkey") >= F.lit(1 << 31)),
-                    F.raise_error(
-                        F.lit(
-                            "incremental pair key exceeds 31 bits; "
-                            "unpack copurchase_edges_incremental"
-                        )
-                    ),
-                )
-                .otherwise(
-                    F.shiftleft(F.col("a.l_partkey"), 32)
-                    + F.col("b.l_partkey")
-                )
-                .alias("pk")
-            )
-            .groupBy("pk")
-            .agg(F.count(F.lit(1)).alias("w"))
-        )
-
+    base = _incr_base_state(spark, sf_dir).select(
+        "pk", F.col("w").alias("wb")
+    )
     lineitem = load_table(spark, sf_dir, "lineitem")
     is_delta = (F.col("l_orderkey") % INCR_DELTA_MOD) == 7
-    base = pair_counts(lineitem.filter(~is_delta))
-    delta = pair_counts(lineitem.filter(is_delta))
+    delta = _incr_pair_counts(lineitem.filter(is_delta))
     merged = (
-        base.select(F.col("pk"), F.col("w").alias("wb"))
-        .join(
+        base.join(
             delta.select(F.col("pk"), F.col("w").alias("wd")),
             "pk",
             "full_outer",

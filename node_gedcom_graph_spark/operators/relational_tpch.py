@@ -135,7 +135,8 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     guide §2.3: SUM(decimal(18,2)) plans a decimal(28,2) accumulator —
     a 16-byte Int128 slot with BigDecimal adds once precision exceeds
     18 — where the same exact arithmetic fits a long: qty <= 50.00 so
-    an order's cent total is < 2^15. cents > 25000 <=> decimal > 250,
+    an order's cent total is <= 7 * 5000 = 35000, trivially inside
+    long range. cents > 25000 <=> decimal > 250,
     and cents/100.0 is the identical correctly-rounded double the
     decimal cast produced; oracle-hash-gated on top).
     """
@@ -212,6 +213,11 @@ def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier (n_supp >= 2, counted over ALL lineitems, late or not);
     the NOT EXISTS probe rejects any order whose late-supplier set has
     another member (n_late == 1 keeps exactly the singleton case).
+    The count equivalence assumes non-null l_suppkey: the oracle's
+    `l_suppkey <>` probes silently IGNORE null-suppkey rows (the
+    predicate evaluates to NULL), so such rows are dropped before the
+    pair aggregate (a no-op on this TPC-H-shaped data, where
+    l_suppkey is non-null by schema; r11, ADVICE).
     Supplier dim broadcasts; numwait counts the same surviving pairs.
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -219,6 +225,7 @@ def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     j = (
         lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_suppkey").isNotNull())
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select(

@@ -74,12 +74,20 @@ def test_tpch_deep_scans_prune_and_push(spark):
     # final s_name rollup).
     assert "LeftSemi" not in plan
     assert "LeftAnti" not in plan
+    # NOTE: the exchange-count bound is coupled to the current Spark
+    # version's plan rendering ("Exchange hashpartitioning"); a Spark
+    # upgrade that renames the node would need this updated (r10
+    # ADVICE — kept because the bound is the point of the rewrite).
     assert plan.count("Exchange hashpartitioning") <= 3
-    # The fact scan stays pruned to the three consumed columns.
-    assert (
-        "struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>"
-        in plan
-    )
+    # The fact scan stays pruned to the three consumed columns
+    # (matched loosely: the timestamp flavor and trailing fields are
+    # Spark-version / fixture-inference dependent).
+    import re
+
+    assert re.search(
+        r"struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:[^>,]*>",
+        plan,
+    ), "lineitem scan not pruned to (l_orderkey, l_suppkey, l_shipdate)"
 
 
 def test_repetition_stats_single_gram_shuffle(spark):
