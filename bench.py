@@ -194,6 +194,94 @@ def bench_gedcom_pipeline(spark) -> None:
 # run with the LOWER steal is published (both stay in the artifact).
 STEAL_RERUN_S = 2.0
 
+# ADDED r11 (additions only — no existing entry changes meaning): a
+# scaled subtotal over four heavy, recently-optimized queries at sf1.
+# The sf0.1 headline suite is overhead-bound (r10 verdict: 8 cores
+# beat 32 on it, every line sub-second-to-3s), so round-over-round
+# wall deltas at sf0.1 are ~pure host weather; these four lines at 10x
+# the data give the driver a signal that actually discriminates
+# engine work. The sf1 tier is synthesized ON THIS HOST from the
+# driver's own sf0.1 fixture (tools/make_sf_scale.py, deterministic
+# key-offset replication — input synthesis, not result caching; every
+# query still computes from parquet inputs each run) and reused across
+# runs like any fixture. The block runs ONCE after the headline passes
+# (never inside the steal-retry loop), degrades to absence on any
+# failure (no scratch space, unexpected SF tier, synthesis timeout),
+# and can be disabled with NGG_BENCH_SCALED=0.
+SCALED_QUERIES = (
+    "copurchase_cc_converged",
+    "winsorized_price_stats",
+    "events_ewma_fir",
+    "sample_weighted_minhash_replication",
+)
+
+
+def _measure_scaled(spark, qs) -> dict | None:
+    if os.environ.get("NGG_BENCH_SCALED", "1") == "0":
+        return None
+    if os.path.basename(SF_DIR.rstrip("/")) != "sf0.1":
+        return None  # synthesis ratios documented for the sf0.1 tier
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scaled_dir = os.environ.get("NGG_BENCH_SCALED_DIR") or os.path.join(
+        repo, ".benchdata", "sf1"
+    )
+    try:
+        if not os.path.isdir(scaled_dir):
+            import shutil
+            import subprocess
+
+            if shutil.disk_usage("/").free < 2 * (1 << 30):
+                return None
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo, "tools", "make_sf_scale.py"),
+                    SF_DIR,
+                    scaled_dir,
+                    "10",
+                ],
+                check=True,
+                timeout=600,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        steal0 = _steal_jiffies()
+        timings: dict[str, float] = {}
+        cpu_s: dict[str, float] = {}
+        for name in SCALED_QUERIES:
+            if name not in qs:
+                continue
+            spark.sparkContext.setJobDescription(f"bench_sf1:{name}")
+
+            def run(name=name):
+                qs[name](spark, scaled_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            run()  # warm (JIT/codegen/file-index)
+            cpu0 = _tree_cpu_s()
+            walls = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                run()
+                walls.append(time.monotonic() - t0)
+            timings[name] = round(min(walls), 3)
+            cpu_delta = (_tree_cpu_s() - cpu0) / 2
+            cpu_s[name] = round(cpu_delta if cpu_delta > 0 else -1.0, 3)
+        return {
+            "sf": 1.0,
+            "wall_s": round(sum(timings.values()), 3),
+            "cpu_s": round(sum(v for v in cpu_s.values() if v > 0), 3),
+            "steal_s": round(
+                (_steal_jiffies() - steal0) / os.sysconf("SC_CLK_TCK"), 1
+            ),
+            "queries": timings,
+            "queries_cpu_s": cpu_s,
+            "estimator": "min-of-2 after 1 warm",
+        }
+    except Exception:
+        return None
+
 
 def _measure(spark, qs) -> dict:
     # Warm + time each query back-to-back (JMH-style steady state). The
@@ -391,6 +479,9 @@ def main() -> None:
         "sf": sf,
         "r8_comparable_subtotal": subset,
     }
+    scaled = _measure_scaled(spark, qs)
+    if scaled:
+        out["scaled_subtotal"] = scaled
     # Steal-invariant round-over-round comparison (r8 verdict item 1):
     # per-query CPU delta against the newest committed prior-round
     # artifact (the driver wraps its bench record under "parsed"). CPU
@@ -514,7 +605,15 @@ def main() -> None:
             for k, v in out["cpu_delta_vs_prior"].items()
             if k != "queries"
         }
-    for drop in ("queries_cpu_s_min", "queries"):
+    if "scaled_subtotal" in compact:
+        # The compact line keeps the scaled walls; per-query CPU lives
+        # in the detail file.
+        compact["scaled_subtotal"] = {
+            k: v
+            for k, v in compact["scaled_subtotal"].items()
+            if k != "queries_cpu_s"
+        }
+    for drop in ("queries_cpu_s_min", "scaled_subtotal", "queries"):
         if len(json.dumps(compact)) <= 1900:
             break
         compact.pop(drop, None)
