@@ -450,7 +450,17 @@ def sample_weighted_minhash_replication(
     but higher-order-function lambdas are interpreted per element,
     and the sf1 sweep measured it 10x SLOWER than codegen'd explode:
     139 s vs ~14 s for ~150M hashes. Lesson recorded: shuffle-free is
-    not the goal when the shuffle never materializes anyway.) Work is
+    not the goal when the shuffle never materializes anyway. r11
+    re-probed the sub-explode idea with a RUNNING FOLD —
+    aggregate(sequence(1, w), '~', least(acc, md5(...))) — which,
+    unlike transform+array_min, materializes no per-ticket array and
+    plans ZERO shuffles (scan -> project -> TakeOrderedAndProject).
+    Measured, interleaved same-session A/B: a wash at sf10
+    (50.8-54.6 s vs 52.8-53.8 s; cpu 1503-1592 vs 1495-1531) and a
+    LOSS at sf100 (min-of-2: wall 636.1 vs 507.3 s, cpu 16121 vs
+    15067 — interpreted-lambda overhead ~+7% CPU on ~15B md5 calls,
+    and the explode form's one narrow exchange is ~2% of its runtime).
+    Rejected again with numbers: MEASURES_r11.json.) Work is
     O(sum(w)) hashes, bounded by max weight (50 here; at 100 TB bound
     it by bucketing weights or the u^(1/w) float variant). The global
     top-k is TakeOrderedAndProject: per-partition partial top-k,
