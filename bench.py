@@ -225,11 +225,15 @@ def _measure_scaled(spark, qs) -> dict | None:
     scaled_dir = os.environ.get("NGG_BENCH_SCALED_DIR") or os.path.join(
         repo, ".benchdata", "sf1"
     )
+    sentinel = os.path.join(scaled_dir, "_SYNTH_OK")
     try:
-        if not os.path.isdir(scaled_dir):
+        if not os.path.exists(sentinel):
             import shutil
             import subprocess
 
+            # A dir without the sentinel is an interrupted synthesis —
+            # wipe and rebuild rather than bench against partial tables.
+            shutil.rmtree(scaled_dir, ignore_errors=True)
             if shutil.disk_usage("/").free < 2 * (1 << 30):
                 return None
             subprocess.run(
@@ -245,6 +249,8 @@ def _measure_scaled(spark, qs) -> dict | None:
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )
+            with open(sentinel, "w") as fh:
+                fh.write("complete\n")
         steal0 = _steal_jiffies()
         timings: dict[str, float] = {}
         cpu_s: dict[str, float] = {}
